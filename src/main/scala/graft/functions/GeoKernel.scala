@@ -1,0 +1,149 @@
+package graft.functions
+
+import graft.geom._
+import graft.cell.{CellId, Hilbert}
+
+/** Static, JVM-primitive-typed kernel functions shared by Expression.eval and
+  * generated code (`graft.functions.GeoKernel.xxx(...)` in codegen). A small
+  * per-thread LRU keyed by WKB content avoids re-decoding the same geometry —
+  * the common case in broadcast spatial joins where one polygon meets many
+  * points (reference analog: prepared-geometry reuse,
+  * /root/reference/ogr/ogrsf_frmts/generic/ogrlayer.cpp:4066).
+  */
+object GeoKernel {
+
+  private final val CacheSize = 256
+
+  private final class Key(val bytes: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case k: Key => java.util.Arrays.equals(bytes, k.bytes)
+      case _ => false
+    }
+  }
+
+  private val cache = new ThreadLocal[java.util.LinkedHashMap[Key, Geom]] {
+    override def initialValue(): java.util.LinkedHashMap[Key, Geom] =
+      new java.util.LinkedHashMap[Key, Geom](CacheSize, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[Key, Geom]): Boolean =
+          size() > CacheSize
+      }
+  }
+
+  def decode(wkb: Array[Byte]): Geom = {
+    val c = cache.get()
+    val k = new Key(wkb)
+    val hit = c.get(k)
+    if (hit != null) hit
+    else {
+      val g = Wkb.read(wkb)
+      c.put(k, g)
+      g
+    }
+  }
+
+  // ---- constructors / codecs
+  def geomFromText(wkt: String): Array[Byte] =
+    Wkt.tryParse(wkt).map(Wkb.write).orNull
+
+  def asText(wkb: Array[Byte]): String = Wkt.write(decode(wkb))
+
+  def point(x: Double, y: Double): Array[Byte] = Wkb.write(Point(x, y))
+
+  // ---- predicates
+  def containsPoint(wkb: Array[Byte], x: Double, y: Double): Boolean =
+    GeoOps.containsPoint(decode(wkb), x, y)
+
+  def intersectsPoint(wkb: Array[Byte], x: Double, y: Double): Boolean =
+    GeoOps.intersectsPoint(decode(wkb), x, y)
+
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean =
+    GeoOps.intersects(decode(a), decode(b))
+
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean =
+    GeoOps.contains(decode(a), decode(b))
+
+  def envIntersects(a: Array[Byte], b: Array[Byte]): Boolean =
+    GeoOps.envIntersects(decode(a), decode(b))
+
+  def envIntersectsBox(wkb: Array[Byte], minX: Double, minY: Double, maxX: Double, maxY: Double): Boolean = {
+    val e = decode(wkb).envelope
+    !e.isEmpty && e.intersects(Envelope(minX, minY, maxX, maxY))
+  }
+
+  def isEmpty(wkb: Array[Byte]): Boolean = decode(wkb).isEmpty
+  def isValid(wkb: Array[Byte]): Boolean = GeoOps.isValid(decode(wkb))
+  def geometryType(wkb: Array[Byte]): String = decode(wkb).typeName
+  def numGeometries(wkb: Array[Byte]): Int = GeoOps.dump(decode(wkb)).length
+
+  // ---- accessors / measures
+  def stX(wkb: Array[Byte]): Double = decode(wkb) match {
+    case p: Point => p.x
+    case g => throw new IllegalArgumentException(s"st_x on ${g.typeName}")
+  }
+
+  def stY(wkb: Array[Byte]): Double = decode(wkb) match {
+    case p: Point => p.y
+    case g => throw new IllegalArgumentException(s"st_y on ${g.typeName}")
+  }
+
+  def area(wkb: Array[Byte]): Double = GeoOps.area(decode(wkb))
+  def length(wkb: Array[Byte]): Double = GeoOps.length(decode(wkb))
+  def distance(a: Array[Byte], b: Array[Byte]): Double = GeoOps.distance(decode(a), decode(b))
+
+  def envelope(wkb: Array[Byte]): Array[Double] = {
+    val e = decode(wkb).envelope
+    Array(e.minX, e.minY, e.maxX, e.maxY)
+  }
+
+  def centroid(wkb: Array[Byte]): Array[Byte] = Wkb.write(GeoOps.centroid(decode(wkb)))
+
+  // ---- transforms
+  def simplify(wkb: Array[Byte], tol: Double): Array[Byte] =
+    Wkb.write(GeoOps.simplify(decode(wkb), tol))
+
+  def segmentize(wkb: Array[Byte], maxLen: Double): Array[Byte] =
+    Wkb.write(GeoOps.segmentize(decode(wkb), maxLen))
+
+  def convexHull(wkb: Array[Byte]): Array[Byte] = Wkb.write(GeoOps.convexHull(decode(wkb)))
+
+  def swapXY(wkb: Array[Byte]): Array[Byte] = Wkb.write(GeoOps.swapXY(decode(wkb)))
+
+  def to3857(wkb: Array[Byte]): Array[Byte] = Wkb.write(GeoOps.to3857(decode(wkb)))
+  def to4326(wkb: Array[Byte]): Array[Byte] = Wkb.write(GeoOps.to4326(decode(wkb)))
+
+  def clipBox(wkb: Array[Byte], minX: Double, minY: Double, maxX: Double, maxY: Double): Array[Byte] =
+    Wkb.write(GeoOps.clipToRect(decode(wkb), Envelope(minX, minY, maxX, maxY)))
+
+  def dump(wkb: Array[Byte]): Array[Array[Byte]] =
+    GeoOps.dump(decode(wkb)).map(Wkb.write)
+
+  // ---- cells & tiles
+  def cell(lon: Double, lat: Double, z: Int): Long = CellId.fromLonLat(lon, lat, z)
+
+  def cellZ(c: Long): Int = CellId.zoom(c)
+  def cellX(c: Long): Int = CellId.x(c)
+  def cellY(c: Long): Int = CellId.y(c)
+  def cellParent(c: Long, z: Int): Long = CellId.parentAt(c, z)
+  def cellQuadkey(c: Long): String = CellId.quadKey(c)
+
+  def cover(wkb: Array[Byte], z: Int): Array[Long] = CellId.cover(decode(wkb), z)
+
+  def cellRing(c: Long, r: Int): Array[Long] = CellId.ring(c, r)
+  def cellDisk(c: Long, r: Int): Array[Long] = CellId.disk(c, r)
+
+  def tileX(lon: Double, z: Int): Int = Mercator.lonLatToTileX(lon, z)
+  def tileY(lat: Double, z: Int): Int = Mercator.lonLatToTileY(lat, z)
+  def quadkey(z: Int, x: Int, y: Int): String = Mercator.quadKey(z, x, y)
+
+  def greatCircle(latA: Double, lonA: Double, latB: Double, lonB: Double, r: Double): Double =
+    GeoOps.greatCircle(latA, lonA, latB, lonB, r)
+
+  def hilbert(x: Double, y: Double, minX: Double, minY: Double, maxX: Double, maxY: Double): Long =
+    Hilbert.code(Envelope(minX, minY, maxX, maxY), x, y)
+
+  def mercX(lon: Double): Double = Mercator.lonToX(lon)
+  def mercY(lat: Double): Double = Mercator.latToY(lat)
+  def mercLon(x: Double): Double = Mercator.xToLon(x)
+  def mercLat(y: Double): Double = Mercator.yToLat(y)
+}

@@ -1,0 +1,559 @@
+package org.apache.spark.sql.graft
+
+import graft.functions.GeoKernel
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the geometry/cell kernel (SURVEY.md §7.3).
+  * All hot-path expressions code-generate to static calls on
+  * [[graft.functions.GeoKernel]], so they stay inside whole-stage codegen.
+  * Reference analogs: the SQLite-dialect ST_* function set
+  * (/root/reference/ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:876-1054).
+  */
+private object K { final val N = "graft.functions.GeoKernel" }
+
+// ------------------------------------------------------------------ codecs
+
+/** st_geomfromtext(wkt) → WKB (null on unparseable WKT).
+  * Ref: OGR ST_GeomFromText (ogrsqlitesqlfunctions.cpp:779). */
+case class StGeomFromText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geomfromtext"
+  protected override def nullSafeEval(wkt: Any): Any =
+    GeoKernel.geomFromText(wkt.asInstanceOf[UTF8String].toString)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = ${K.N}.geomFromText($c.toString());
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  protected override def withNewChildInternal(newChild: Expression): StGeomFromText =
+    copy(child = newChild)
+}
+
+/** st_astext(wkb) → WKT. Ref: ST_AsText (ogrsqlitesqlfunctions.cpp:723). */
+case class StAsText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_astext"
+  protected override def nullSafeEval(wkb: Any): Any =
+    UTF8String.fromString(GeoKernel.asText(wkb.asInstanceOf[Array[Byte]]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"UTF8String.fromString(${K.N}.asText($c))")
+  protected override def withNewChildInternal(newChild: Expression): StAsText =
+    copy(child = newChild)
+}
+
+/** st_point(x, y) → WKB point. Ref: ST_MakePoint (ogrsqlitesqlfunctions.cpp:1014);
+  * the make-point pipeline step (/root/reference/apps/gdalalg_vector_make_point.cpp:32). */
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_point"
+  protected override def nullSafeEval(x: Any, y: Any): Any =
+    GeoKernel.point(x.asInstanceOf[Double], y.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"${K.N}.point($x, $y)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StPoint =
+    copy(left = l, right = r)
+}
+
+// ------------------------------------------------------------- unary info
+
+abstract class GeoUnary extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  protected def method: String
+  protected def fromKernel(v: Any): Any = v
+  protected def genCall(c: String): String
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => genCall(c))
+}
+
+/** st_isempty(wkb). Ref: ST_IsEmpty (ogrsqlitesqlfunctions.cpp:902). */
+case class StIsEmpty(child: Expression) extends GeoUnary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_isempty"
+  protected def method = "isEmpty"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.isEmpty(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.isEmpty($c)"
+  protected override def withNewChildInternal(n: Expression): StIsEmpty = copy(child = n)
+}
+
+/** st_isvalid(wkb) — structural validity. Ref: ST_IsValid (ogrsqlitesqlfunctions.cpp:904). */
+case class StIsValid(child: Expression) extends GeoUnary {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_isvalid"
+  protected def method = "isValid"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.isValid(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.isValid($c)"
+  protected override def withNewChildInternal(n: Expression): StIsValid = copy(child = n)
+}
+
+/** st_geometrytype(wkb) → 'POINT' | ... Ref: OGR_GEOMETRY special field
+  * (/root/reference/ogr/ogrfeature.cpp:1523). */
+case class StGeometryType(child: Expression) extends GeoUnary {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_geometrytype"
+  protected def method = "geometryType"
+  protected override def nullSafeEval(w: Any): Any =
+    UTF8String.fromString(GeoKernel.geometryType(w.asInstanceOf[Array[Byte]]))
+  protected def genCall(c: String): String =
+    s"UTF8String.fromString(${K.N}.geometryType($c))"
+  protected override def withNewChildInternal(n: Expression): StGeometryType = copy(child = n)
+}
+
+/** st_x / st_y of a point. */
+case class StX(child: Expression) extends GeoUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_x"
+  protected def method = "stX"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.stX(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.stX($c)"
+  protected override def withNewChildInternal(n: Expression): StX = copy(child = n)
+}
+
+case class StY(child: Expression) extends GeoUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_y"
+  protected def method = "stY"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.stY(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.stY($c)"
+  protected override def withNewChildInternal(n: Expression): StY = copy(child = n)
+}
+
+/** st_area(wkb). Ref: ST_Area (ogrsqlitesqlfunctions.cpp:959). */
+case class StArea(child: Expression) extends GeoUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_area"
+  protected def method = "area"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.area(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.area($c)"
+  protected override def withNewChildInternal(n: Expression): StArea = copy(child = n)
+}
+
+/** st_length(wkb). Ref: ST_Length (ogrsqlitesqlfunctions.cpp:978). */
+case class StLength(child: Expression) extends GeoUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_length"
+  protected def method = "length"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.length(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.length($c)"
+  protected override def withNewChildInternal(n: Expression): StLength = copy(child = n)
+}
+
+/** st_envelope(wkb) → array(minx, miny, maxx, maxy). Ref: OGREnvelope +
+  * WKB bbox scan (/root/reference/ogr/ogr_wkb.h:30). */
+case class StEnvelope(child: Expression) extends GeoUnary {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "st_envelope"
+  protected def method = "envelope"
+  protected override def nullSafeEval(w: Any): Any =
+    new GenericArrayData(GeoKernel.envelope(w.asInstanceOf[Array[Byte]]))
+  protected def genCall(c: String): String =
+    s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${K.N}.envelope($c))"
+  protected override def withNewChildInternal(n: Expression): StEnvelope = copy(child = n)
+}
+
+/** st_centroid(wkb) → WKB point. Ref: OGRGeometry::Centroid (ogrgeometry.cpp:4825). */
+case class StCentroid(child: Expression) extends GeoUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_centroid"
+  protected def method = "centroid"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.centroid(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.centroid($c)"
+  protected override def withNewChildInternal(n: Expression): StCentroid = copy(child = n)
+}
+
+/** st_convexhull(wkb). Ref: OGRGeometry::ConvexHull (ogrgeometry.cpp:4449). */
+case class StConvexHull(child: Expression) extends GeoUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_convexhull"
+  protected def method = "convexHull"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.convexHull(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.convexHull($c)"
+  protected override def withNewChildInternal(n: Expression): StConvexHull = copy(child = n)
+}
+
+/** st_swapxy(wkb). Ref: swap-xy pipeline step
+  * (/root/reference/apps/gdalalg_vector_swap_xy.cpp). */
+case class StSwapXY(child: Expression) extends GeoUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_swapxy"
+  protected def method = "swapXY"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.swapXY(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.swapXY($c)"
+  protected override def withNewChildInternal(n: Expression): StSwapXY = copy(child = n)
+}
+
+/** st_transform_3857(wkb): WGS84 → WebMercator. Ref: reproject step via
+  * OGRWarpedLayer (/root/reference/ogr/ogrsf_frmts/generic/ogrwarpedlayer.cpp:172),
+  * formulas gdal2tiles.py:426-429. */
+case class StTransform3857(child: Expression) extends GeoUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_transform_3857"
+  protected def method = "to3857"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.to3857(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.to3857($c)"
+  protected override def withNewChildInternal(n: Expression): StTransform3857 = copy(child = n)
+}
+
+/** st_transform_4326(wkb): WebMercator → WGS84. */
+case class StTransform4326(child: Expression) extends GeoUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_transform_4326"
+  protected def method = "to4326"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.to4326(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.to4326($c)"
+  protected override def withNewChildInternal(n: Expression): StTransform4326 = copy(child = n)
+}
+
+/** st_dump(wkb) → array<wkb> of parts (use with explode()). Ref:
+  * explode-collections (/root/reference/apps/gdalalg_vector_explode.h:29). */
+case class StDump(child: Expression) extends GeoUnary {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "st_dump"
+  protected def method = "dump"
+  protected override def nullSafeEval(w: Any): Any =
+    new GenericArrayData(GeoKernel.dump(w.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+  protected def genCall(c: String): String =
+    s"new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) ${K.N}.dump($c))"
+  protected override def withNewChildInternal(n: Expression): StDump = copy(child = n)
+}
+
+// ------------------------------------------------------------- binary ops
+
+/** st_intersects(a, b) — envelope reject then exact (two-phase
+  * FilterGeometry, ogrlayer.cpp:4004-4076). */
+case class StIntersects(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_intersects"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.intersects($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StIntersects =
+    copy(left = l, right = r)
+}
+
+/** st_contains(a, b). Ref: ST_Contains (ogrsqlitesqlfunctions.cpp:882). */
+case class StContains(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_contains"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.contains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.contains($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StContains =
+    copy(left = l, right = r)
+}
+
+/** st_env_intersects(a, b) — envelope-only pretest. */
+case class StEnvIntersects(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_env_intersects"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.envIntersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.envIntersects($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StEnvIntersects =
+    copy(left = l, right = r)
+}
+
+/** st_distance(a, b). Ref: OGRGeometry::Distance (ogrgeometry.cpp:3818). */
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_distance"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.distance($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StDistance =
+    copy(left = l, right = r)
+}
+
+/** st_simplify(wkb, tol) — Douglas-Peucker (ogrgeometry.cpp:6526 semantics). */
+case class StSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_simplify"
+  protected override def nullSafeEval(w: Any, t: Any): Any =
+    GeoKernel.simplify(w.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, t) => s"${K.N}.simplify($w, $t)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StSimplify =
+    copy(left = l, right = r)
+}
+
+/** st_segmentize(wkb, maxLen). Ref: segmentize step
+  * (/root/reference/apps/gdalalg_vector_segmentize.cpp). */
+case class StSegmentize(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_segmentize"
+  protected override def nullSafeEval(w: Any, t: Any): Any =
+    GeoKernel.segmentize(w.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, t) => s"${K.N}.segmentize($w, $t)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StSegmentize =
+    copy(left = l, right = r)
+}
+
+/** st_cover(wkb, z) → sorted array<long> of cell ids covering the geometry's
+  * envelope (the join key fan-out; SURVEY.md §2.E). */
+case class StCover(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "st_cover"
+  protected override def nullSafeEval(w: Any, z: Any): Any =
+    new GenericArrayData(GeoKernel.cover(w.asInstanceOf[Array[Byte]], z.asInstanceOf[Int]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, z) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${K.N}.cover($w, $z))")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StCover =
+    copy(left = l, right = r)
+}
+
+/** cell_ring(cell, r) → array<long> of cells at Chebyshev distance r
+  * (kNN ring expansion, SURVEY.md §2.H). */
+case class CellRing(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cell_ring"
+  protected override def nullSafeEval(c: Any, r: Any): Any =
+    new GenericArrayData(GeoKernel.cellRing(c.asInstanceOf[Long], r.asInstanceOf[Int]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${K.N}.cellRing($c, $r))")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): CellRing =
+    copy(left = l, right = r)
+}
+
+/** cell_disk(cell, r) → array<long> of cells within Chebyshev distance r. */
+case class CellDisk(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cell_disk"
+  protected override def nullSafeEval(c: Any, r: Any): Any =
+    new GenericArrayData(GeoKernel.cellDisk(c.asInstanceOf[Long], r.asInstanceOf[Int]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, r) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${K.N}.cellDisk($c, $r))")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): CellDisk =
+    copy(left = l, right = r)
+}
+
+/** cell_parent(cell, z) — quadtree ancestor at zoom z. */
+case class CellParent(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cell_parent"
+  protected override def nullSafeEval(c: Any, z: Any): Any =
+    GeoKernel.cellParent(c.asInstanceOf[Long], z.asInstanceOf[Int])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, z) => s"${K.N}.cellParent($c, $z)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): CellParent =
+    copy(left = l, right = r)
+}
+
+/** tile_x(lon, z) — XYZ tile column via the gdal2tiles pipeline
+  * (gdal2tiles.py:449-466; FIXTURES.md §4). */
+case class TileXExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "tile_x"
+  protected override def nullSafeEval(lon: Any, z: Any): Any =
+    GeoKernel.tileX(lon.asInstanceOf[Double], z.asInstanceOf[Int])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, z) => s"${K.N}.tileX($lon, $z)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): TileXExpr =
+    copy(left = l, right = r)
+}
+
+/** tile_y(lat, z) — XYZ tile row (TMS flip per GetFileY,
+  * gdalalg_raster_tile.cpp:509-513). */
+case class TileYExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "tile_y"
+  protected override def nullSafeEval(lat: Any, z: Any): Any =
+    GeoKernel.tileY(lat.asInstanceOf[Double], z.asInstanceOf[Int])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, z) => s"${K.N}.tileY($lat, $z)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): TileYExpr =
+    copy(left = l, right = r)
+}
+
+// ------------------------------------------------------------ ternary ops
+
+/** st_cell(lon, lat, z) → packed cell id (the point-side join key). */
+case class StCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "st_cell"
+  protected override def nullSafeEval(lon: Any, lat: Any, z: Any): Any =
+    GeoKernel.cell(lon.asInstanceOf[Double], lat.asInstanceOf[Double], z.asInstanceOf[Int])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, z) => s"${K.N}.cell($lon, $lat, $z)")
+  protected override def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): StCell =
+    copy(first = a, second = b, third = c)
+}
+
+/** st_contains_point(wkb, x, y) — THE spatial-join refine predicate
+  * (ray-crossing PIP, ogrlinearring.cpp:452-521 + hole rule ogrpolygon.cpp:770). */
+case class StContainsPoint(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_contains_point"
+  protected override def nullSafeEval(w: Any, x: Any, y: Any): Any =
+    GeoKernel.containsPoint(w.asInstanceOf[Array[Byte]], x.asInstanceOf[Double], y.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, x, y) => s"${K.N}.containsPoint($w, $x, $y)")
+  protected override def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): StContainsPoint =
+    copy(first = a, second = b, third = c)
+}
+
+/** st_intersects_point(wkb, x, y) — PIP including boundary
+  * (OGRCurvePolygon::IntersectsPoint, ogrcurvepolygon.cpp:829). */
+case class StIntersectsPoint(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_intersects_point"
+  protected override def nullSafeEval(w: Any, x: Any, y: Any): Any =
+    GeoKernel.intersectsPoint(w.asInstanceOf[Array[Byte]], x.asInstanceOf[Double], y.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, x, y) => s"${K.N}.intersectsPoint($w, $x, $y)")
+  protected override def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): StIntersectsPoint =
+    copy(first = a, second = b, third = c)
+}
+
+/** tile_quadkey(z, x, y) (gdal2tiles.py:518-530). */
+case class TileQuadkey(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "tile_quadkey"
+  protected override def nullSafeEval(z: Any, x: Any, y: Any): Any =
+    UTF8String.fromString(GeoKernel.quadkey(z.asInstanceOf[Int], x.asInstanceOf[Int], y.asInstanceOf[Int]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (z, x, y) => s"UTF8String.fromString(${K.N}.quadkey($z, $x, $y))")
+  protected override def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): TileQuadkey =
+    copy(first = a, second = b, third = c)
+}
+
+// -------------------------------------------------------------- wider ops
+
+/** st_greatcircle(latA, lonA, latB, lonB[, radius]) — spherical law of
+  * cosines, exact OGR_GreatCircle_Distance semantics (ogr_geo_utils.cpp:33-46).
+  * Default radius = WGS84 semi-major 6378137 m. */
+case class StGreatCircle(first: Expression, second: Expression, third: Expression,
+                         fourth: Expression, fifth: Expression)
+    extends QuinaryExpression with ImplicitCastInputTypes {
+  def this(a: Expression, b: Expression, c: Expression, d: Expression) =
+    this(a, b, c, d, Literal(6378137.0))
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_greatcircle"
+  override def children: Seq[Expression] = Seq(first, second, third, fourth, fifth)
+  protected override def nullSafeEval(a: Any, b: Any, c: Any, d: Any, r: Any): Any =
+    GeoKernel.greatCircle(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double], r.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d, r) => s"${K.N}.greatCircle($a, $b, $c, $d, $r)")
+  protected override def withNewChildrenInternal(ns: IndexedSeq[Expression]): StGreatCircle =
+    copy(first = ns(0), second = ns(1), third = ns(2), fourth = ns(3), fifth = ns(4))
+}
+
+/** st_env_intersects_box(wkb, minx, miny, maxx, maxy) — bbox prefilter
+  * (the `filter --bbox` step, gdalalg_vector_filter.cpp:36-43). */
+case class StEnvIntersectsBox(first: Expression, second: Expression, third: Expression,
+                              fourth: Expression, fifth: Expression)
+    extends QuinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_env_intersects_box"
+  override def children: Seq[Expression] = Seq(first, second, third, fourth, fifth)
+  protected override def nullSafeEval(w: Any, a: Any, b: Any, c: Any, d: Any): Any =
+    GeoKernel.envIntersectsBox(w.asInstanceOf[Array[Byte]], a.asInstanceOf[Double],
+      b.asInstanceOf[Double], c.asInstanceOf[Double], d.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, a, b, c, d) => s"${K.N}.envIntersectsBox($w, $a, $b, $c, $d)")
+  protected override def withNewChildrenInternal(ns: IndexedSeq[Expression]): StEnvIntersectsBox =
+    copy(first = ns(0), second = ns(1), third = ns(2), fourth = ns(3), fifth = ns(4))
+}
+
+/** st_clip_bbox(wkb, minx, miny, maxx, maxy) — Sutherland-Hodgman rectangle
+  * clip (clip step, gdalalg_vector_clip.cpp; tile clipping core). */
+case class StClipBBox(first: Expression, second: Expression, third: Expression,
+                      fourth: Expression, fifth: Expression)
+    extends QuinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, DoubleType, DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_clip_bbox"
+  override def children: Seq[Expression] = Seq(first, second, third, fourth, fifth)
+  protected override def nullSafeEval(w: Any, a: Any, b: Any, c: Any, d: Any): Any =
+    GeoKernel.clipBox(w.asInstanceOf[Array[Byte]], a.asInstanceOf[Double],
+      b.asInstanceOf[Double], c.asInstanceOf[Double], d.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, a, b, c, d) => s"${K.N}.clipBox($w, $a, $b, $c, $d)")
+  protected override def withNewChildrenInternal(ns: IndexedSeq[Expression]): StClipBBox =
+    copy(first = ns(0), second = ns(1), third = ns(2), fourth = ns(3), fifth = ns(4))
+}
+
+/** hilbert_code(x, y, minx, miny, maxx, maxy) — spatial sort key
+  * (/root/reference/alg/hilbert.cpp:19-92; vector sort step
+  * gdalalg_vector_sort.cpp:351-375). Rare in hot paths → CodegenFallback. */
+case class HilbertCode(children: Seq[Expression])
+    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+  require(children.length == 6, "hilbert_code(x, y, minx, miny, maxx, maxy)")
+  override def inputTypes: Seq[AbstractDataType] = Seq.fill(6)(DoubleType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "hilbert_code"
+  override def eval(input: InternalRow): Any = {
+    val vs = new Array[Double](6)
+    var i = 0
+    while (i < 6) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vs(i) = v.asInstanceOf[Double]
+      i += 1
+    }
+    GeoKernel.hilbert(vs(0), vs(1), vs(2), vs(3), vs(4), vs(5))
+  }
+  protected override def withNewChildrenInternal(ns: IndexedSeq[Expression]): HilbertCode =
+    copy(children = ns)
+}

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.graft._
+
+/** Registration of the graft geometry/cell expressions with Catalyst's
+  * FunctionRegistry (both at-runtime and via SparkSessionExtensions), plus a
+  * typed Column API. Reference analog: the SQLite-dialect function
+  * registration (/root/reference/ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:1111-1148)
+  * and SWQ custom-function registrar (/root/reference/ogr/ogr_swq.h:225-231).
+  */
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  private def arity(name: String, n: Int)(f: Seq[Expression] => Expression): (String, Builder) =
+    name -> { (args: Seq[Expression]) =>
+      require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+      f(args)
+    }
+
+  val builders: Seq[(String, Builder)] = Seq(
+    arity("st_geomfromtext", 1)(a => StGeomFromText(a(0))),
+    arity("st_astext", 1)(a => StAsText(a(0))),
+    arity("st_point", 2)(a => StPoint(a(0), a(1))),
+    arity("st_isempty", 1)(a => StIsEmpty(a(0))),
+    arity("st_isvalid", 1)(a => StIsValid(a(0))),
+    arity("st_geometrytype", 1)(a => StGeometryType(a(0))),
+    arity("st_x", 1)(a => StX(a(0))),
+    arity("st_y", 1)(a => StY(a(0))),
+    arity("st_area", 1)(a => StArea(a(0))),
+    arity("st_length", 1)(a => StLength(a(0))),
+    arity("st_envelope", 1)(a => StEnvelope(a(0))),
+    arity("st_centroid", 1)(a => StCentroid(a(0))),
+    arity("st_convexhull", 1)(a => StConvexHull(a(0))),
+    arity("st_swapxy", 1)(a => StSwapXY(a(0))),
+    arity("st_transform_3857", 1)(a => StTransform3857(a(0))),
+    arity("st_transform_4326", 1)(a => StTransform4326(a(0))),
+    arity("st_dump", 1)(a => StDump(a(0))),
+    arity("st_intersects", 2)(a => StIntersects(a(0), a(1))),
+    arity("st_contains", 2)(a => StContains(a(0), a(1))),
+    arity("st_env_intersects", 2)(a => StEnvIntersects(a(0), a(1))),
+    arity("st_distance", 2)(a => StDistance(a(0), a(1))),
+    arity("st_simplify", 2)(a => StSimplify(a(0), a(1))),
+    arity("st_segmentize", 2)(a => StSegmentize(a(0), a(1))),
+    arity("st_cover", 2)(a => StCover(a(0), a(1))),
+    arity("cell_ring", 2)(a => CellRing(a(0), a(1))),
+    arity("cell_disk", 2)(a => CellDisk(a(0), a(1))),
+    arity("cell_parent", 2)(a => CellParent(a(0), a(1))),
+    arity("tile_x", 2)(a => TileXExpr(a(0), a(1))),
+    arity("tile_y", 2)(a => TileYExpr(a(0), a(1))),
+    arity("st_cell", 3)(a => StCell(a(0), a(1), a(2))),
+    arity("st_contains_point", 3)(a => StContainsPoint(a(0), a(1), a(2))),
+    arity("st_intersects_point", 3)(a => StIntersectsPoint(a(0), a(1), a(2))),
+    arity("tile_quadkey", 3)(a => TileQuadkey(a(0), a(1), a(2))),
+    "st_greatcircle" -> { (args: Seq[Expression]) =>
+      args.length match {
+        case 4 => StGreatCircle(args(0), args(1), args(2), args(3), Literal(6378137.0))
+        case 5 => StGreatCircle(args(0), args(1), args(2), args(3), args(4))
+        case n => throw new IllegalArgumentException(s"st_greatcircle expects 4 or 5 args, got $n")
+      }
+    },
+    arity("st_env_intersects_box", 5)(a => StEnvIntersectsBox(a(0), a(1), a(2), a(3), a(4))),
+    arity("st_clip_bbox", 5)(a => StClipBBox(a(0), a(1), a(2), a(3), a(4))),
+    arity("hilbert_code", 6)(a => HilbertCode(a)),
+  )
+
+  /** Runtime registration on an existing session (temp functions). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) => reg.createOrReplaceTempFunction(name, b, "scala_udf") }
+  }
+
+  /** For spark.sql.extensions=graft.functions.GraftExtensions. */
+  def inject(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        b))
+    }
+}
+
+/** Usage: spark.builder.config("spark.sql.extensions", "graft.functions.GraftExtensions") */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}
+
+/** Typed Column API over the registered functions (requires
+  * GraftFunctions.register(spark) once per session). */
+object gf {
+  def st_geomfromtext(wkt: Column): Column = call_function("st_geomfromtext", wkt)
+  def st_astext(wkb: Column): Column = call_function("st_astext", wkb)
+  def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
+  def st_isempty(wkb: Column): Column = call_function("st_isempty", wkb)
+  def st_isvalid(wkb: Column): Column = call_function("st_isvalid", wkb)
+  def st_geometrytype(wkb: Column): Column = call_function("st_geometrytype", wkb)
+  def st_x(wkb: Column): Column = call_function("st_x", wkb)
+  def st_y(wkb: Column): Column = call_function("st_y", wkb)
+  def st_area(wkb: Column): Column = call_function("st_area", wkb)
+  def st_length(wkb: Column): Column = call_function("st_length", wkb)
+  def st_envelope(wkb: Column): Column = call_function("st_envelope", wkb)
+  def st_centroid(wkb: Column): Column = call_function("st_centroid", wkb)
+  def st_convexhull(wkb: Column): Column = call_function("st_convexhull", wkb)
+  def st_swapxy(wkb: Column): Column = call_function("st_swapxy", wkb)
+  def st_transform_3857(wkb: Column): Column = call_function("st_transform_3857", wkb)
+  def st_transform_4326(wkb: Column): Column = call_function("st_transform_4326", wkb)
+  def st_dump(wkb: Column): Column = call_function("st_dump", wkb)
+  def st_intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)
+  def st_contains(a: Column, b: Column): Column = call_function("st_contains", a, b)
+  def st_env_intersects(a: Column, b: Column): Column = call_function("st_env_intersects", a, b)
+  def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
+  def st_simplify(wkb: Column, tol: Column): Column = call_function("st_simplify", wkb, tol)
+  def st_segmentize(wkb: Column, maxLen: Column): Column = call_function("st_segmentize", wkb, maxLen)
+  def st_cover(wkb: Column, z: Column): Column = call_function("st_cover", wkb, z)
+  def cell_ring(cell: Column, r: Column): Column = call_function("cell_ring", cell, r)
+  def cell_disk(cell: Column, r: Column): Column = call_function("cell_disk", cell, r)
+  def cell_parent(cell: Column, z: Column): Column = call_function("cell_parent", cell, z)
+  def tile_x(lon: Column, z: Column): Column = call_function("tile_x", lon, z)
+  def tile_y(lat: Column, z: Column): Column = call_function("tile_y", lat, z)
+  def st_cell(lon: Column, lat: Column, z: Column): Column = call_function("st_cell", lon, lat, z)
+  def st_contains_point(wkb: Column, x: Column, y: Column): Column =
+    call_function("st_contains_point", wkb, x, y)
+  def st_intersects_point(wkb: Column, x: Column, y: Column): Column =
+    call_function("st_intersects_point", wkb, x, y)
+  def tile_quadkey(z: Column, x: Column, y: Column): Column = call_function("tile_quadkey", z, x, y)
+  def st_greatcircle(latA: Column, lonA: Column, latB: Column, lonB: Column): Column =
+    call_function("st_greatcircle", latA, lonA, latB, lonB)
+  def st_env_intersects_box(wkb: Column, minX: Column, minY: Column, maxX: Column, maxY: Column): Column =
+    call_function("st_env_intersects_box", wkb, minX, minY, maxX, maxY)
+  def st_clip_bbox(wkb: Column, minX: Column, minY: Column, maxX: Column, maxY: Column): Column =
+    call_function("st_clip_bbox", wkb, minX, minY, maxX, maxY)
+  def hilbert_code(x: Column, y: Column, minX: Column, minY: Column, maxX: Column, maxY: Column): Column =
+    call_function("hilbert_code", x, y, minX, minY, maxX, maxY)
+}

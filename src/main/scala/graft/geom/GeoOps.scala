@@ -234,6 +234,180 @@ object GeoOps {
     math.sqrt(best)
   }
 
+  // ------------------------------------------------------ geom-geom predicates
+
+  /** Envelope-intersects pretest — the reference's first phase of Intersects
+    * (/root/reference/ogr/ogrgeometry.cpp:575-589) and FilterGeometry
+    * (/root/reference/ogr/ogrsf_frmts/generic/ogrlayer.cpp:4004-4031). */
+  def envIntersects(a: Geom, b: Geom): Boolean = {
+    val ea = a.envelope; val eb = b.envelope
+    !ea.isEmpty && !eb.isEmpty && ea.intersects(eb)
+  }
+
+  /** Exact Intersects over the linear subset: envelope reject, then
+    * dimension-dispatched exact test (point membership, segment-segment
+    * crossing, containment). Reference: OGRGeometry::Intersects
+    * (/root/reference/ogr/ogrgeometry.cpp:575-614) — our exact test is native
+    * (no envelope≡intersect GEOS-less fallback). */
+  def intersects(a: Geom, b: Geom): Boolean = {
+    if (!envIntersects(a, b)) return false
+    (a, b) match {
+      case (p: Point, g) => intersectsPoint(g, p.x, p.y)
+      case (g, p: Point) => intersectsPoint(g, p.x, p.y)
+      case (m: MultiPoint, g) => m.points.exists(p => intersectsPoint(g, p.x, p.y))
+      case (g, m: MultiPoint) => m.points.exists(p => intersectsPoint(g, p.x, p.y))
+      case (c: GeometryCollection, g) => c.geoms.exists(intersects(_, g))
+      case (g, c: GeometryCollection) => c.geoms.exists(intersects(g, _))
+      case (m: MultiLineString, g) => m.lines.exists(intersects(_, g))
+      case (g, m: MultiLineString) => m.lines.exists(intersects(g, _))
+      case (m: MultiPolygon, g) => m.polys.exists(intersects(_, g))
+      case (g, m: MultiPolygon) => m.polys.exists(intersects(g, _))
+      case (l1: LineString, l2: LineString) => anySegIntersect(l1.coords, l2.coords)
+      case (l: LineString, p: Polygon) => lineIntersectsPolygon(l, p)
+      case (p: Polygon, l: LineString) => lineIntersectsPolygon(l, p)
+      case (p1: Polygon, p2: Polygon) => polygonIntersectsPolygon(p1, p2)
+      case _ => false
+    }
+  }
+
+  private def anySegIntersect(a: Array[Double], b: Array[Double]): Boolean = {
+    val na = a.length / 2; val nb = b.length / 2
+    var i = 1
+    while (i < na) {
+      var j = 1
+      while (j < nb) {
+        if (segsIntersect(a(2*(i-1)), a(2*(i-1)+1), a(2*i), a(2*i+1),
+                          b(2*(j-1)), b(2*(j-1)+1), b(2*j), b(2*j+1))) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  private def lineIntersectsPolygon(l: LineString, p: Polygon): Boolean = {
+    if (l.isEmpty || p.isEmpty) return false
+    if (p.rings.exists(r => anySegIntersect(l.coords, r))) return true
+    // fully inside (or fully inside a hole — then first vertex is not on surface)
+    polygonIntersectsPoint(p, l.coords(0), l.coords(1))
+  }
+
+  private def polygonIntersectsPolygon(a: Polygon, b: Polygon): Boolean = {
+    if (a.isEmpty || b.isEmpty) return false
+    if (a.rings.exists(ra => b.rings.exists(rb => anySegIntersect(ra, rb)))) return true
+    // one contains the other
+    polygonIntersectsPoint(a, b.rings(0)(0), b.rings(0)(1)) ||
+      polygonIntersectsPoint(b, a.rings(0)(0), a.rings(0)(1))
+  }
+
+  /** Contains over the linear subset (polygon containers only):
+    * every vertex of b on the surface of a, and no boundary crossing. */
+  def contains(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (_, p: Point) => containsPoint(a, p.x, p.y)
+    case (_, m: MultiPoint) => !m.isEmpty && m.points.forall(p => containsPoint(a, p.x, p.y))
+    case (pa: Polygon, l: LineString) =>
+      !l.isEmpty && allVerticesOnSurface(pa, l.coords) && !pa.rings.exists(r => segsCross(l.coords, r))
+    case (pa: Polygon, pb: Polygon) =>
+      !pb.isEmpty && pb.rings.forall(r => allVerticesOnSurface(pa, r)) &&
+        !pa.rings.exists(ra => pb.rings.exists(rb => segsCross(rb, ra)))
+    case (ma: MultiPolygon, g) => ma.polys.exists(contains(_, g))
+    case (pa: Polygon, mb: MultiPolygon) => mb.polys.forall(contains(pa, _))
+    case _ => false
+  }
+
+  private def allVerticesOnSurface(p: Polygon, cs: Array[Double]): Boolean = {
+    var i = 0
+    while (i < cs.length) {
+      if (!polygonIntersectsPoint(p, cs(i), cs(i + 1))) return false
+      i += 2
+    }
+    true
+  }
+
+  /** True if any segment of a PROPERLY crosses any segment of b (shared
+    * endpoints / touching don't count). Used by contains(). */
+  private def segsCross(a: Array[Double], b: Array[Double]): Boolean = {
+    def orient(ox: Double, oy: Double, px: Double, py: Double, qx: Double, qy: Double): Double =
+      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+    val na = a.length / 2; val nb = b.length / 2
+    var i = 1
+    while (i < na) {
+      var j = 1
+      while (j < nb) {
+        val o1 = orient(a(2*(i-1)), a(2*(i-1)+1), a(2*i), a(2*i+1), b(2*(j-1)), b(2*(j-1)+1))
+        val o2 = orient(a(2*(i-1)), a(2*(i-1)+1), a(2*i), a(2*i+1), b(2*j), b(2*j+1))
+        val o3 = orient(b(2*(j-1)), b(2*(j-1)+1), b(2*j), b(2*j+1), a(2*(i-1)), a(2*(i-1)+1))
+        val o4 = orient(b(2*(j-1)), b(2*(j-1)+1), b(2*j), b(2*j+1), a(2*i), a(2*i+1))
+        if (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+            ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  // ------------------------------------------------------ coordinate mapping
+
+  /** Apply f to every coordinate pair (the reference's in-place geometry
+    * transform shape, /root/reference/ogr/ogrgeometry.cpp:698-765). */
+  def mapCoords(g: Geom, f: (Double, Double) => (Double, Double)): Geom = {
+    def mapArr(cs: Array[Double]): Array[Double] = {
+      val out = new Array[Double](cs.length)
+      var i = 0
+      while (i < cs.length) {
+        val (x, y) = f(cs(i), cs(i + 1))
+        out(i) = x; out(i + 1) = y
+        i += 2
+      }
+      out
+    }
+    g match {
+      case p: Point => if (p.isEmpty) p else { val (x, y) = f(p.x, p.y); Point(x, y) }
+      case m: MultiPoint => MultiPoint(m.points.map(p => mapCoords(p, f).asInstanceOf[Point]))
+      case l: LineString => LineString(mapArr(l.coords))
+      case m: MultiLineString => MultiLineString(m.lines.map(l => LineString(mapArr(l.coords))))
+      case p: Polygon => Polygon(p.rings.map(mapArr))
+      case m: MultiPolygon => MultiPolygon(m.polys.map(p => mapCoords(p, f).asInstanceOf[Polygon]))
+      case c: GeometryCollection => GeometryCollection(c.geoms.map(mapCoords(_, f)))
+    }
+  }
+
+  /** WGS84 lon/lat → EPSG:3857. Reference: the warp transform chain
+    * (/root/reference/alg/gdaltransformer.cpp:1345) restricted to the
+    * 4326↔3857 pair (full PROJ out of scope, SURVEY.md §2.D). */
+  def to3857(g: Geom): Geom = mapCoords(g, (x, y) => (Mercator.lonToX(x), Mercator.latToY(y)))
+  def to4326(g: Geom): Geom = mapCoords(g, (x, y) => (Mercator.xToLon(x), Mercator.yToLat(y)))
+
+  def swapXY(g: Geom): Geom = mapCoords(g, (x, y) => (y, x))
+
+  /** Split multi-geometries into parts (explode-collections,
+    * /root/reference/apps/gdalalg_vector_explode.h:29). */
+  def dump(g: Geom): Array[Geom] = g match {
+    case m: MultiPoint => m.points.toArray[Geom]
+    case m: MultiLineString => m.lines.toArray[Geom]
+    case m: MultiPolygon => m.polys.toArray[Geom]
+    case c: GeometryCollection => c.geoms.flatMap(dump)
+    case single => Array(single)
+  }
+
+  /** Basic validity: rings closed, >= 4 points, finite coords. Reference
+    * surface: OGRGeometry::IsValid (/root/reference/ogr/ogrgeometry.cpp:2284);
+    * v1 checks structural validity (self-intersection check is v2). */
+  def isValid(g: Geom): Boolean = g match {
+    case p: Point => !p.isEmpty && java.lang.Double.isFinite(p.x) && java.lang.Double.isFinite(p.y)
+    case m: MultiPoint => m.points.forall(isValid)
+    case l: LineString => l.numPoints >= 2 && l.coords.forall(java.lang.Double.isFinite)
+    case m: MultiLineString => m.lines.forall(isValid)
+    case p: Polygon =>
+      p.rings.nonEmpty && p.rings.forall { r =>
+        r.length >= 8 && r(0) == r(r.length - 2) && r(1) == r(r.length - 1) &&
+          r.forall(java.lang.Double.isFinite)
+      }
+    case m: MultiPolygon => m.polys.nonEmpty && m.polys.forall(isValid)
+    case c: GeometryCollection => c.geoms.forall(isValid)
+  }
+
   private final val Deg2Rad = math.Pi / 180.0
 
   /** Great-circle distance, spherical law of cosines with clamped acos —
