@@ -1,0 +1,175 @@
+package graft
+
+/** Shared constants + dual-dialect SQL snippet generators for the
+  * correctness gate. Every snippet here is emitted BOTH into the Spark
+  * query (via expr(...)) and into the DuckDB oracle SQL, built from the
+  * same Scala double constants rendered with shortest-round-trip
+  * toString — so both engines parse the identical IEEE-754 double and
+  * all +,-,*,/ and floor/ceil arithmetic matches bit-for-bit.
+  *
+  * Transcendentals (ln/tan/sin/cos/acos) may differ by <=1 ulp between
+  * the JVM and DuckDB's libm; they only ever feed floor()/rank
+  * decisions where a flip requires the value to land within 1 ulp of a
+  * boundary — measure-zero for golden-ratio-generated inputs.
+  */
+object QueryFixtures {
+
+  /** Shortest round-trip literal: parses to the identical double in the
+    * JVM, DuckDB and Spark SQL. */
+  def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E")) new java.math.BigDecimal(d).toPlainString else s
+  }
+
+  // ---- shared numeric constants (emitted as literals into both dialects)
+  val PHI: Double = 1.618033988749895
+  val PHI2: Double = PHI * PHI
+  val PI: Double = math.Pi
+  val D2R: Double = math.Pi / 180.0
+  val ORIGIN_SHIFT: Double = 2.0 * math.Pi * 6378137.0 / 2.0
+  val INITIAL_RES: Double = 2.0 * math.Pi * 6378137.0 / 256.0
+  val EARTH_R: Double = 6378137.0
+
+  val phi = dlit(PHI); val phi2 = dlit(PHI2)
+  val pi = dlit(PI); val d2r = dlit(D2R)
+  val os = dlit(ORIGIN_SHIFT); val ir = dlit(INITIAL_RES)
+  val earthR = dlit(EARTH_R)
+
+  // ---- deterministic point cloud derived from an integer id column
+  // (FIXTURES.md §1 golden-ratio generator; identical in GeoDocs.lonOf/latOf)
+  def fract(x: String): String = s"(($x) - floor($x))"
+  def lonOf(id: String): String =
+    s"(-180.0 + 360.0 * ${fract(s"CAST($id AS DOUBLE) * $phi")})"
+  def latOf(id: String): String =
+    s"(-85.0 + 170.0 * ${fract(s"CAST($id AS DOUBLE) * $phi2")})"
+  /** Second independent cloud (queries for kNN). */
+  def lonOfQ(id: String): String =
+    s"(-180.0 + 360.0 * ${fract(s"CAST($id AS DOUBLE) * $phi + 0.5")})"
+  def latOfQ(id: String): String =
+    s"(-85.0 + 170.0 * ${fract(s"CAST($id AS DOUBLE) * $phi2 + 0.25")})"
+
+  // ---- WebMercator tile math (gdal2tiles.py:418-466 semantics), shared SQL.
+  // Matches graft.geom.Mercator exactly (same literals, same op order).
+  def mercX(lon: String): String = s"((($lon) * $os) / 180.0)"
+  def mercY(lat: String): String =
+    s"((((ln(tan(((90.0 + ($lat)) * $pi) / 360.0))) / ($pi / 180.0)) * $os) / 180.0)"
+  def resAt(z: Int): String = dlit(INITIAL_RES / (1L << z).toDouble)
+  /** TMS tile index of a pixel coordinate: ceil(p/256)-1. */
+  private def tmsTile(px: String): String =
+    s"(CAST(ceil(($px) / 256.0) AS BIGINT) - 1)"
+  private def clamp(v: String, z: Int): String =
+    s"least(greatest($v, 0), ${(1L << z) - 1})"
+  /** XYZ tile x of a lon expression at fixed zoom z. */
+  def tileX(lon: String, z: Int): String =
+    clamp(tmsTile(s"((${mercX(lon)} + $os) / ${resAt(z)})"), z)
+  /** XYZ tile y of a lat expression at fixed zoom z (TMS flip). */
+  def tileY(lat: String, z: Int): String =
+    s"(${(1L << z) - 1} - ${clamp(tmsTile(s"((${mercY(lat)} + $os) / ${resAt(z)})"), z)})"
+
+  // ---- great-circle distance (ogr/ogr_geo_utils.cpp:33-46 semantics),
+  // matches graft.geom.GeoOps.greatCircle term order exactly.
+  def greatCircle(latA: String, lonA: String, latB: String, lonB: String): String = {
+    val cosP = s"cos(((($lonB) - ($lonA))) * $d2r)"
+    val la = s"(($latA) * $d2r)"
+    val lb = s"(($latB) * $d2r)"
+    val cosAngle = s"(sin($la) * sin($lb) + cos($la) * cos($lb) * $cosP)"
+    s"(acos(least(greatest($cosAngle, -1.0), 1.0)) * $earthR)"
+  }
+
+  // ---- fixture polygons for the PIP join ------------------------------
+  /** (poly_id, exterior ring, holes). Rings are closed (first==last).
+    * Chosen to span hemispheres, include a concave shape and a hole. */
+  val polygons: Seq[(String, Array[(Double, Double)], Seq[Array[(Double, Double)]])] = Seq(
+    ("box_europe", ring((-10, 35), (30, 35), (30, 60), (-10, 60)), Nil),
+    ("box_na", ring((-125, 25), (-70, 25), (-70, 50), (-125, 50)), Nil),
+    ("tri_southam", ring((-80, -40), (-40, -40), (-60, 5)), Nil),
+    ("concave_asia", ring((60, 10), (140, 10), (140, 55), (100, 55), (100, 30), (60, 30)), Nil),
+    ("hole_africa", ring((-15, -30), (45, -30), (45, 30), (-15, 30)),
+      Seq(ring((5, -10), (25, -10), (25, 10), (5, 10)))),
+    ("band_oceania", ring((110, -45), (155, -45), (180, -20), (110, -20)), Nil),
+    ("tiny_paris", ring((2.0, 48.5), (2.8, 48.5), (2.8, 49.1), (2.0, 49.1)), Nil),
+    ("south_polarish", ring((-170, -84), (170, -84), (170, -60), (-170, -60)), Nil)
+  )
+
+  private def ring[A: Numeric, B: Numeric](pts: (A, B)*): Array[(Double, Double)] = {
+    val na = implicitly[Numeric[A]]; val nb = implicitly[Numeric[B]]
+    val arr = pts.map { case (x, y) => (na.toDouble(x), nb.toDouble(y)) }.toArray
+    arr :+ arr.head
+  }
+
+  def polygonWkt(ext: Array[(Double, Double)], holes: Seq[Array[(Double, Double)]]): String = {
+    def r(cs: Array[(Double, Double)]) =
+      cs.map { case (x, y) => s"${dlit(x)} ${dlit(y)}" }.mkString("(", ",", ")")
+    (Seq(r(ext)) ++ holes.map(r)).mkString("POLYGON (", ",", ")")
+  }
+
+  /** Ray-crossing inside test as a SQL boolean over (px, py) expressions —
+    * the exact rule of OGRLinearRing::isPointInRing
+    * (/root/reference/ogr/ogrlinearring.cpp:452-521): count edges whose
+    * translated endpoints straddle y=0 and whose +x-ray crossing is at
+    * x>0; odd count = inside. Boundary points follow the ray rule
+    * (reference Contains fast path, ogrpolygon.cpp:770-800). */
+  def insideRingSql(ringPts: Array[(Double, Double)], px: String, py: String): String = {
+    val terms = (1 until ringPts.length).map { i =>
+      val (xa, ya) = ringPts(i - 1) // prev (x2,y2)
+      val (xb, yb) = ringPts(i)     // cur  (x1,y1)
+      val x1 = s"(${dlit(xb)} - ($px))"; val y1 = s"(${dlit(yb)} - ($py))"
+      val x2 = s"(${dlit(xa)} - ($px))"; val y2 = s"(${dlit(ya)} - ($py))"
+      s"(CASE WHEN (($y1 > 0 AND $y2 <= 0) OR ($y2 > 0 AND $y1 <= 0))" +
+        s" AND (($x1 * $y2 - $x2 * $y1) / ($y2 - $y1)) > 0.0 THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
+  def insidePolySql(polyId: String, px: String, py: String): String = {
+    val (_, ext, holes) = polygons.find(_._1 == polyId).get
+    val extIn = insideRingSql(ext, px, py)
+    val holeOut = holes.map(h => s"NOT ${insideRingSql(h, px, py)}")
+    (extIn +: holeOut).mkString("(", " AND ", ")")
+  }
+
+  // ---- text hashing (trigram codes; ASCII corpus) ----------------------
+  /** Trigram integer code list of a text column: codes fit in 24 bits.
+    * dialect: spark `transform/aggregate/ascii`, duckdb `list_transform/
+    * list_sum/unicode`. Requires length(text) >= 3 (filter first). */
+  def trigramCodes(c: String, duck: Boolean): String = {
+    val xf = if (duck) "list_transform" else "transform"
+    val seq = if (duck) s"generate_series(1, length($c) - 2)"
+              else s"sequence(1, length($c) - 2)"
+    val cp = if (duck) "unicode" else "ascii"
+    s"$xf($seq, i -> ($cp(substr($c, i, 1)) * 65536 + $cp(substr($c, i + 1, 1)) * 256 + $cp(substr($c, i + 2, 1))))"
+  }
+
+  /** MinHash parameters (fixed, shared): h_j(x) = (a_j * x + b_j) % P. */
+  val MinhashP = 1000000007L
+  val minhashA: Array[Long] = Array(387420489L, 517578125L, 282475249L, 131072003L,
+    823543019L, 594823321L, 362797057L, 148035889L)
+  val minhashB: Array[Long] = Array(12289L, 24593L, 49157L, 98317L, 196613L, 393241L, 786433L, 1572869L)
+
+  /** MinHash j over a precomputed codes-array column. */
+  def minhashSql(codes: String, j: Int, duck: Boolean): String = {
+    val mn = if (duck) "list_min" else "array_min"
+    val xf = if (duck) "list_transform" else "transform"
+    s"$mn($xf($codes, x -> (CAST(${minhashA(j)} AS BIGINT) * x + ${minhashB(j)}) % $MinhashP))"
+  }
+
+  /** SimHash over a precomputed codes-array column: h(x)=(A*x+B)%P; bit k
+    * set iff sum over codes of (2*((h div 2^k)%2)-1) is positive. Uses
+    * integer division instead of `>>` (Spark SQL has no shift operator). */
+  val SimA = 961748927L; val SimB = 179424673L
+  def simhashSql(codes: String, bits: Int, duck: Boolean): String = {
+    val xf = if (duck) "list_transform" else "transform"
+    val h = s"((CAST($SimA AS BIGINT) * x + $SimB) % $MinhashP)"
+    val terms = (0 until bits).map { k =>
+      val shifted =
+        if (duck) s"CAST(floor($h / ${1L << k}.0) AS BIGINT)"
+        else s"CAST(floor($h / ${1L << k}.0) AS BIGINT)"
+      val contrib = s"(2 * ($shifted % 2) - 1)"
+      val inner =
+        if (duck) s"list_sum($xf($codes, x -> $contrib))"
+        else s"aggregate($xf($codes, x -> $contrib), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+      s"(CASE WHEN $inner > 0 THEN ${1L << k} ELSE 0 END)"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+}
