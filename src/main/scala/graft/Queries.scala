@@ -207,7 +207,8 @@ object Queries {
       val orders = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_partkey"))
-      OgrCompat.firstMatchJoin(orders, li, Seq("o_orderkey"), col("l_linenumber"))
+      OgrCompat.firstMatchJoin(orders, li, Seq("o_orderkey"),
+          col("l_linenumber"), col("l_partkey"))
         .select(col("o_orderkey"),
           col("l_linenumber").cast("long").as("first_line"),
           col("l_partkey").as("first_part"),
@@ -218,7 +219,7 @@ object Queries {
              l_partkey AS first_part, ${cents("o_totalprice")} AS price_cents
       FROM orders LEFT JOIN (
         SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
-        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) = 1
+        QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) = 1
       ) ON o_orderkey = l_orderkey
       ORDER BY o_orderkey""")),
 
@@ -386,9 +387,403 @@ object Queries {
       FROM documents ORDER BY doc_id"""))
   )
 
+  // =====================================================================
+  // Tranche 2: cover joins, kNN, geometry measures, span docs, text
+  // pipeline (lang-id, minhash, LSH, simhash, jaccard), embeddings ANN,
+  // raster checksums
+  // =====================================================================
+
+  /** Per-doc minhash signature frame shared by d04/d05. */
+  private def minhashDf(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").where(expr("length(text) >= 3"))
+      .withColumn("codes", expr(trigramCodes("text", duck = false)))
+    (0 until 8).foldLeft(base) { (df, j) =>
+      df.withColumn(s"h$j", expr(minhashSql("codes", j, duck = false)))
+    }.drop("codes")
+  }
+
+  private def minhashCte: String = {
+    val hs = (0 until 8).map(j => s"${minhashSql("codes", j, duck = true)} AS h$j").mkString(", ")
+    s"""sig AS (SELECT doc_id, $hs FROM
+         (SELECT doc_id, ${trigramCodes("text", duck = true)} AS codes
+          FROM documents WHERE length(text) >= 3))"""
+  }
+
+  /** Sequential-fold dot product (identical order in both engines). */
+  private def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def sparkNorm(a: String): String =
+    s"sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+  private def duckNorm(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  /** Random-hyperplane LSH bucket of an embedding: bit k = sign of the dot
+    * with a deterministic golden-ratio hyperplane w_k[i]=fract((k*64+i)*φ)-0.5. */
+  private def planeBit(emb: String, k: Int, duck: Boolean): String = {
+    val xf = if (duck) "list_transform" else "transform"
+    val seq = if (duck) s"generate_series(1, len($emb))" else s"sequence(1, size($emb))"
+    val elem = if (duck) s"$emb[i]" else s"element_at($emb, i)"
+    val w = s"((CAST($k * 64 + i AS DOUBLE) * $phi) - floor(CAST($k * 64 + i AS DOUBLE) * $phi) - 0.5)"
+    val prods = s"$xf($seq, i -> CAST($elem AS DOUBLE) * $w)"
+    val sum = if (duck) s"list_sum($prods)"
+              else s"aggregate($prods, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"(CASE WHEN $sum > 0.0 THEN ${1 << k} ELSE 0 END)"
+  }
+  private def planeBucket(emb: String, bits: Int, duck: Boolean): String =
+    (0 until bits).map(k => planeBit(emb, k, duck)).mkString("(", " + ", ")")
+
+  val defs2: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // -- cell-cover candidate join: st_cover(box) vs st_cell(point) at z=5
+    // (exactness of GetTileIndices cover math is the thing under test)
+    ("g05_cover_join", (s, dir) => {
+      val pts = eventPoints(s, dir)
+        .withColumn("cell", gf.st_cell(col("lon"), col("lat"), lit(5)))
+      val wktExpr = "concat('POLYGON ((', CAST(clon - 2.0 AS STRING), ' ', CAST(clat - 2.0 AS STRING), ',', " +
+        "CAST(clon + 2.0 AS STRING), ' ', CAST(clat - 2.0 AS STRING), ',', " +
+        "CAST(clon + 2.0 AS STRING), ' ', CAST(clat + 2.0 AS STRING), ',', " +
+        "CAST(clon - 2.0 AS STRING), ' ', CAST(clat + 2.0 AS STRING), ',', " +
+        "CAST(clon - 2.0 AS STRING), ' ', CAST(clat - 2.0 AS STRING), '))')"
+      val boxes = t(s, dir, "orders").where(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"),
+          expr(lonOfQ("o_orderkey")).as("clon"), expr(latOfQ("o_orderkey")).as("clat"))
+        .withColumn("wkb", gf.st_geomfromtext(expr(wktExpr)))
+        .withColumn("cell", explode(gf.st_cover(col("wkb"), lit(5))))
+      broadcast(boxes).join(pts, "cell")
+        .select("o_orderkey", "event_id").orderBy("o_orderkey", "event_id")
+    }, Some {
+      val (minx, miny, maxx, maxy) =
+        tileRangeSql("clon - 2.0", "clat - 2.0", "clon + 2.0", "clat + 2.0", 5)
+      s"""WITH pts AS (SELECT event_id, ${tileX(lonOf("event_id"), 5)} AS cx,
+            ${tileY(latOf("event_id"), 5)} AS cy FROM events),
+          boxes AS (SELECT o_orderkey, ${lonOfQ("o_orderkey")} AS clon,
+            ${latOfQ("o_orderkey")} AS clat FROM orders WHERE o_orderkey <= 300),
+          rng AS (SELECT o_orderkey, $minx AS mintx, $miny AS minty,
+            $maxx AS maxtx, $maxy AS maxty FROM boxes)
+          SELECT o_orderkey, event_id FROM rng JOIN pts
+          ON cx BETWEEN mintx AND maxtx AND cy BETWEEN minty AND maxty
+          ORDER BY o_orderkey, event_id"""
+    }),
+
+    // -- kNN via cell-ring expansion + great-circle refinement (SURVEY §2.H)
+    ("g06_knn", (s, dir) => {
+      val q = t(s, dir, "customer").where(col("c_custkey") <= 60)
+        .select(col("c_custkey").as("qid"),
+          expr(lonOfQ("c_custkey")).as("lon"), expr(latOfQ("c_custkey")).as("lat"))
+      val p = eventPoints(s, dir).select(col("event_id").as("pid"),
+        col("lon").as("plon"), col("lat").as("plat"))
+      Knn.knnJoin(q, p, k = 3, z = 6)
+        .select(col("qid"), col("pid"), col("rank").cast("long").as("rank"))
+        .orderBy("qid", "rank")
+    }, Some(s"""
+      WITH q AS (SELECT c_custkey AS qid, ${lonOfQ("c_custkey")} AS qlon,
+                 ${latOfQ("c_custkey")} AS qlat FROM customer WHERE c_custkey <= 60),
+      p AS (SELECT event_id AS pid, ${lonOf("event_id")} AS plon,
+            ${latOf("event_id")} AS plat FROM events),
+      d AS (SELECT qid, pid, row_number() OVER (PARTITION BY qid
+              ORDER BY ${greatCircle("qlat", "qlon", "plat", "plon")}, pid) AS rank
+            FROM q CROSS JOIN p)
+      SELECT qid, pid, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 3
+      ORDER BY qid, rank""")),
+
+    // -- geometry measures: WKT parse → shoelace area, centroid, perimeter
+    ("g07_geom_measures", (s, dir) => {
+      prep(s)
+      val base = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("x0", expr(lonOf("doc_id")))
+        .withColumn("latc", expr(s"greatest(-84.9, least(84.9, ${latOf("doc_id")}))"))
+        .withColumn("y0", expr("latc - 0.05")).withColumn("y1", expr("latc + 0.05"))
+        .withColumn("x1", expr("x0 + 0.1"))
+        .withColumn("xm", expr("x0 + 0.05")).withColumn("ya", expr("y0 + 0.08"))
+      def pt(x: String, y: String) = s"CAST($x AS STRING), ' ', CAST($y AS STRING)"
+      val rectWkt = s"concat('POLYGON ((', ${pt("x0", "y0")}, ',', ${pt("x1", "y0")}, ',', " +
+        s"${pt("x1", "y1")}, ',', ${pt("x0", "y1")}, ',', ${pt("x0", "y0")}, '))')"
+      val triWkt = s"concat('POLYGON ((', ${pt("x0", "y0")}, ',', ${pt("x1", "y0")}, ',', " +
+        s"${pt("xm", "ya")}, ',', ${pt("x0", "y0")}, '))')"
+      base.withColumn("wkb",
+          gf.st_geomfromtext(expr(s"CASE WHEN doc_id % 2 = 1 THEN $triWkt ELSE $rectWkt END")))
+        .select(col("doc_id"),
+          gf.st_area(col("wkb")).as("area"),
+          gf.st_x(gf.st_centroid(col("wkb"))).as("cx"),
+          gf.st_y(gf.st_centroid(col("wkb"))).as("cy"),
+          expr("CAST(floor(st_length(wkb) * 1000000.0 + 0.5) AS BIGINT)").as("perim_u"))
+        .orderBy("doc_id")
+    }, Some {
+      val rect = Seq(("x0", "y0"), ("x1", "y0"), ("x1", "y1"), ("x0", "y1"), ("x0", "y0"))
+      val tri = Seq(("x0", "y0"), ("x1", "y0"), ("xm", "ya"), ("x0", "y0"))
+      val (rcx, rcy) = centroidSql(rect, signedAreaSql(rect))
+      val (tcx, tcy) = centroidSql(tri, signedAreaSql(tri))
+      s"""WITH c1 AS (SELECT doc_id, ${lonOf("doc_id")} AS x0,
+            greatest(-84.9, least(84.9, ${latOf("doc_id")})) AS latc FROM documents),
+          c2 AS (SELECT doc_id, x0, latc - 0.05 AS y0, latc + 0.05 AS y1,
+            x0 + 0.1 AS x1, x0 + 0.05 AS xm, latc - 0.05 + 0.08 AS ya FROM c1)
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 1 THEN abs(${signedAreaSql(tri)})
+                 ELSE abs(${signedAreaSql(rect)}) END AS area,
+            CASE WHEN doc_id % 2 = 1 THEN $tcx ELSE $rcx END AS cx,
+            CASE WHEN doc_id % 2 = 1 THEN $tcy ELSE $rcy END AS cy,
+            CAST(floor((CASE WHEN doc_id % 2 = 1 THEN ${perimeterSql(tri)}
+                 ELSE ${perimeterSql(rect)} END) * 1000000.0 + 0.5) AS BIGINT) AS perim_u
+          FROM c2 ORDER BY doc_id"""
+    }),
+
+    // -- interleaved-doc span parsing + span-sequence passthrough invariant
+    // (north rule: (kind, text, media_ref, order) preserved byte-identically)
+    ("g08_span_docs", (s, dir) => {
+      prep(s)
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val docs = ids.map(i => engine.GeoDocs.docOf(i, skew = false)).toDF()
+      engine.GeoDocs.withGeometry(docs)
+        .select(col("doc_id"),
+          expr("array_join(transform(spans, sp -> concat(sp.kind, '|', sp.text, '|', sp.media_ref, '|', CAST(sp.offset AS STRING))), ';')").as("fp"),
+          expr("CAST(size(spans) AS BIGINT)").as("n_spans"),
+          gf.st_geometrytype(col("wkb")).as("gtype"),
+          col("lon"), col("lat"))
+        .withColumn("glon_u", when(col("gtype") === "POINT",
+          expr("CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)")))
+        .withColumn("glat_u", when(col("gtype") === "POINT",
+          expr("CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)")))
+        .drop("lon", "lat")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH base AS (SELECT doc_id AS i, 1 + (doc_id % 5) AS nspans,
+          CASE WHEN ((1 - (doc_id % 3)) % 3 + 3) % 3 < 1 + (doc_id % 5)
+               THEN ((1 - (doc_id % 3)) % 3 + 3) % 3 ELSE 0 END AS geoidx,
+          ${lonOf("doc_id")} AS lon, ${latOf("doc_id")} AS lat FROM documents),
+      w AS (SELECT *, greatest(-84.9, least(84.9, lat)) AS lat0 FROM base),
+      wk AS (SELECT *, CASE WHEN i % 10 = 0 THEN
+          'POLYGON ((' || printf('%.9f', lon) || ' ' || printf('%.9f', lat0 - 0.05) || ',' ||
+          printf('%.9f', lon + 0.05) || ' ' || printf('%.9f', lat0 - 0.05) || ',' ||
+          printf('%.9f', lon + 0.05) || ' ' || printf('%.9f', lat0 + 0.05) || ',' ||
+          printf('%.9f', lon) || ' ' || printf('%.9f', lat0 + 0.05) || ',' ||
+          printf('%.9f', lon) || ' ' || printf('%.9f', lat0 - 0.05) || '))'
+        ELSE 'POINT (' || printf('%.9f', lon) || ' ' || printf('%.9f', lat) || ')' END AS gtext
+        FROM w),
+      sp AS (SELECT i, nspans, gtext, lon, lat,
+          list_transform(generate_series(0, CAST(nspans AS INT) - 1), j ->
+            CASE WHEN j = geoidx THEN 'geo|' || gtext || '||' || CAST(j AS VARCHAR)
+                 WHEN (i + j) % 3 = 2 THEN 'media||media://' ||
+                   printf('%08x', (i * 2654435761 + j) & 4294967295) || '|' || CAST(j AS VARCHAR)
+                 ELSE 'text|text doc ' || CAST(i AS VARCHAR) || ' span ' || CAST(j AS VARCHAR)
+                   || '||' || CAST(j AS VARCHAR) END) AS sl
+        FROM wk)
+      SELECT printf('doc_%09d', i) AS doc_id, array_to_string(sl, ';') AS fp,
+        CAST(nspans AS BIGINT) AS n_spans,
+        CASE WHEN i % 10 = 0 THEN 'POLYGON' ELSE 'POINT' END AS gtype,
+        CASE WHEN i % 10 = 0 THEN NULL
+             ELSE CAST(floor(round(lon, 9) * 1000000.0 + 0.5) AS BIGINT) END AS glon_u,
+        CASE WHEN i % 10 = 0 THEN NULL
+             ELSE CAST(floor(round(lat, 9) * 1000000.0 + 0.5) AS BIGINT) END AS glat_u
+      FROM sp ORDER BY doc_id""")),
+
+    // -- language-ID heuristic + quality scoring (stopword/punct ratios)
+    ("d03_lang_quality", (s, dir) => {
+      def cnt(p: String) =
+        s"CAST(floor((length(text) - length(replace(text, '$p', ''))) / ${p.length}.0) AS BIGINT)"
+      val scores = Seq(
+        "en_score" -> s"(${cnt(" the ")} + ${cnt(" and ")})",
+        "de_score" -> s"(${cnt(" der ")} + ${cnt(" und ")})",
+        "es_score" -> s"(${cnt(" el ")} + ${cnt(" la ")})",
+        "fr_score" -> s"(${cnt(" le ")} + ${cnt(" et ")})")
+      val base = scores.foldLeft(t(s, dir, "documents")) { case (df, (n, e)) =>
+        df.withColumn(n, expr(e))
+      }
+      base.withColumn("pred", expr(
+          """CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+                  WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+                  WHEN es_score >= fr_score THEN 'es' ELSE 'fr' END"""))
+        .withColumn("n_tokens", expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"))
+        .withColumn("quality_x1000", expr(
+          "CAST(floor(1000.0 * (en_score + de_score + es_score + fr_score) / n_tokens) AS BIGINT)"))
+        .withColumn("lang_match", expr("CAST(pred = lang AS BIGINT)"))
+        .select("doc_id", "en_score", "de_score", "es_score", "fr_score",
+          "pred", "quality_x1000", "lang_match")
+        .orderBy("doc_id")
+    }, Some {
+      def cnt(p: String) =
+        s"CAST(floor((length(text) - length(replace(text, '$p', ''))) / ${p.length}.0) AS BIGINT)"
+      s"""WITH sc AS (SELECT doc_id, lang,
+            (${cnt(" the ")} + ${cnt(" and ")}) AS en_score,
+            (${cnt(" der ")} + ${cnt(" und ")}) AS de_score,
+            (${cnt(" el ")} + ${cnt(" la ")}) AS es_score,
+            (${cnt(" le ")} + ${cnt(" et ")}) AS fr_score,
+            CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+          FROM documents),
+          p AS (SELECT *, CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+                  WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+                  WHEN es_score >= fr_score THEN 'es' ELSE 'fr' END AS pred FROM sc)
+          SELECT doc_id, en_score, de_score, es_score, fr_score, pred,
+            CAST(floor(1000.0 * (en_score + de_score + es_score + fr_score) / n_tokens) AS BIGINT) AS quality_x1000,
+            CAST(pred = lang AS BIGINT) AS lang_match
+          FROM p ORDER BY doc_id"""
+    }),
+
+    // -- MinHash signatures (8 hashes over char trigrams)
+    ("d04_minhash_sig", (s, dir) => {
+      minhashDf(s, dir)
+        .select(col("doc_id") +: (0 until 8).map(j => col(s"h$j")): _*)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $minhashCte
+      SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig ORDER BY doc_id""")),
+
+    // -- LSH near-duplicate candidate pairs (2 bands × 4 rows: a pair is a
+    // candidate iff one band of 4 minhashes agrees entirely — targets
+    // high-jaccard near-dups, keeps bucket fan-out bounded at scale)
+    ("d05_lsh_pairs", (s, dir) => {
+      val sig = minhashDf(s, dir)
+      val bands = sig.select(col("doc_id"), explode(array((0 until 2).map { b =>
+          struct(lit(b).as("band"), col(s"h${4 * b}").as("x1"), col(s"h${4 * b + 1}").as("x2"),
+            col(s"h${4 * b + 2}").as("x3"), col(s"h${4 * b + 3}").as("x4"))
+        }: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.x1").as("x1"),
+          col("bs.x2").as("x2"), col("bs.x3").as("x3"), col("bs.x4").as("x4"))
+      bands.as("l").join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.x1") === col("r.x1") &&
+            col("l.x2") === col("r.x2") && col("l.x3") === col("r.x3") &&
+            col("l.x4") === col("r.x4") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        .distinct().orderBy("a", "b")
+    }, Some {
+      val bandArms = (0 until 2).map { b =>
+        s"SELECT doc_id, $b AS band, h${4 * b} AS x1, h${4 * b + 1} AS x2, h${4 * b + 2} AS x3, h${4 * b + 3} AS x4 FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $minhashCte, bands AS ($bandArms)
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bands l JOIN bands r ON l.band = r.band AND l.x1 = r.x1 AND l.x2 = r.x2
+            AND l.x3 = r.x3 AND l.x4 = r.x4 AND l.doc_id < r.doc_id
+          ORDER BY a, b"""
+    }),
+
+    // -- SimHash document fingerprint (16 bits over trigram hashes)
+    ("d06_simhash", (s, dir) => {
+      t(s, dir, "documents").where(expr("length(text) >= 3"))
+        .withColumn("codes", expr(trigramCodes("text", duck = false)))
+        .select(col("doc_id"), expr(simhashSql("codes", 16, duck = false)).as("simhash"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH c AS (SELECT doc_id, ${trigramCodes("text", duck = true)} AS codes
+                 FROM documents WHERE length(text) >= 3)
+      SELECT doc_id, ${simhashSql("codes", 16, duck = true)} AS simhash
+      FROM c ORDER BY doc_id""")),
+
+    // -- n-gram Jaccard similarity pairs within (lang, source) groups
+    ("d07_jaccard_pairs", (s, dir) => {
+      val d = t(s, dir, "documents")
+        .where(expr("doc_id % 7 = 0 AND length(text) >= 3"))
+        .withColumn("cd", array_distinct(expr(trigramCodes("text", duck = false))))
+        .select("doc_id", "lang", "source", "cd")
+      d.as("l").join(d.as("r"),
+          col("l.lang") === col("r.lang") && col("l.source") === col("r.source") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          expr("CAST(floor(1000.0 * size(array_intersect(l.cd, r.cd)) / (size(l.cd) + size(r.cd) - size(array_intersect(l.cd, r.cd)))) AS BIGINT)").as("jac_x1000"))
+        .orderBy("a", "b")
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, lang, source,
+          list_distinct(${trigramCodes("text", duck = true)}) AS cd
+        FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 3),
+      p AS (SELECT l.doc_id AS a, r.doc_id AS b,
+          len(list_filter(l.cd, x -> list_contains(r.cd, x))) AS inter,
+          len(l.cd) + len(r.cd) AS tot
+        FROM d l JOIN d r ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id)
+      SELECT a, b, CAST(floor(1000.0 * inter / (tot - inter)) AS BIGINT) AS jac_x1000
+      FROM p ORDER BY a, b""")),
+
+    // -- brute-force cosine top-k similarity search (ANN baseline)
+    ("e01_cosine_topk", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("norm", expr(sparkNorm("embedding")))
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("norm").as("qn"))
+      val p = e.select(col("vec_id").as("pid"), col("embedding").as("pe"), col("norm").as("pn"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
+      q.crossJoin(p).where(col("qid") =!= col("pid"))
+        .withColumn("cos", expr(sparkDot("qe", "pe")) / (col("qn") * col("pn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("pid"), col("rank"),
+          expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").as("cos_u"))
+        .orderBy("qid", "rank")
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+      c AS (SELECT q.vec_id AS qid, p.vec_id AS pid,
+          ${duckDot("q.embedding", "p.embedding")} / (q.norm * p.norm) AS cos
+        FROM e q CROSS JOIN e p WHERE q.vec_id < 20 AND q.vec_id <> p.vec_id),
+      r AS (SELECT qid, pid, cos, CAST(row_number() OVER
+          (PARTITION BY qid ORDER BY cos DESC, pid) AS BIGINT) AS rank FROM c)
+      SELECT qid, pid, rank, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+      FROM r WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // -- embedding near-dup at scale: random-hyperplane LSH buckets, then
+    // exact cosine refine within (label, bucket)
+    ("e02_embed_neardup", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("norm", expr(sparkNorm("embedding")))
+        .withColumn("bucket", expr(planeBucket("embedding", 8, duck = false)))
+      e.as("l").join(e.as("r"),
+          col("l.label") === col("r.label") && col("l.bucket") === col("r.bucket") &&
+            col("l.vec_id") < col("r.vec_id"))
+        .withColumn("cos",
+          expr(sparkDot("l.embedding", "r.embedding")) / (col("l.norm") * col("r.norm")))
+        .where(col("cos") >= 0.25)
+        .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+          expr("CAST(floor(cos * 1000.0 + 0.5) AS BIGINT)").as("cos_x1000"))
+        .orderBy("a", "b")
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding, ${duckNorm("embedding")} AS norm,
+          ${planeBucket("embedding", 8, duck = true)} AS bucket FROM embeddings),
+      p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+          ${duckDot("l.embedding", "r.embedding")} / (l.norm * r.norm) AS cos
+        FROM e l JOIN e r ON l.label = r.label AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+      SELECT a, b, CAST(floor(cos * 1000.0 + 0.5) AS BIGINT) AS cos_x1000
+      FROM p WHERE cos >= 0.25 ORDER BY a, b""")),
+
+    // -- rasterize points at z5 + GDALChecksumImage oracle per tile
+    ("r01_rasterize_checksum", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      engine.Raster.rasterizePoints(eventPoints(s, dir), 5)
+        .map(ti => (ti.z.toLong, ti.x.toLong, ti.y.toLong,
+          engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong))
+        .toDF("z", "x", "y", "cks").orderBy("x", "y")
+    }, Some(rasterChecksumSql(shift = 0))),
+
+    // -- tile-pyramid reduce (sum kernel) z5→z3 + checksum per z3 tile
+    ("r02_pyramid_checksum", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = engine.Raster.rasterizePoints(eventPoints(s, dir), 5)
+      engine.Raster.pyramidUp(engine.Raster.pyramidUp(base, sum = true), sum = true)
+        .map(ti => (ti.z.toLong, ti.x.toLong, ti.y.toLong,
+          engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong))
+        .toDF("z", "x", "y", "cks").orderBy("x", "y")
+    }, Some(rasterChecksumSql(shift = 2)))
+  )
+
+  /** GDALChecksumImage oracle over the z5 point raster; shift>0 checksums
+    * the pyramid level z5-shift (pixel coords halve per level, value = sum
+    * of the 2^shift × 2^shift block = plain count regroup). */
+  private def rasterChecksumSql(shift: Int): String = {
+    val z = 5 - shift
+    s"""WITH pp AS (SELECT ((${mercX(lonOf("event_id"))}) + $os) / ${resAt(5)} AS pxd,
+          8192.0 - ((${mercY(latOf("event_id"))}) + $os) / ${resAt(5)} AS pyd FROM events),
+        pix AS (SELECT CAST(floor(pxd) AS BIGINT) >> $shift AS px,
+                       CAST(floor(pyd) AS BIGINT) >> $shift AS py FROM pp
+                WHERE pxd >= 0 AND pxd < 8192 AND pyd >= 0 AND pyd < 8192),
+        cells AS (SELECT px >> 8 AS tx, py >> 8 AS ty, px % 256 AS cx, py % 256 AS cy,
+                  count(*) AS n FROM pix GROUP BY 1, 2, 3, 4)
+        SELECT CAST($z AS BIGINT) AS z, tx AS x, ty AS y,
+          CAST(sum(n % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536 AS BIGINT) AS cks
+        FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    defs.map { case (n, f, _) => n -> f }.toMap
+    (defs ++ defs2).map { case (n, f, _) => n -> f }.toMap
 
   def oracleSql: Map[String, String] =
-    defs.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
+    (defs ++ defs2).collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

@@ -23,14 +23,18 @@ object QueryFixtures {
 
   // ---- shared numeric constants (emitted as literals into both dialects)
   val PHI: Double = 1.618033988749895
-  val PHI2: Double = PHI * PHI
+  /** Lat-axis multiplier — must be rationally independent of PHI (φ² is
+    * NOT: fract(i·φ²)=fract(i·φ) for integer i → degenerate diagonal). */
+  val SQRT2: Double = 1.4142135623730951
+  /** √3 for the second (query) cloud's lat axis. */
+  val SQRT3: Double = 1.7320508075688772
   val PI: Double = math.Pi
   val D2R: Double = math.Pi / 180.0
   val ORIGIN_SHIFT: Double = 2.0 * math.Pi * 6378137.0 / 2.0
   val INITIAL_RES: Double = 2.0 * math.Pi * 6378137.0 / 256.0
   val EARTH_R: Double = 6378137.0
 
-  val phi = dlit(PHI); val phi2 = dlit(PHI2)
+  val phi = dlit(PHI); val sqrt2 = dlit(SQRT2); val sqrt3 = dlit(SQRT3)
   val pi = dlit(PI); val d2r = dlit(D2R)
   val os = dlit(ORIGIN_SHIFT); val ir = dlit(INITIAL_RES)
   val earthR = dlit(EARTH_R)
@@ -41,12 +45,12 @@ object QueryFixtures {
   def lonOf(id: String): String =
     s"(-180.0 + 360.0 * ${fract(s"CAST($id AS DOUBLE) * $phi")})"
   def latOf(id: String): String =
-    s"(-85.0 + 170.0 * ${fract(s"CAST($id AS DOUBLE) * $phi2")})"
+    s"(-85.0 + 170.0 * ${fract(s"CAST($id AS DOUBLE) * $sqrt2")})"
   /** Second independent cloud (queries for kNN). */
   def lonOfQ(id: String): String =
     s"(-180.0 + 360.0 * ${fract(s"CAST($id AS DOUBLE) * $phi + 0.5")})"
   def latOfQ(id: String): String =
-    s"(-85.0 + 170.0 * ${fract(s"CAST($id AS DOUBLE) * $phi2 + 0.25")})"
+    s"(-85.0 + 170.0 * ${fract(s"CAST($id AS DOUBLE) * $sqrt3 + 0.25")})"
 
   // ---- WebMercator tile math (gdal2tiles.py:418-466 semantics), shared SQL.
   // Matches graft.geom.Mercator exactly (same literals, same op order).
@@ -65,6 +69,59 @@ object QueryFixtures {
   /** XYZ tile y of a lat expression at fixed zoom z (TMS flip). */
   def tileY(lat: String, z: Int): String =
     s"(${(1L << z) - 1} - ${clamp(tmsTile(s"((${mercY(lat)} + $os) / ${resAt(z)})"), z)})"
+
+  // ---- envelope → inclusive XYZ tile range at fixed z, mirroring
+  // Mercator.tileRangeLonLat (GetTileIndices floor+1e-3 + clamp,
+  // gdalalg_raster_tile.cpp:458-478). Returns (minx, miny, maxx, maxy) SQL.
+  val MaxLatLit: String = dlit(85.05112877980659)
+  def tileRangeSql(minLon: String, minLat: String, maxLon: String, maxLat: String,
+                   z: Int): (String, String, String, String) = {
+    val span = dlit(INITIAL_RES / (1L << z).toDouble * 256.0)
+    val nMax = (1L << z) - 1
+    def clampF(v: String) =
+      s"CAST(greatest(0.0, least(floor(($v) + 0.001), $nMax.0)) AS BIGINT)"
+    val lat0 = s"greatest(-$MaxLatLit, least($MaxLatLit, $minLat))"
+    val lat1 = s"greatest(-$MaxLatLit, least($MaxLatLit, $maxLat))"
+    val minTx = clampF(s"((${mercX(minLon)}) - (-$os)) / $span")
+    val maxTx = clampF(s"((${mercX(maxLon)}) - (-$os)) / $span")
+    val minTy = clampF(s"($os - (${mercY(lat1)})) / $span")
+    val maxTy = clampF(s"($os - (${mercY(lat0)})) / $span")
+    (minTx, minTy, maxTx, maxTy)
+  }
+
+  // ---- shoelace area / centroid chains mirroring graft.geom.GeoOps
+  // (signedRingArea / polyCentroid) term-by-term, left-associated.
+  /** corners: closed ring as (xExpr, yExpr) pairs (first == last). */
+  def signedAreaSql(c: Seq[(String, String)]): String = {
+    val terms = (0 until c.length - 1).map { i =>
+      s"((${c(i)._1}) * (${c(i + 1)._2}) - (${c(i + 1)._1}) * (${c(i)._2}))"
+    }
+    s"((${terms.mkString(" + ")}) / 2.0)"
+  }
+
+  /** Area-weighted centroid x/y of a single-ring polygon, exact chain of
+    * GeoOps.polyCentroid: cx += (x_i+x_{i+1})*cross_i; px = cx/(6*aSigned);
+    * result = (|a|*px)/|a|. */
+  def centroidSql(c: Seq[(String, String)], asigned: String): (String, String) = {
+    def fold(sel: ((String, String), (String, String)) => String): String =
+      (0 until c.length - 1).map(i => sel(c(i), c(i + 1))).mkString("(", " + ", ")")
+    val cx = fold { case ((xa, ya), (xb, yb)) =>
+      s"((($xa) + ($xb)) * (($xa) * ($yb) - ($xb) * ($ya)))" }
+    val cy = fold { case ((xa, ya), (xb, yb)) =>
+      s"((($ya) + ($yb)) * (($xa) * ($yb) - ($xb) * ($ya)))" }
+    val a = s"abs($asigned)"
+    (s"(($a * (($cx) / (6.0 * ($asigned)))) / $a)",
+     s"(($a * (($cy) / (6.0 * ($asigned)))) / $a)")
+  }
+
+  /** Perimeter: sum of per-edge euclidean lengths (GeoOps.lineLength uses
+    * Math.hypot; sqrt(dx²+dy²) may differ by 1 ulp → round output). */
+  def perimeterSql(c: Seq[(String, String)]): String =
+    (0 until c.length - 1).map { i =>
+      val dx = s"((${c(i + 1)._1}) - (${c(i)._1}))"
+      val dy = s"((${c(i + 1)._2}) - (${c(i)._2}))"
+      s"sqrt($dx * $dx + $dy * $dy)"
+    }.mkString("(", " + ", ")")
 
   // ---- great-circle distance (ogr/ogr_geo_utils.cpp:33-46 semantics),
   // matches graft.geom.GeoOps.greatCircle term order exactly.

@@ -18,12 +18,15 @@ case class GeoDoc(doc_id: String, spans: Seq[Span])
 object GeoDocs {
 
   final val Phi = 1.618033988749895
-  final val Phi2 = Phi * Phi
+  /** Independent irrational for the lat axis. NOTE: φ² would be WRONG —
+    * φ² = φ+1, so fract(i·φ²) = fract(i·φ) for integer i and the cloud
+    * degenerates onto a diagonal line. √2 is rationally independent of φ. */
+  final val Sqrt2 = 1.4142135623730951
 
   private def fract(x: Double): Double = x - math.floor(x)
 
   def lonOf(i: Long): Double = -180.0 + 360.0 * fract(i * Phi)
-  def latOf(i: Long): Double = -85.0 + 170.0 * fract(i * Phi2)
+  def latOf(i: Long): Double = -85.0 + 170.0 * fract(i * Sqrt2)
 
   /** Hot-cell coordinates for the skew variant: 30% of docs collapse into one
     * 0.1°x0.1° cell near Paris (FIXTURES.md §1 skew variant). */
@@ -31,7 +34,7 @@ object GeoDocs {
 
   def geoWkt(i: Long, skew: Boolean): String = {
     val (lon, lat) =
-      if (skew && skewed(i)) (2.3 + 0.1 * fract(i * Phi), 48.8 + 0.1 * fract(i * Phi2))
+      if (skew && skewed(i)) (2.3 + 0.1 * fract(i * Phi), 48.8 + 0.1 * fract(i * Sqrt2))
       else (lonOf(i), latOf(i))
     if (i % 10 == 0) {
       val d = 0.05

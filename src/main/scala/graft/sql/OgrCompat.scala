@@ -57,9 +57,13 @@ object OgrCompat {
     * deterministic by ordering on `tiebreak` (ascending, e.g. the FID).
     * Equivalent to dedup-first then plain join (SURVEY.md §2.B). */
   def firstMatchJoin(primary: DataFrame, secondary: DataFrame,
-                     keys: Seq[String], tiebreak: Column,
-                     joinType: String = "left"): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak.asc)
+                     keys: Seq[String], tiebreak: Column*): DataFrame =
+    firstMatchJoinTyped(primary, secondary, keys, "left", tiebreak: _*)
+
+  def firstMatchJoinTyped(primary: DataFrame, secondary: DataFrame,
+                          keys: Seq[String], joinType: String,
+                          tiebreak: Column*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak.map(_.asc): _*)
     val firstOnly = secondary
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
