@@ -764,6 +764,227 @@ object Queries {
     }, Some(rasterChecksumSql(shift = 2)))
   )
 
+  // =====================================================================
+  // Tranche 3: dialect surface (hstore, EXCEPT, stddev), reprojection,
+  // segmentize, zonal stats, multimodal binary plumbing, hilbert order
+  // =====================================================================
+
+  val defs3: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // -- HSTORE_GET_VALUE ('k=>v,...' lookup; ogr_swq.h:521)
+    ("q15_hstore", (s, dir) => {
+      t(s, dir, "part")
+        .withColumn("hs", concat(lit("brand=>"), col("p_brand"), lit(",type=>"), col("p_type")))
+        .select(col("p_partkey"),
+          element_at(expr("str_to_map(hs, ',', '=>')"), "brand").as("brand_val"),
+          element_at(expr("str_to_map(hs, ',', '=>')"), "type").as("type_val"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey,
+             regexp_extract('brand=>' || p_brand || ',type=>' || p_type, 'brand=>([^,]*)', 1) AS brand_val,
+             regexp_extract('brand=>' || p_brand || ',type=>' || p_type, 'type=>(.*)$', 1) AS type_val
+      FROM part ORDER BY p_partkey""")),
+
+    // -- SELECT * EXCEPT(field list) (swq_parser.y:866-867)
+    ("q16_except_cols", (s, dir) => {
+      t(s, dir, "lineitem")
+        .drop("l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+        .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    }, Some("""
+      SELECT * EXCLUDE (l_extendedprice, l_discount, l_tax, l_shipdate)
+        REPLACE (CAST(l_linenumber AS BIGINT) AS l_linenumber)
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey""")),
+
+    // -- STDDEV_POP / STDDEV_SAMP (Welford accumulators, ogr_swq.h:391-394)
+    ("q17_stddev", (s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(expr("CAST(floor(stddev_pop(l_quantity) * 1000000.0 + 0.5) AS BIGINT)").as("sd_pop_u"),
+          expr("CAST(floor(stddev_samp(l_quantity) * 1000000.0 + 0.5) AS BIGINT)").as("sd_samp_u"),
+          expr("CAST(floor(avg(l_quantity) * 1000000.0 + 0.5) AS BIGINT)").as("avg_u"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             CAST(floor(stddev_pop(l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS sd_pop_u,
+             CAST(floor(stddev_samp(l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS sd_samp_u,
+             CAST(floor(avg(l_quantity) * 1000000.0 + 0.5) AS BIGINT) AS avg_u
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // -- WGS84 → EPSG:3857 reprojection (gdal2tiles.py:426-429 formulas)
+    ("g09_transform_3857", (s, dir) => {
+      prep(s)
+      eventPoints(s, dir)
+        .withColumn("wkb", gf.st_point(col("lon"), col("lat")))
+        .withColumn("m", gf.st_transform_3857(col("wkb")))
+        .select(col("event_id"),
+          expr("CAST(floor(st_x(m) * 10000.0 + 0.5) AS BIGINT)").as("mx_u"),
+          expr("CAST(floor(st_y(m) * 10000.0 + 0.5) AS BIGINT)").as("my_u"))
+        .orderBy("event_id")
+    }, Some(s"""
+      WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon, ${latOf("event_id")} AS lat FROM events)
+      SELECT event_id,
+             CAST(floor((${mercX("lon")}) * 10000.0 + 0.5) AS BIGINT) AS mx_u,
+             CAST(floor((${mercY("lat")}) * 10000.0 + 0.5) AS BIGINT) AS my_u
+      FROM pts ORDER BY event_id""")),
+
+    // -- segmentize (linear interpolation; gdalalg_vector_segmentize)
+    ("g12_segmentize", (s, dir) => {
+      prep(s)
+      eventPoints(s, dir)
+        .withColumn("dx", expr(s"0.1 + 0.4 * ${fract(s"CAST(event_id AS DOUBLE) * $phi + 0.1")}"))
+        .withColumn("dy", lit(0.2))
+        .withColumn("wkt", expr(
+          "concat('LINESTRING (', CAST(lon AS STRING), ' ', CAST(lat AS STRING), ',', " +
+            "CAST(lon + dx AS STRING), ' ', CAST(lat + dy AS STRING), ')')"))
+        .withColumn("seg", gf.st_segmentize(gf.st_geomfromtext(col("wkt")), lit(0.07)))
+        .select(col("event_id"),
+          expr("CAST(length(st_astext(seg)) - length(replace(st_astext(seg), ',', '')) + 1 AS BIGINT)").as("n_points"))
+        .orderBy("event_id")
+    }, Some(s"""
+      WITH pts AS (SELECT event_id,
+          0.1 + 0.4 * ${fract(s"CAST(event_id AS DOUBLE) * $phi + 0.1")} AS dx, 0.2 AS dy
+        FROM events)
+      SELECT event_id,
+        CAST(1 + CAST(ceil(sqrt(dx * dx + dy * dy) / 0.07) AS BIGINT) AS BIGINT) AS n_points
+      FROM pts ORDER BY event_id""")),
+
+    // -- zonal statistics: per-zone aggregates of a value raster/point set
+    // (alg/zonal.cpp semantics over vector zones)
+    ("r03_zonal_stats", (s, dir) => {
+      val pts = t(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          expr(lonOf("event_id")).as("lon"), expr(latOf("event_id")).as("lat"))
+      SpatialJoin.pipJoin(pts, fixturePolyDf(s), z = 3)
+        .groupBy("poly_id")
+        .agg(count(lit(1)).as("n"),
+          sum(expr(cents("value"))).as("sum_cents"),
+          min("value").as("min_v"), max("value").as("max_v"),
+          countDistinct("event_id").as("n_distinct"))
+        .orderBy("poly_id")
+    }, Some {
+      val arms = polygons.map { case (id, _, _) =>
+        s"SELECT event_id, value, '$id' AS poly_id FROM pts WHERE ${insidePolySql(id, "lon", "lat")}"
+      }
+      s"""WITH pts AS (SELECT event_id, value, ${lonOf("event_id")} AS lon,
+            ${latOf("event_id")} AS lat FROM events),
+          j AS (${arms.mkString(" UNION ALL ")})
+          SELECT poly_id, count(*) AS n, sum(${cents("value")}) AS sum_cents,
+            min(value) AS min_v, max(value) AS max_v,
+            count(DISTINCT event_id) AS n_distinct
+          FROM j GROUP BY poly_id ORDER BY poly_id"""
+    }),
+
+    // -- multimodal: opaque binary payload + metadata; digest/length are
+    // the SQL-checkable subset (decode stub tested in MultimodalSpec)
+    ("m01_media_binary", (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("payload", expr("encode(text, 'UTF-8')"))
+        .select(col("doc_id"),
+          expr("CAST(length(payload) AS BIGINT)").as("n_bytes"),
+          md5(col("payload")).as("digest"),
+          base64(expr("CAST(substring(payload, 1, 12) AS BINARY)")).as("head_b64"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+             md5(text) AS digest,
+             to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS head_b64
+      FROM documents ORDER BY doc_id""")),
+
+    // -- hilbert-order clustering key (alg/hilbert.cpp; gdalalg_vector_sort)
+    // no SQL oracle (rows-only check); exactness pinned in GeomCoreSpec
+    ("g13_hilbert_order", (s, dir) => {
+      prep(s)
+      eventPoints(s, dir)
+        .withColumn("h", gf.hilbert_code(col("lon"), col("lat"),
+          lit(-180.0), lit(-90.0), lit(180.0), lit(90.0)))
+        .select("event_id", "h")
+        .orderBy("h", "event_id").limit(200)
+    }, None),
+
+    // -- explode-collections (st_dump Generator) + swap-xy
+    // (gdalalg_vector_explode / _swap_xy)
+    ("g14_dump_swap", (s, dir) => {
+      prep(s)
+      val base = eventPoints(s, dir).where(col("event_id") < 2000)
+        .withColumn("wkt", expr(
+          "concat('MULTIPOINT ((', CAST(lon AS STRING), ' ', CAST(lat AS STRING), '),(', " +
+            "CAST(lon + 1.0 AS STRING), ' ', CAST(lat AS STRING), '),(', " +
+            "CAST(lon AS STRING), ' ', CAST(lat + 2.0 AS STRING), '))')"))
+        .withColumn("part", explode(gf.st_dump(gf.st_swapxy(gf.st_geomfromtext(col("wkt"))))))
+      base.select(col("event_id"),
+          expr("CAST(floor(st_x(part) * 1000000.0 + 0.5) AS BIGINT)").as("x_u"),
+          expr("CAST(floor(st_y(part) * 1000000.0 + 0.5) AS BIGINT)").as("y_u"))
+        .orderBy("event_id", "x_u", "y_u")
+    }, Some(s"""
+      WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon, ${latOf("event_id")} AS lat
+                   FROM events WHERE event_id < 2000),
+      parts AS (
+        SELECT event_id, lat AS sx, lon AS sy FROM pts
+        UNION ALL SELECT event_id, lat, lon + 1.0 FROM pts
+        UNION ALL SELECT event_id, lat + 2.0, lon FROM pts)
+      SELECT event_id, CAST(floor(sx * 1000000.0 + 0.5) AS BIGINT) AS x_u,
+             CAST(floor(sy * 1000000.0 + 0.5) AS BIGINT) AS y_u
+      FROM parts ORDER BY event_id, x_u, y_u""")),
+
+    // -- clip-to-bbox (gdalalg_vector_clip; tile clipping core). Output
+    // area of the clipped rect (micro-rounded: vertex order differs from
+    // the closed-form w*h only in the last ulp)
+    ("g15_clip_bbox", (s, dir) => {
+      prep(s)
+      val base = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("x0", expr(lonOf("doc_id")))
+        .withColumn("y0", expr(s"greatest(-84.0, least(82.0, ${latOf("doc_id")}))"))
+        .withColumn("wkt", expr(
+          "concat('POLYGON ((', CAST(x0 AS STRING), ' ', CAST(y0 AS STRING), ',', " +
+            "CAST(x0 + 2.0 AS STRING), ' ', CAST(y0 AS STRING), ',', " +
+            "CAST(x0 + 2.0 AS STRING), ' ', CAST(y0 + 2.0 AS STRING), ',', " +
+            "CAST(x0 AS STRING), ' ', CAST(y0 + 2.0 AS STRING), ',', " +
+            "CAST(x0 AS STRING), ' ', CAST(y0 AS STRING), '))')"))
+        .withColumn("clipped",
+          gf.st_clip_bbox(gf.st_geomfromtext(col("wkt")),
+            lit(-20.0), lit(-30.0), lit(25.0), lit(40.0)))
+      base.select(col("doc_id"),
+          expr("CAST(floor(st_area(clipped) * 1000000000.0 + 0.5) AS BIGINT)").as("area_n"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH b AS (SELECT doc_id, ${lonOf("doc_id")} AS x0,
+            greatest(-84.0, least(82.0, ${latOf("doc_id")})) AS y0 FROM documents),
+      ov AS (SELECT doc_id,
+            greatest(0.0, least(x0 + 2.0, 25.0) - greatest(x0, -20.0)) AS w,
+            greatest(0.0, least(y0 + 2.0, 40.0) - greatest(y0, -30.0)) AS h FROM b)
+      SELECT doc_id, CAST(floor(w * h * 1000000000.0 + 0.5) AS BIGINT) AS area_n
+      FROM ov ORDER BY doc_id""")),
+
+    // -- gap-based sessionization over the events stream table (window
+    // lag + running session counter — SQLite-dialect window surface)
+    ("s02_sessionize", (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_sess", when(col("prev_ts").isNull ||
+          expr("unix_timestamp(ts) - unix_timestamp(prev_ts) > 1800"), 1).otherwise(0))
+        .withColumn("sess_no", sum("new_sess").over(wRun))
+        .groupBy("user_id", "sess_no")
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(unix_timestamp(max(ts)) - unix_timestamp(min(ts)) AS BIGINT)").as("dur_s"),
+          sum(expr(cents("value"))).as("sum_cents"))
+        .withColumn("sess_no", col("sess_no").cast("long"))
+        .orderBy("user_id", "sess_no")
+    }, Some(s"""
+      WITH l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                 FROM events),
+      f AS (SELECT *, CASE WHEN prev_ts IS NULL
+              OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_sess
+            FROM l),
+      g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no FROM f)
+      SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
+             CAST(CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS BIGINT) AS dur_s,
+             sum(${cents("value")}) AS sum_cents
+      FROM g GROUP BY user_id, sess_no ORDER BY user_id, sess_no"""))
+  )
+
   /** GDALChecksumImage oracle over the z5 point raster; shift>0 checksums
     * the pyramid level z5-shift (pixel coords halve per level, value = sum
     * of the 2^shift × 2^shift block = plain count regroup). */
@@ -782,8 +1003,8 @@ object Queries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (defs ++ defs2).map { case (n, f, _) => n -> f }.toMap
+    (defs ++ defs2 ++ defs3).map { case (n, f, _) => n -> f }.toMap
 
   def oracleSql: Map[String, String] =
-    (defs ++ defs2).collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
+    (defs ++ defs2 ++ defs3).collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

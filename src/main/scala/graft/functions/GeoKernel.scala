@@ -50,12 +50,12 @@ object GeoKernel {
 
   def point(x: Double, y: Double): Array[Byte] = Wkb.write(Point(x, y))
 
-  // ---- predicates
+  // ---- predicates (hot join path: direct-on-WKB, zero materialization)
   def containsPoint(wkb: Array[Byte], x: Double, y: Double): Boolean =
-    GeoOps.containsPoint(decode(wkb), x, y)
+    WkbPip.containsPoint(wkb, x, y)
 
   def intersectsPoint(wkb: Array[Byte], x: Double, y: Double): Boolean =
-    GeoOps.intersectsPoint(decode(wkb), x, y)
+    WkbPip.intersectsPoint(wkb, x, y)
 
   def intersects(a: Array[Byte], b: Array[Byte]): Boolean =
     GeoOps.intersects(decode(a), decode(b))
