@@ -955,6 +955,61 @@ object Queries {
       SELECT doc_id, CAST(floor(w * h * 1000000000.0 + 0.5) AS BIGINT) AS area_n
       FROM ov ORDER BY doc_id""")),
 
+    // -- DEM slope + hillshade over a tiled raster with halo exchange
+    // (gdaldem 3x3 windows; checksummed per tile; analytic-f oracle
+    // recomputes every window in closed form, so cross-tile halo assembly
+    // is exactly what the comparison verifies)
+    ("r04_dem_focal", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val z = 3
+      val base = engine.Raster.syntheticTiles(s, z) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val slopeT = engine.Focal.slope(base)
+        .map(ti => (ti.x.toLong, ti.y.toLong,
+          engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong))
+        .toDF("x", "y", "cks_slope")
+      val hillT = engine.Focal.hillshade(base)
+        .map(ti => (ti.x.toLong, ti.y.toLong,
+          engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong))
+        .toDF("x", "y", "cks_hill")
+      slopeT.join(hillT, Seq("x", "y"))
+        .withColumn("z", lit(z).cast("long"))
+        .select("z", "x", "y", "cks_slope", "cks_hill")
+        .orderBy("x", "y")
+    }, Some {
+      val maxG = 8 * 256 - 1 // z=3 grid: 2048x2048 global pixels
+      def fAt(dx: Int, dy: Int) =
+        s"CAST(((gx + ($dx)) * 7919 + (gy + ($dy)) * 104729) % 9973 AS DOUBLE)"
+      // window: a b c / d e f / g h i == (dx,dy) in {-1,0,1}^2 row-major
+      val (a, b, c) = (fAt(-1, -1), fAt(0, -1), fAt(1, -1))
+      val (d0, f0) = (fAt(-1, 0), fAt(1, 0))
+      val (g0, h0, i0) = (fAt(-1, 1), fAt(0, 1), fAt(1, 1))
+      val ddx = s"((($a + 2.0 * $d0 + $g0) - ($c + 2.0 * $f0 + $i0)) / 8.0)"
+      val ddy = s"((($a + 2.0 * $b + $c) - ($g0 + 2.0 * $h0 + $i0)) / 8.0)"
+      val pi = dlit(math.Pi)
+      val slope = s"((atan(sqrt($ddx * $ddx + $ddy * $ddy)) * 180.0) / $pi)"
+      val azr = dlit(315.0 * math.Pi / 180.0); val altr = dlit(45.0 * math.Pi / 180.0)
+      val hill = s"(1.0 + 254.0 * greatest(0.0, sin($altr) * cos(atan(sqrt($ddx * $ddx + $ddy * $ddy))) + " +
+        s"cos($altr) * sin(atan(sqrt($ddx * $ddx + $ddy * $ddy))) * " +
+        s"cos(($azr - ${dlit(math.Pi / 2.0)}) - atan2($ddy, -$ddx))))"
+      val border = s"gx = 0 OR gy = 0 OR gx = $maxG OR gy = $maxG"
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, $maxG)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, $maxG)) AS gy) ys),
+          v AS (SELECT gx, gy,
+            CASE WHEN $border THEN 0.0 ELSE $slope END AS slope,
+            CASE WHEN $border THEN 0.0 ELSE $hill END AS hill FROM px),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            CAST(floor(slope + 0.5) AS BIGINT) AS vs,
+            CAST(floor(hill + 0.5) AS BIGINT) AS vh FROM v)
+          SELECT CAST(3 AS BIGINT) AS z, tx AS x, ty AS y,
+            CAST(sum(vs % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536 AS BIGINT) AS cks_slope,
+            CAST(sum(vh % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536 AS BIGINT) AS cks_hill
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
     // -- gap-based sessionization over the events stream table (window
     // lag + running session counter — SQLite-dialect window surface)
     ("s02_sessionize", (s, dir) => {

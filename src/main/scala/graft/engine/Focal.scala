@@ -1,0 +1,155 @@
+package graft.engine
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One halo contribution: the strip of a source tile that lands in the
+  * destination tile's 1-pixel padded frame. For the 8 neighbor directions
+  * only the facing row/column/corner is shipped, so shuffle volume is
+  * ~1.03x the raster (vs 9x if whole tiles were replicated). */
+case class FocalHalo(z: Int, x: Int, y: Int, band: Int,
+                     dx: Int, dy: Int, x0: Int, y0: Int,
+                     sw: Int, sh: Int, strip: Array[Double])
+
+/** Distributed 3×3 focal (neighborhood) raster ops over Dataset[Tile] with
+  * halo exchange — the cross-tile-border machinery for DEM analysis and
+  * focal filters (SURVEY.md §2.G).
+  *
+  * Reference: gdaldem slope/aspect/hillshade 3×3 windows
+  * (/root/reference/apps/gdaldem_lib.cpp:1184-1517) and the neighbors
+  * focal-convolution step (/root/reference/apps/gdalalg_raster_neighbors.cpp:207-253).
+  * GDAL streams scanlines with a 1-row lookahead; the Spark-native shape is
+  * a halo join: every tile contributes its border strips to its 8
+  * neighbors, one shuffle groups each tile with its halo, then the window
+  * op runs per-tile on a padded array. Pixels whose 3×3 window reaches
+  * outside the dataset (global border / missing neighbor) yield `nodataOut`
+  * — the reference writes the src nodata there too.
+  */
+object Focal {
+
+  /** Apply a 3×3 window function to every pixel. `f` receives the window
+    * as a row-major 9-array (a b c / d e f / g h i). */
+  def focal3x3(tiles: Dataset[Tile], f: Array[Double] => Double,
+               nodataOut: Double = 0.0): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val contrib = tiles.flatMap { t =>
+      for {
+        dy <- -1 to 1
+        dx <- -1 to 1
+      } yield {
+        // the neighbor at (+dx,+dy) needs our facing border strip
+        val x0 = if (dx == 1) t.w - 1 else 0
+        val y0 = if (dy == 1) t.h - 1 else 0
+        val sw = if (dx == 0) t.w else 1
+        val sh = if (dy == 0) t.h else 1
+        val strip =
+          if (dx == 0 && dy == 0) t.pixels
+          else {
+            val s = new Array[Double](sw * sh)
+            var yy = 0
+            while (yy < sh) {
+              var xx = 0
+              while (xx < sw) {
+                s(yy * sw + xx) = t.pixels((y0 + yy) * t.w + (x0 + xx))
+                xx += 1
+              }
+              yy += 1
+            }
+            s
+          }
+        FocalHalo(t.z, t.x + dx, t.y + dy, t.band, dx, dy, x0, y0, sw, sh, strip)
+      }
+    }
+    contrib
+      .groupByKey(c => (c.z, c.x, c.y, c.band))
+      .mapGroups { (key, it) =>
+        val (z, x, y, band) = key
+        val parts = it.toArray
+        val center = parts.find(c => c.dx == 0 && c.dy == 0).orNull
+        if (center == null) null
+        else {
+          val w = center.sw; val h = center.sh
+          val pw = w + 2; val ph = h + 2
+          val pad = Array.fill(pw * ph)(Double.NaN)
+          parts.foreach { c =>
+            // source tile sits at offset (-dx,-dy) from this tile; its
+            // strip pixel (sx,sy) is source-tile pixel (x0+sx, y0+sy)
+            var sy = 0
+            while (sy < c.sh) {
+              val py = (c.y0 + sy) - c.dy * h + 1
+              if (py >= 0 && py < ph) {
+                var sx = 0
+                while (sx < c.sw) {
+                  val px = (c.x0 + sx) - c.dx * w + 1
+                  if (px >= 0 && px < pw) pad(py * pw + px) = c.strip(sy * c.sw + sx)
+                  sx += 1
+                }
+              }
+              sy += 1
+            }
+          }
+          val out = new Array[Double](w * h)
+          val win = new Array[Double](9)
+          var yy = 0
+          while (yy < h) {
+            var xx = 0
+            while (xx < w) {
+              var ok = true
+              var k = 0
+              var wy = 0
+              while (wy < 3) {
+                var wx = 0
+                while (wx < 3) {
+                  val v = pad((yy + wy) * pw + (xx + wx))
+                  if (java.lang.Double.isNaN(v)) ok = false
+                  win(k) = v
+                  k += 1
+                  wx += 1
+                }
+                wy += 1
+              }
+              out(yy * w + xx) = if (ok) f(win) else nodataOut
+              xx += 1
+            }
+            yy += 1
+          }
+          Tile(z, x, y, band, w, h, out)
+        }
+      }
+      .filter(_ != null)
+  }
+
+  /** Horn slope in degrees (gdaldem slope semantics, scale=1, z=1):
+    * dx = ((a+2d+g) - (c+2f+i)) / 8, dy = ((a+2b+c) - (g+2h+i)) / 8,
+    * slope = atan(sqrt(dx²+dy²)) in degrees. */
+  def slopeWindow(w: Array[Double]): Double = {
+    val dx = ((w(0) + 2.0 * w(3) + w(6)) - (w(2) + 2.0 * w(5) + w(8))) / 8.0
+    val dy = ((w(0) + 2.0 * w(1) + w(2)) - (w(6) + 2.0 * w(7) + w(8))) / 8.0
+    math.atan(math.sqrt(dx * dx + dy * dy)) * 180.0 / math.Pi
+  }
+
+  /** Hillshade (gdaldem hillshade, ZevenbergenThorne off, default
+    * az=315 alt=45, scaled 1..255 with 0 reserved for nodata). */
+  def hillshadeWindow(az: Double = 315.0, alt: Double = 45.0)(w: Array[Double]): Double = {
+    val d2r = math.Pi / 180.0
+    val dx = ((w(0) + 2.0 * w(3) + w(6)) - (w(2) + 2.0 * w(5) + w(8))) / 8.0
+    val dy = ((w(0) + 2.0 * w(1) + w(2)) - (w(6) + 2.0 * w(7) + w(8))) / 8.0
+    val slopeRad = math.atan(math.sqrt(dx * dx + dy * dy))
+    val aspectRad = math.atan2(dy, -dx)
+    val azRad = az * d2r; val altRad = alt * d2r
+    val v = math.sin(altRad) * math.cos(slopeRad) +
+      math.cos(altRad) * math.sin(slopeRad) * math.cos(azRad - math.Pi / 2.0 - aspectRad)
+    1.0 + 254.0 * math.max(0.0, v)
+  }
+
+  /** Focal mean over the 3×3 window (gdalalg_raster_neighbors mean). */
+  def meanWindow(w: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < 9) { s += w(i); i += 1 }
+    s / 9.0
+  }
+
+  def slope(tiles: Dataset[Tile]): Dataset[Tile] = focal3x3(tiles, slopeWindow)
+  def hillshade(tiles: Dataset[Tile]): Dataset[Tile] = focal3x3(tiles, hillshadeWindow())
+  def focalMean(tiles: Dataset[Tile]): Dataset[Tile] = focal3x3(tiles, meanWindow)
+}

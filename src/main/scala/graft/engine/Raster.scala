@@ -50,6 +50,30 @@ object Raster {
       }
   }
 
+  /** Deterministic synthetic raster: full z-level tile grid with pixel
+    * values from a closed-form f(globalX, globalY) — the analytic-oracle
+    * input for focal/warp tests (any engine can recompute f directly). */
+  def syntheticTiles(spark: SparkSession, z: Int, band: Int = 1,
+                     tileSize: Int = TileSize)(f: (Long, Long) => Double): Dataset[Tile] = {
+    import spark.implicits._
+    val n = 1 << z
+    val ts = tileSize
+    spark.range(0, n.toLong * n, 1, math.min(n * n, 64)).map { id =>
+      val tx = (id % n).toInt; val ty = (id / n).toInt
+      val px = new Array[Double](ts * ts)
+      var y = 0
+      while (y < ts) {
+        var x = 0
+        while (x < ts) {
+          px(y * ts + x) = f(tx.toLong * ts + x, ty.toLong * ts + y)
+          x += 1
+        }
+        y += 1
+      }
+      Tile(z, tx, ty, band, ts, ts, px)
+    }
+  }
+
   /** One pyramid level up: each parent tile is the Average-kernel reduction
     * of its <=4 children (reference: MosaicDataset + Average,
     * gdalalg_raster_tile.cpp:2003-2060, kernels gdalwarper.h:45). For count
