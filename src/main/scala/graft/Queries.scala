@@ -1010,6 +1010,117 @@ object Queries {
           FROM cells GROUP BY 2, 3 ORDER BY x, y"""
     }),
 
+    // -- gdalwarp-style affine warp: Near + Bilinear kernels, output-driven
+    // inverse mapping, checksummed per dst tile (analytic-f oracle — all
+    // arithmetic is +,-,*,/ and floor, so values are bit-exact)
+    ("r05_warp_affine", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val z = 3
+      val base = engine.Raster.syntheticTiles(s, z) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val aff = engine.Raster.WarpAffine(0.5, 0.5, 1500.3, 57.7)
+      def cks(t: engine.Tile) =
+        (t.x.toLong, t.y.toLong, engine.Raster.checksum(t.pixels, t.w, t.h).toLong)
+      val near = engine.Raster.warpAffine(base, z, 8, 8, aff, "near", 2048, 2048)
+        .map(cks _).toDF("x", "y", "cks_near")
+      val bil = engine.Raster.warpAffine(base, z, 8, 8, aff, "bilinear", 2048, 2048)
+        .map(cks _).toDF("x", "y", "cks_bilinear")
+      near.join(bil, Seq("x", "y"))
+        .withColumn("z", lit(z).cast("long"))
+        .select("z", "x", "y", "cks_near", "cks_bilinear")
+        .orderBy("x", "y")
+    }, Some {
+      val maxG = 2047
+      def fAt(xe: String, ye: String) =
+        s"CAST((CAST($xe AS BIGINT) * 7919 + CAST($ye AS BIGINT) * 104729) % 9973 AS DOUBLE)"
+      val near = {
+        val ix = "floor(sxp + 0.5)"; val iy = "floor(syp + 0.5)"
+        s"CASE WHEN $ix < 0 OR $ix > $maxG OR $iy < 0 OR $iy > $maxG THEN 0.0 ELSE ${fAt(ix, iy)} END"
+      }
+      val bil = {
+        val x0 = "floor(sxp)"; val y0 = "floor(syp)"
+        val wx = s"(sxp - $x0)"; val wy = s"(syp - $y0)"
+        val v00 = fAt(x0, y0); val v10 = fAt(s"$x0 + 1", y0)
+        val v01 = fAt(x0, s"$y0 + 1"); val v11 = fAt(s"$x0 + 1", s"$y0 + 1")
+        s"""CASE WHEN $x0 < 0 OR $x0 + 1 > $maxG OR $y0 < 0 OR $y0 + 1 > $maxG THEN 0.0
+            ELSE (1.0 - $wy) * ((1.0 - $wx) * $v00 + $wx * $v10) +
+                 $wy * ((1.0 - $wx) * $v01 + $wx * $v11) END"""
+      }
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, $maxG)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, $maxG)) AS gy) ys),
+          sm AS (SELECT gx, gy,
+            (CAST(gx AS DOUBLE) + 0.5) * 0.5 + 1500.3 - 0.5 AS sxp,
+            (CAST(gy AS DOUBLE) + 0.5) * 0.5 + 57.7 - 0.5 AS syp FROM px),
+          v AS (SELECT gx, gy, $near AS vn, $bil AS vb FROM sm),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            CAST(floor(vn + 0.5) AS BIGINT) AS ivn,
+            CAST(floor(vb + 0.5) AS BIGINT) AS ivb FROM v)
+          SELECT CAST(3 AS BIGINT) AS z, tx AS x, ty AS y,
+            CAST(sum(ivn % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536 AS BIGINT) AS cks_near,
+            CAST(sum(ivb % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536 AS BIGINT) AS cks_bilinear
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
+    // -- gdal_grid interpolation: radius search per grid node with
+    // nearest/average/count data metrics via the 3x3-cell candidate join
+    ("g16_grid_interp", (s, dir) => {
+      val pts = t(s, dir, "events").select(
+        col("event_id").as("pid"), col("value"),
+        expr(lonOf("event_id")).as("lon"), expr(latOf("event_id")).as("lat"))
+      val nodes = engine.GridInterp.gridNodes(s, 64, 64, -180.0, 180.0, -85.0, 85.0)
+      engine.GridInterp.radiusMetrics(nodes, pts, 5.0)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"), col("sum_cents"), col("nearest_pid"))
+        .orderBy("i", "j")
+    }, Some(s"""
+      WITH nodes AS (SELECT xs.i AS i, ys.j AS j,
+            -180.0 + (CAST(xs.i AS DOUBLE) + 0.5) * 5.625 AS nlon,
+            -85.0 + (CAST(ys.j AS DOUBLE) + 0.5) * 2.65625 AS nlat
+          FROM (SELECT unnest(generate_series(0, 63)) AS i) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) ys),
+      pts AS (SELECT event_id AS pid, value, ${lonOf("event_id")} AS lon,
+              ${latOf("event_id")} AS lat FROM events),
+      c AS (SELECT i, j, pid, value,
+            (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) AS dist2
+          FROM nodes JOIN pts
+          ON (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) <= 25.0),
+      agg AS (SELECT i, j, count(*) AS n,
+            sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents
+          FROM c GROUP BY i, j),
+      nr AS (SELECT i, j, pid AS nearest_pid FROM c
+          QUALIFY row_number() OVER (PARTITION BY i, j ORDER BY dist2, pid) = 1)
+      SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n, sum_cents, nearest_pid
+      FROM agg JOIN nr USING (i, j) ORDER BY i, j""")),
+
+    // -- ogr2ogr-style composed pipeline: bbox spat filter + attribute
+    // filter + reprojection + field select + ordered limit (SURVEY §2.I)
+    ("u01_ogr2ogr_pipeline", (s, dir) => {
+      prep(s)
+      t(s, dir, "events")
+        .select(col("event_id"), col("value"), col("event_type"),
+          expr(lonOf("event_id")).as("lon"), expr(latOf("event_id")).as("lat"))
+        .where(col("lon").between(-60.0, 80.0) && col("lat").between(-45.0, 65.0))
+        .where(col("value") > 50.0 && col("event_type") =!= "error")
+        .withColumn("m", gf.st_transform_3857(gf.st_point(col("lon"), col("lat"))))
+        .select(col("event_id"),
+          expr("CAST(floor(st_x(m) * 1000.0 + 0.5) AS BIGINT)").as("mx_mm"),
+          expr("CAST(floor(st_y(m) * 1000.0 + 0.5) AS BIGINT)").as("my_mm"),
+          expr(cents("value")).as("value_cents"))
+        .orderBy(col("value_cents").desc, col("event_id")).limit(500)
+    }, Some(s"""
+      WITH p AS (SELECT event_id, value, event_type,
+            ${lonOf("event_id")} AS lon, ${latOf("event_id")} AS lat FROM events),
+      f AS (SELECT * FROM p WHERE lon BETWEEN -60.0 AND 80.0 AND lat BETWEEN -45.0 AND 65.0
+            AND value > 50.0 AND event_type <> 'error')
+      SELECT event_id,
+             CAST(floor((${mercX("lon")}) * 1000.0 + 0.5) AS BIGINT) AS mx_mm,
+             CAST(floor((${mercY("lat")}) * 1000.0 + 0.5) AS BIGINT) AS my_mm,
+             ${cents("value")} AS value_cents
+      FROM f ORDER BY value_cents DESC, event_id LIMIT 500""")),
+
     // -- gap-based sessionization over the events stream table (window
     // lag + running session counter — SQLite-dialect window surface)
     ("s02_sessionize", (s, dir) => {

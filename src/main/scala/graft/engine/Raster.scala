@@ -112,6 +112,110 @@ object Raster {
       }
   }
 
+  /** dst pixel-center → src pixel-center affine: srcPx = (dstPx+0.5)·s + t − 0.5. */
+  case class WarpAffine(sx: Double, sy: Double, tx: Double, ty: Double)
+
+  /** Output-driven warp between tile grids (gdalwarp architecture,
+    * /root/reference/alg/gdalwarpoperation.cpp:103-144: chunk destination,
+    * compute source window, inverse-map each dst pixel, apply kernel).
+    * Spark shape: each SRC tile is shipped to every dst tile whose
+    * source window overlaps it (replication factor ≈ (1/s)² + halo — cheap
+    * for down/up-scales near 1), one shuffle groups each dst tile with its
+    * source window, then per-tile inverse mapping + kernel. Kernels:
+    * "near" (ix = floor(src+0.5)) and "bilinear". Out-of-source pixels → 0
+    * (nodata), matching the oracle convention. */
+  def warpAffine(src: Dataset[Tile], dstZ: Int, nDstX: Int, nDstY: Int,
+                 aff: WarpAffine, kernel: String,
+                 srcW: Long, srcH: Long, tileSize: Int = TileSize): Dataset[Tile] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val ts = tileSize
+    val bilinear = kernel == "bilinear"
+    require(kernel == "near" || kernel == "bilinear", s"kernel $kernel")
+
+    // dst tile → src pixel window → src tile range (with 1px kernel halo)
+    def srcTileRange(dx: Int, dy: Int): (Int, Int, Int, Int) = {
+      def sx(d: Double) = (d + 0.5) * aff.sx + aff.tx - 0.5
+      def sy(d: Double) = (d + 0.5) * aff.sy + aff.ty - 0.5
+      val xs = Seq(sx(dx.toLong * ts), sx(dx.toLong * ts + ts - 1))
+      val ys = Seq(sy(dy.toLong * ts), sy(dy.toLong * ts + ts - 1))
+      ((math.floor(xs.min - 1).toLong / ts).toInt, (math.floor(ys.min - 1).toLong / ts).toInt,
+       (math.floor(xs.max + 1).toLong / ts).toInt, (math.floor(ys.max + 1).toLong / ts).toInt)
+    }
+
+    val marker = spark.range(0, nDstX.toLong * nDstY, 1, math.min(nDstX * nDstY, 64))
+      .map { id =>
+        val dx = (id % nDstX).toInt; val dy = (id / nDstX).toInt
+        (dx, dy, Tile(0, 0, 0, -1, 0, 0, Array.emptyDoubleArray))
+      }
+    val contrib = src.flatMap { t =>
+      // forward-map this src tile's pixel bbox (+kernel halo) into dst
+      // pixel space, emit to the covered dst tiles — O(replication), not
+      // O(nDstTiles), so the plan survives arbitrarily large grids
+      def dstPxX(sp: Double) = (sp + 0.5 - aff.tx) / aff.sx - 0.5
+      def dstPxY(sp: Double) = (sp + 0.5 - aff.ty) / aff.sy - 0.5
+      val xs = Seq(dstPxX(t.x.toLong * ts - 2), dstPxX(t.x.toLong * ts + ts + 1))
+      val ys = Seq(dstPxY(t.y.toLong * ts - 2), dstPxY(t.y.toLong * ts + ts + 1))
+      val dx0 = math.max(0, (math.floor(xs.min) / ts).toInt)
+      val dx1 = math.min(nDstX - 1, (math.floor(xs.max) / ts).toInt)
+      val dy0 = math.max(0, (math.floor(ys.min) / ts).toInt)
+      val dy1 = math.min(nDstY - 1, (math.floor(ys.max) / ts).toInt)
+      for {
+        dy <- dy0 to dy1
+        dx <- dx0 to dx1
+        // exact membership check via the dst tile's own source window
+        (x0, y0, x1, y1) = srcTileRange(dx, dy)
+        if t.x >= x0 && t.x <= x1 && t.y >= y0 && t.y <= y1
+      } yield (dx, dy, t)
+    }
+    contrib.union(marker)
+      .groupByKey(c => (c._1, c._2))
+      .mapGroups { (key, it) =>
+        val (dx, dy) = key
+        val tiles = new scala.collection.mutable.HashMap[(Int, Int), Tile]
+        var z = dstZ; var band = 1
+        it.foreach { case (_, _, t) =>
+          if (t.band != -1) { tiles((t.x, t.y)) = t; z = t.z; band = t.band }
+        }
+        def pix(gx: Long, gy: Long): Double = {
+          if (gx < 0 || gy < 0 || gx >= srcW || gy >= srcH) Double.NaN
+          else tiles.get(((gx / ts).toInt, (gy / ts).toInt)) match {
+            case Some(t) => t.pixels(((gy % ts) * ts + (gx % ts)).toInt)
+            case None => Double.NaN
+          }
+        }
+        val out = new Array[Double](ts * ts)
+        var yy = 0
+        while (yy < ts) {
+          val gyD = dy.toLong * ts + yy
+          val syp = (gyD + 0.5) * aff.sy + aff.ty - 0.5
+          var xx = 0
+          while (xx < ts) {
+            val gxD = dx.toLong * ts + xx
+            val sxp = (gxD + 0.5) * aff.sx + aff.tx - 0.5
+            val v =
+              if (bilinear) {
+                val x0 = math.floor(sxp); val y0 = math.floor(syp)
+                val wx = sxp - x0; val wy = syp - y0
+                val v00 = pix(x0.toLong, y0.toLong); val v10 = pix(x0.toLong + 1, y0.toLong)
+                val v01 = pix(x0.toLong, y0.toLong + 1); val v11 = pix(x0.toLong + 1, y0.toLong + 1)
+                if (java.lang.Double.isNaN(v00) || java.lang.Double.isNaN(v10) ||
+                    java.lang.Double.isNaN(v01) || java.lang.Double.isNaN(v11)) 0.0
+                else (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) +
+                  wy * ((1.0 - wx) * v01 + wx * v11)
+              } else {
+                val v0 = pix(math.floor(sxp + 0.5).toLong, math.floor(syp + 0.5).toLong)
+                if (java.lang.Double.isNaN(v0)) 0.0 else v0
+              }
+            out(yy * ts + xx) = v
+            xx += 1
+          }
+          yy += 1
+        }
+        Tile(dstZ, dx, dy, band, ts, ts, out)
+      }
+  }
+
   /** Exact port of GDALChecksumImage for one tile's pixel window
     * (/root/reference/alg/gdalchecksum.cpp:36-57,175-188):
     * primes {7,...,43}; value += int(v) % prime[(y*W+x) % 11]; accumulator
