@@ -1121,6 +1121,84 @@ object Queries {
              ${cents("value")} AS value_cents
       FROM f ORDER BY value_cents DESC, event_id LIMIT 500""")),
 
+    // -- OGR special fields: FID / OGR_GEOMETRY / OGR_GEOM_WKT /
+    // OGR_GEOM_AREA as virtual columns (ogrfeature.cpp:1523-1533);
+    // integer-coordinate geometries so the WKT text itself is oracled
+    ("g17_special_fields", (s, dir) => {
+      prep(s)
+      val base = t(s, dir, "events")
+        .select(col("event_id").as("fid"),
+          expr(s"CAST(floor(${lonOf("event_id")}) AS BIGINT)").as("ix"),
+          expr(s"CAST(floor(${latOf("event_id")}) AS BIGINT)").as("iy"))
+        .withColumn("wkt_in", expr(
+          """CASE WHEN fid % 2 = 0
+             THEN concat('POINT (', ix, ' ', iy, ')')
+             ELSE concat('POLYGON ((', ix, ' ', iy, ',', ix + 3, ' ', iy, ',',
+                         ix + 3, ' ', iy + 2, ',', ix, ' ', iy + 2, ',', ix, ' ', iy, '))')
+             END"""))
+        .withColumn("wkb", gf.st_geomfromtext(col("wkt_in")))
+      base.select(col("fid"),
+          gf.st_geometrytype(col("wkb")).as("ogr_geometry"),
+          gf.st_astext(col("wkb")).as("ogr_geom_wkt"),
+          expr("CAST(floor(st_area(wkb) + 0.5) AS BIGINT)").as("ogr_geom_area"))
+        .orderBy("fid")
+    }, Some(s"""
+      WITH b AS (SELECT event_id AS fid,
+            CAST(floor(${lonOf("event_id")}) AS BIGINT) AS ix,
+            CAST(floor(${latOf("event_id")}) AS BIGINT) AS iy FROM events)
+      SELECT fid,
+        CASE WHEN fid % 2 = 0 THEN 'POINT' ELSE 'POLYGON' END AS ogr_geometry,
+        CASE WHEN fid % 2 = 0
+          THEN 'POINT (' || ix || ' ' || iy || ')'
+          ELSE 'POLYGON ((' || ix || ' ' || iy || ',' || (ix + 3) || ' ' || iy || ',' ||
+               (ix + 3) || ' ' || (iy + 2) || ',' || ix || ' ' || (iy + 2) || ',' ||
+               ix || ' ' || iy || '))' END AS ogr_geom_wkt,
+        CASE WHEN fid % 2 = 0 THEN 0 ELSE 6 END AS ogr_geom_area
+      FROM b ORDER BY fid""")),
+
+    // -- COUNT(*) metadata fast path (ogr_gensql.cpp:957-974; Catalyst
+    // rewrites to a metadata-only scan over parquet row counts)
+    ("q18_count_star", (s, dir) => {
+      val names = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      names.map { n =>
+        t(s, dir, n).groupBy(lit(n).as("tbl")).agg(count(lit(1)).as("n_rows"))
+      }.reduce(_ unionByName _).orderBy("tbl")
+    }, Some {
+      val arms = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+        .map(n => s"SELECT '$n' AS tbl, count(*) AS n_rows FROM $n")
+      s"""${arms.mkString(" UNION ALL ")} ORDER BY tbl"""
+    }),
+
+    // -- polygonize: connected components of equal-valued pixels with
+    // cross-tile boundary merge; oracle = recursive min-label propagation
+    ("r06_polygonize", (s, dir) => {
+      val base = engine.Raster.syntheticTiles(s, 2, tileSize = 16) { (gx, gy) =>
+        ((gx / 5 + gy / 3) % 4).toDouble
+      }
+      engine.Polygonize.components(base, width = 64)
+        .select(col("label"), col("value"), col("size").cast("long").as("size"))
+        .orderBy("label")
+    }, Some("""
+      WITH RECURSIVE px AS (
+        SELECT xs.gx AS gx, ys.gy AS gy,
+               ((xs.gx // 5) + (ys.gy // 3)) % 4 AS v,
+               ys.gy * 64 + xs.gx AS idx
+        FROM (SELECT unnest(generate_series(0, 63)) AS gx) xs
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS gy) ys),
+      reach(gx, gy, lbl) AS (
+        SELECT gx, gy, idx FROM px
+        UNION
+        SELECT p.gx, p.gy, r.lbl
+        FROM reach r
+        JOIN px q ON q.gx = r.gx AND q.gy = r.gy
+        JOIN px p ON p.v = q.v AND abs(p.gx - q.gx) + abs(p.gy - q.gy) = 1),
+      lab AS (SELECT gx, gy, min(lbl) AS label FROM reach GROUP BY gx, gy)
+      SELECT l.label, CAST(p.v AS DOUBLE) AS value, count(*) AS size
+      FROM lab l JOIN px p ON p.gx = l.gx AND p.gy = l.gy
+      GROUP BY l.label, p.v ORDER BY l.label""")),
+
     // -- gap-based sessionization over the events stream table (window
     // lag + running session counter — SQLite-dialect window surface)
     ("s02_sessionize", (s, dir) => {
