@@ -1199,6 +1199,116 @@ object Queries {
       FROM lab l JOIN px p ON p.gx = l.gx AND p.gy = l.gy
       GROUP BY l.label, p.v ORDER BY l.label""")),
 
+    // -- layer algebra: polygon-polygon intersects join via cell covers
+    // (ogrlayer.cpp Intersection/Clip loop shape; axis-aligned fixtures so
+    // the oracle is exact interval overlap)
+    ("g18_layer_algebra", (s, dir) => {
+      prep(s)
+      def rectWkt(cx: String, cy: String, w: String) =
+        s"concat('POLYGON ((', CAST($cx - $w AS STRING), ' ', CAST($cy - $w AS STRING), ',', " +
+          s"CAST($cx + $w AS STRING), ' ', CAST($cy - $w AS STRING), ',', " +
+          s"CAST($cx + $w AS STRING), ' ', CAST($cy + $w AS STRING), ',', " +
+          s"CAST($cx - $w AS STRING), ' ', CAST($cy + $w AS STRING), ',', " +
+          s"CAST($cx - $w AS STRING), ' ', CAST($cy - $w AS STRING), '))')"
+      val left = t(s, dir, "orders").where(col("o_orderkey") <= 400)
+        .select(col("o_orderkey"),
+          expr(lonOfQ("o_orderkey")).as("cx"), expr(latOfQ("o_orderkey")).as("cy"),
+          expr(s"1.0 + 2.0 * ${fract(s"CAST(o_orderkey AS DOUBLE) * $sqrt2")}").as("w"))
+        .withColumn("wkb", gf.st_geomfromtext(expr(rectWkt("cx", "cy", "w"))))
+        .select("o_orderkey", "wkb")
+      val right = t(s, dir, "part")
+        .select(col("p_partkey"),
+          expr(lonOf("p_partkey")).as("cx"), expr(latOf("p_partkey")).as("cy"),
+          expr(s"1.0 + 2.0 * ${fract(s"CAST(p_partkey AS DOUBLE) * $sqrt3")}").as("w"))
+        .withColumn("wkb", gf.st_geomfromtext(expr(rectWkt("cx", "cy", "w"))))
+        .select("p_partkey", "wkb")
+      SpatialJoin.intersectsJoin(left, "o_orderkey", right, "p_partkey", z = 4)
+        .select("o_orderkey", "p_partkey").orderBy("o_orderkey", "p_partkey")
+    }, Some(s"""
+      WITH l AS (SELECT o_orderkey, ${lonOfQ("o_orderkey")} AS cx, ${latOfQ("o_orderkey")} AS cy,
+            1.0 + 2.0 * ${fract(s"CAST(o_orderkey AS DOUBLE) * $sqrt2")} AS w
+          FROM orders WHERE o_orderkey <= 400),
+      r AS (SELECT p_partkey, ${lonOf("p_partkey")} AS cx, ${latOf("p_partkey")} AS cy,
+            1.0 + 2.0 * ${fract(s"CAST(p_partkey AS DOUBLE) * $sqrt3")} AS w
+          FROM part)
+      SELECT o_orderkey, p_partkey FROM l JOIN r
+      ON l.cx - l.w <= r.cx + r.w AND r.cx - r.w <= l.cx + l.w
+      AND l.cy - l.w <= r.cy + r.w AND r.cy - r.w <= l.cy + l.w
+      ORDER BY o_orderkey, p_partkey""")),
+
+    // -- convex hull: interior points dropped, hull area + vertex count
+    ("g19_convexhull", (s, dir) => {
+      prep(s)
+      val base = t(s, dir, "events").where(col("event_id") < 3000)
+        .select(col("event_id"),
+          expr(lonOf("event_id")).as("cx"),
+          expr(s"greatest(-80.0, least(80.0, ${latOf("event_id")}))").as("cy"),
+          expr(s"0.5 + 2.0 * ${fract(s"CAST(event_id AS DOUBLE) * $sqrt3 + 0.7")}").as("w"))
+        .withColumn("mp", expr(
+          "concat('MULTIPOINT ((', CAST(cx - w AS STRING), ' ', CAST(cy - w AS STRING), '),(', " +
+            "CAST(cx + w AS STRING), ' ', CAST(cy - w AS STRING), '),(', " +
+            "CAST(cx AS STRING), ' ', CAST(cy AS STRING), '),(', " + // interior
+            "CAST(cx + w AS STRING), ' ', CAST(cy + w AS STRING), '),(', " +
+            "CAST(cx - w AS STRING), ' ', CAST(cy + w AS STRING), '))')"))
+        .withColumn("hull", gf.st_convexhull(gf.st_geomfromtext(col("mp"))))
+      base.select(col("event_id"),
+          expr("CAST(floor(st_area(hull) * 1000000.0 + 0.5) AS BIGINT)").as("area_u"),
+          expr("CAST(length(st_astext(hull)) - length(replace(st_astext(hull), ',', '')) + 1 AS BIGINT)").as("n_points"))
+        .orderBy("event_id")
+    }, Some(s"""
+      WITH b AS (SELECT event_id,
+            0.5 + 2.0 * ${fract(s"CAST(event_id AS DOUBLE) * $sqrt3 + 0.7")} AS w
+          FROM events WHERE event_id < 3000)
+      SELECT event_id,
+        CAST(floor((2.0 * w) * (2.0 * w) * 1000000.0 + 0.5) AS BIGINT) AS area_u,
+        CAST(5 AS BIGINT) AS n_points
+      FROM b ORDER BY event_id""")),
+
+    // -- band algebra: normalized-difference + reclassify per pixel
+    // (gdal raster calc / VRT pixel functions; checksum oracle)
+    ("r07_band_calc", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val z = 3
+      val b1 = engine.Raster.syntheticTiles(s, z) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val b2 = engine.Raster.syntheticTiles(s, z) { (gx, gy) =>
+        ((gx * 4561 + gy * 7127) % 8191).toDouble
+      }
+      val nd = engine.Raster.combineBands(b1, b2) { (a, b) =>
+        1000.0 * (a - b) / (a + b + 1.0)
+      }
+      val cls = engine.Raster.mapPixels(nd) { v =>
+        if (v < -500.0) 1.0 else if (v < 0.0) 2.0 else if (v < 500.0) 3.0 else 4.0
+      }
+      val ndC = nd.map(ti => (ti.x.toLong, ti.y.toLong,
+        engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong)).toDF("x", "y", "cks_nd")
+      val clsC = cls.map(ti => (ti.x.toLong, ti.y.toLong,
+        engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong)).toDF("x", "y", "cks_cls")
+      ndC.join(clsC, Seq("x", "y"))
+        .withColumn("z", lit(z).cast("long"))
+        .select("z", "x", "y", "cks_nd", "cks_cls").orderBy("x", "y")
+    }, Some {
+      val f1 = "CAST((gx * 7919 + gy * 104729) % 9973 AS DOUBLE)"
+      val f2 = "CAST((gx * 4561 + gy * 7127) % 8191 AS DOUBLE)"
+      val nd = s"(1000.0 * ($f1 - $f2) / ($f1 + $f2 + 1.0))"
+      val cls = s"(CASE WHEN $nd < -500.0 THEN 1.0 WHEN $nd < 0.0 THEN 2.0 WHEN $nd < 500.0 THEN 3.0 ELSE 4.0 END)"
+      // checksum int conversion: floor(v+0.5) with the INT_MIN/clamp path
+      // irrelevant in these ranges; nd can be negative -> same floor rule
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 2047)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 2047)) AS gy) ys),
+          v AS (SELECT gx, gy, CAST(floor($nd + 0.5) AS BIGINT) AS ivn,
+                CAST(floor($cls + 0.5) AS BIGINT) AS ivc FROM px),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+                ivn, ivc FROM v)
+          SELECT CAST(3 AS BIGINT) AS z, tx AS x, ty AS y,
+            CAST(((sum(ivn % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks_nd,
+            CAST(sum(ivc % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536 AS BIGINT) AS cks_cls
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
     // -- gap-based sessionization over the events stream table (window
     // lag + running session counter — SQLite-dialect window surface)
     ("s02_sessionize", (s, dir) => {

@@ -112,6 +112,33 @@ object Raster {
       }
   }
 
+  /** Per-pixel band algebra (gdal raster calc / VRT pixel functions,
+    * /root/reference/frmts/vrt/pixelfunctions.cpp): narrow map, no shuffle. */
+  def mapPixels(tiles: Dataset[Tile], band: Int = -1)(f: Double => Double): Dataset[Tile] = {
+    import tiles.sparkSession.implicits._
+    tiles.map { t =>
+      val out = new Array[Double](t.pixels.length)
+      var i = 0
+      while (i < out.length) { out(i) = f(t.pixels(i)); i += 1 }
+      Tile(t.z, t.x, t.y, if (band >= 0) band else t.band, t.w, t.h, out)
+    }
+  }
+
+  /** Two-band pixel combine (sum/diff/norm-diff family): equi-join on the
+    * tile key — co-partitioned if both sides share bucketing; one shuffle
+    * otherwise. */
+  def combineBands(a: Dataset[Tile], b: Dataset[Tile], outBand: Int = 1)
+                  (f: (Double, Double) => Double): Dataset[Tile] = {
+    import a.sparkSession.implicits._
+    a.joinWith(b, a("z") === b("z") && a("x") === b("x") && a("y") === b("y"))
+      .map { case (ta, tb) =>
+        val out = new Array[Double](ta.pixels.length)
+        var i = 0
+        while (i < out.length) { out(i) = f(ta.pixels(i), tb.pixels(i)); i += 1 }
+        Tile(ta.z, ta.x, ta.y, outBand, ta.w, ta.h, out)
+      }
+  }
+
   /** dst pixel-center → src pixel-center affine: srcPx = (dstPx+0.5)·s + t − 0.5. */
   case class WarpAffine(sx: Double, sy: Double, tx: Double, ty: Double)
 
