@@ -1309,6 +1309,42 @@ object Queries {
           FROM cells GROUP BY 2, 3 ORDER BY x, y"""
     }),
 
+    // -- proximity raster: exact euclidean distance to nearest target
+    // within radius, R-wide halo strips (gdalproximity.cpp semantics)
+    ("r08_proximity", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val z = 2; val ts = 128 // 512x512 global grid
+      val base = engine.Raster.syntheticTiles(s, z, tileSize = ts) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val prox = engine.Proximity.proximity(base, radius = 64, isTarget = _ < 25.0)
+      prox.map(ti => (ti.x.toLong, ti.y.toLong,
+          engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong))
+        .toDF("x", "y", "cks")
+        .withColumn("z", lit(z).cast("long"))
+        .select("z", "x", "y", "cks").orderBy("x", "y")
+    }, Some("""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy,
+            (xs.gx * 7919 + ys.gy * 104729) % 9973 AS v
+          FROM (SELECT unnest(generate_series(0, 511)) AS gx) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS gy) ys),
+      tg AS (SELECT gx AS tx, gy AS ty FROM px WHERE v < 25),
+      nr AS (SELECT p.gx, p.gy,
+            min((t.tx - p.gx) * (t.tx - p.gx) + (t.ty - p.gy) * (t.ty - p.gy)) AS d2
+          FROM px p JOIN tg t
+          ON t.tx BETWEEN p.gx - 64 AND p.gx + 64 AND t.ty BETWEEN p.gy - 64 AND p.gy + 64
+          GROUP BY p.gx, p.gy),
+      d AS (SELECT p.gx, p.gy,
+            CASE WHEN nr.d2 IS NULL OR nr.d2 > 4096 THEN 65535.0
+                 ELSE sqrt(CAST(nr.d2 AS DOUBLE)) END AS dist
+          FROM px p LEFT JOIN nr ON nr.gx = p.gx AND nr.gy = p.gy),
+      cells AS (SELECT gx >> 7 AS tx2, gy >> 7 AS ty2, gx % 128 AS cx, gy % 128 AS cy,
+            CAST(floor(dist + 0.5) AS BIGINT) AS iv FROM d)
+      SELECT CAST(2 AS BIGINT) AS z, tx2 AS x, ty2 AS y,
+        CAST(sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 128 + cx) % 11 AS INT) + 1]) % 65536 AS BIGINT) AS cks
+      FROM cells GROUP BY 2, 3 ORDER BY x, y""")),
+
     // -- gap-based sessionization over the events stream table (window
     // lag + running session counter — SQLite-dialect window surface)
     ("s02_sessionize", (s, dir) => {
