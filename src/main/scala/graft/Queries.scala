@@ -1345,6 +1345,153 @@ object Queries {
         CAST(sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 128 + cx) % 11 AS INT) + 1]) % 65536 AS BIGINT) AS cks
       FROM cells GROUP BY 2, 3 ORDER BY x, y""")),
 
+    // -- IVF approximate nearest neighbor: coarse quantizer (first-K vecs
+    // as centroids), inverted lists = cluster assignment, queries probe
+    // the nprobe nearest centroids then rank exact cosine inside — the
+    // bounded-candidate scale path for 100 TB similarity search
+    ("e03_ivf_topk", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("norm", expr(sparkNorm("embedding")))
+      val cents = broadcast(e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("norm").as("cn")))
+      // assign every vector to its nearest centroid by cosine (ties: cid)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+      val assigned = e.crossJoin(cents)
+        .withColumn("csim", expr(sparkDot("embedding", "ce")) / (col("norm") * col("cn")))
+        .withColumn("rk", row_number().over(wAssign))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
+      // queries probe the 4 nearest centroids' lists
+      val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)
+      val probes = e.where(col("vec_id") >= 20 && col("vec_id") < 60)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("norm").as("qn"))
+        .crossJoin(cents)
+        .withColumn("csim", expr(sparkDot("qe", "ce")) / (col("qn") * col("cn")))
+        .withColumn("rk", row_number().over(wProbe))
+        .where(col("rk") <= 4)
+        .select("qid", "qe", "qn", "cid")
+      val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      probes.join(assigned, "cid")
+        .where(col("qid") =!= col("vec_id"))
+        .withColumn("cos", expr(sparkDot("qe", "embedding")) / (col("qn") * col("norm")))
+        .withColumn("rank", row_number().over(wTop).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("vec_id").as("pid"), col("rank"),
+          expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").as("cos_u"))
+        .orderBy("qid", "rank")
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS norm FROM embeddings),
+      cents AS (SELECT vec_id AS cid, embedding AS ce, norm AS cn FROM e WHERE vec_id < 16),
+      assign AS (SELECT vec_id, embedding, norm, cid FROM (
+          SELECT e.vec_id, e.embedding, e.norm, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckDot("e.embedding", "c.ce")} / (e.norm * c.cn) DESC, c.cid) AS rk
+          FROM e CROSS JOIN cents c) WHERE rk = 1),
+      probes AS (SELECT qid, qe, qn, cid FROM (
+          SELECT q.vec_id AS qid, q.embedding AS qe, q.norm AS qn, c.cid,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckDot("q.embedding", "c.ce")} / (q.norm * c.cn) DESC, c.cid) AS rk
+          FROM e q CROSS JOIN cents c
+          WHERE q.vec_id >= 20 AND q.vec_id < 60) WHERE rk <= 4),
+      cand AS (SELECT p.qid, a.vec_id AS pid,
+            ${duckDot("p.qe", "a.embedding")} / (p.qn * a.norm) AS cos
+          FROM probes p JOIN assign a USING (cid) WHERE p.qid <> a.vec_id),
+      r AS (SELECT qid, pid, cos, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, pid) AS BIGINT) AS rank FROM cand)
+      SELECT qid, pid, rank, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+      FROM r WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // -- pure-SQL surface through the registered FunctionRegistry (the
+    // SQLite-dialect entry point: ST_* callable from spark.sql text)
+    ("q19_sql_surface", (s, dir) => {
+      prep(s)
+      t(s, dir, "events").createOrReplaceTempView("ev")
+      s.sql(s"""
+        SELECT event_id,
+               st_cell(${lonOf("event_id")}, ${latOf("event_id")}, 7) AS cell,
+               tile_quadkey(7, CAST(tile_x(${lonOf("event_id")}, 7) AS INT),
+                            CAST(tile_y(${latOf("event_id")}, 7) AS INT)) AS qk,
+               st_astext(st_point(CAST(floor(${lonOf("event_id")}) AS DOUBLE),
+                                  CAST(floor(${latOf("event_id")}) AS DOUBLE))) AS wkt
+        FROM ev ORDER BY event_id""")
+    }, Some {
+      // cell = (z << 58) | (x << 29) | y with z=7
+      val cx = tileX(lonOf("event_id"), 7); val cy = tileY(latOf("event_id"), 7)
+      // quadkey at z=7: 7 digits from interleaved bits of (x, y)
+      val qk = (1 to 7).map { i =>
+        val mask = 1 << (7 - i)
+        s"CAST((CASE WHEN ($cx & $mask) <> 0 THEN 1 ELSE 0 END) + (CASE WHEN ($cy & $mask) <> 0 THEN 2 ELSE 0 END) AS VARCHAR)"
+      }.mkString(" || ")
+      s"""SELECT event_id,
+            (CAST(7 AS BIGINT) << 58) | ($cx << 29) | $cy AS cell,
+            $qk AS qk,
+            'POINT (' || CAST(CAST(floor(${lonOf("event_id")}) AS BIGINT) AS VARCHAR) || ' ' ||
+              CAST(CAST(floor(${latOf("event_id")}) AS BIGINT) AS VARCHAR) || ')' AS wkt
+          FROM events ORDER BY event_id"""
+    }),
+
+    // -- contour extraction: marching squares with 1px halo, per-tile
+    // per-level segment count + exact integer length sum
+    ("r09_contour", (s, dir) => {
+      val levels = Seq(4986.5, 2000.25)
+      val base = engine.Raster.syntheticTiles(s, 2, tileSize = 64) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      engine.Contour.contour(base, levels)
+        .select(col("z").cast("long").as("z"), col("x").cast("long").as("x"),
+          col("y").cast("long").as("y"), col("level"),
+          col("n_segments"), col("len_u"))
+        .orderBy("x", "y", "level")
+    }, Some {
+      def segSql(L: String): (String, String) = {
+        val (tl, tr, br, bl) = ("tl", "tr", "br", "bl")
+        val tTop = s"(($L - $tl) / ($tr - $tl))"
+        val tRight = s"(($L - $tr) / ($br - $tr))"
+        val tBot = s"(($L - $bl) / ($br - $bl))"
+        val tLeft = s"(($L - $tl) / ($bl - $tl))"
+        def len(dx: String, dy: String) =
+          s"CAST(floor(sqrt(($dx) * ($dx) + ($dy) * ($dy)) * 1000000.0 + 0.5) AS BIGINT)"
+        val lb = len(s"$tBot - 0.0", s"1.0 - $tLeft")
+        val bri = len(s"1.0 - $tBot", s"$tRight - 1.0")
+        val lr = len("1.0", s"$tRight - $tLeft")
+        val tri = len(s"1.0 - $tTop", s"$tRight - 0.0")
+        val tb = len(s"$tBot - $tTop", "1.0")
+        val lt = len(s"$tTop", s"0.0 - $tLeft")
+        val rb = len(s"$tBot - 1.0", s"1.0 - $tRight")
+        val idx = s"((CASE WHEN $tl >= $L THEN 8 ELSE 0 END) + (CASE WHEN $tr >= $L THEN 4 ELSE 0 END) + " +
+          s"(CASE WHEN $br >= $L THEN 2 ELSE 0 END) + (CASE WHEN $bl >= $L THEN 1 ELSE 0 END))"
+        val n = s"(CASE $idx WHEN 0 THEN 0 WHEN 15 THEN 0 WHEN 5 THEN 2 WHEN 10 THEN 2 ELSE 1 END)"
+        val lenSum = s"""(CASE $idx
+          WHEN 0 THEN 0 WHEN 15 THEN 0
+          WHEN 1 THEN $lb WHEN 14 THEN $lb
+          WHEN 2 THEN $bri WHEN 13 THEN $bri
+          WHEN 3 THEN $lr WHEN 12 THEN $lr
+          WHEN 4 THEN $tri WHEN 11 THEN $tri
+          WHEN 6 THEN $tb WHEN 9 THEN $tb
+          WHEN 7 THEN $lt WHEN 8 THEN $lt
+          WHEN 5 THEN $lt + $rb
+          WHEN 10 THEN $lb + $tri END)"""
+        (n, lenSum)
+      }
+      def f(xe: String, ye: String) =
+        s"CAST((($xe) * 7919 + ($ye) * 104729) % 9973 AS DOUBLE)"
+      val arms = Seq("4986.5", "2000.25").map { l =>
+        val (n, ls) = segSql(l)
+        s"""SELECT gx >> 6 AS x, gy >> 6 AS y, $l AS level,
+            CAST(sum($n) AS BIGINT) AS n_segments, CAST(sum($ls) AS BIGINT) AS len_u
+            FROM cells GROUP BY 1, 2"""
+      }
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 254)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 254)) AS gy) ys),
+          cells AS (SELECT gx, gy, ${f("gx", "gy")} AS tl, ${f("gx + 1", "gy")} AS tr,
+            ${f("gx + 1", "gy + 1")} AS br, ${f("gx", "gy + 1")} AS bl FROM px)
+          SELECT CAST(2 AS BIGINT) AS z, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+                 level, n_segments, len_u
+          FROM (${arms.mkString(" UNION ALL ")})
+          ORDER BY x, y, level"""
+    }),
+
     // -- gap-based sessionization over the events stream table (window
     // lag + running session counter — SQLite-dialect window surface)
     ("s02_sessionize", (s, dir) => {
