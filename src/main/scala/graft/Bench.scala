@@ -161,7 +161,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2000000").toLong
-    val scaleRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+    val scaleRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "5").toInt
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
     val s = session(cpus)

@@ -37,6 +37,7 @@ object TileJob {
     * per level, each level 4x smaller. */
   def pyramidCounts(pts: DataFrame, minZ: Int, maxZ: Int): DataFrame = {
     val base = tileCounts(pts, maxZ).cache()
+    base.count() // materialize once so the 6-way union reads the cache
     // every overview level derives from the (small, cached) base via bit
     // shifts — one cheap shuffle per level over pre-aggregated data, not a
     // chain of recomputations
