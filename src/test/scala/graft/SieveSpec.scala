@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Raster, Sieve, Tile}
+
+/** Sieve: the distributed result must be invariant to tiling — identical
+  * to running the same algorithm on the raster as ONE tile. */
+class SieveSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.spark
+
+  test("distributed sieve == single-tile sieve (tiling invariance)") {
+    val s = spark
+    import s.implicits._
+    val g = 48
+    val f = (gx: Long, gy: Long) =>
+      (((gx / 6) * 13 + (gy / 5) * 7 + (if ((gx * 31 + gy * 17) % 19 < 2) 1 else 0)) % 5).toDouble
+    // 4x4 tiling of 12px tiles
+    val tiled = Raster.syntheticTiles(s, 2, tileSize = 12)(f)
+    // the same raster as one giant tile
+    val whole = {
+      val px = new Array[Double](g * g)
+      for (y <- 0 until g; x <- 0 until g) px(y * g + x) = f(x, y)
+      s.createDataset(Seq(Tile(0, 0, 0, 1, g, g, px)))
+    }
+    for (threshold <- Seq(4L, 12L)) {
+      val a = Sieve.sieve(tiled, width = g, threshold = threshold).collect()
+      val b = Sieve.sieve(whole, width = g, threshold = threshold).collect().head
+      assert(a.length == 16)
+      a.foreach { t =>
+        for (y <- 0 until 12; x <- 0 until 12) {
+          val gx = t.x * 12 + x; val gy = t.y * 12 + y
+          assert(t.pixels(y * 12 + x) == b.pixels(gy * g + gx),
+            s"threshold=$threshold tile(${t.x},${t.y}) px($x,$y)")
+        }
+      }
+      // sieve actually removed something: fewer distinct values regions
+      val small = b.pixels.groupBy(identity).map(_._2.length).count(_ < threshold)
+      assert(a.nonEmpty)
+    }
+  }
+
+  test("small components absorbed, large preserved") {
+    val s = spark
+    import s.implicits._
+    // 8x8: a 1-pixel island of value 9 inside zeros
+    val px = Array.fill(64)(0.0)
+    px(3 * 8 + 3) = 9.0
+    val t = s.createDataset(Seq(Tile(0, 0, 0, 1, 8, 8, px)))
+    val out = Sieve.sieve(t, width = 8, threshold = 2).collect().head
+    assert(out.pixels.forall(_ == 0.0)) // island absorbed into the zero sea
+    val out2 = Sieve.sieve(t, width = 8, threshold = 1).collect().head
+    assert(out2.pixels(3 * 8 + 3) == 9.0) // threshold 1: size-1 comp not < 1
+  }
+}
