@@ -1492,6 +1492,48 @@ object Queries {
           ORDER BY x, y, level"""
     }),
 
+    // -- fill-nodata: IDW inpaint of nodata pixels within radius (R-halo)
+    ("r10_fill_nodata", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val z = 2; val ts = 128
+      val base = engine.Raster.syntheticTiles(s, z, tileSize = ts) { (gx, gy) =>
+        if ((gx * 31 + gy * 17) % 37 == 0) -1.0
+        else ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      engine.Fill.fillNodata(base, radius = 16, nodata = -1.0)
+        .map(ti => (ti.x.toLong, ti.y.toLong,
+          engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong))
+        .toDF("x", "y", "cks")
+        .withColumn("z", lit(z).cast("long"))
+        .select("z", "x", "y", "cks").orderBy("x", "y")
+    }, Some {
+      val d2 = "((q.vx - p.gx) * (q.vx - p.gx) + (q.vy - p.gy) * (q.vy - p.gy))"
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy,
+            CASE WHEN (xs.gx * 31 + ys.gy * 17) % 37 = 0 THEN -1.0
+                 ELSE CAST((xs.gx * 7919 + ys.gy * 104729) % 9973 AS DOUBLE) END AS v
+          FROM (SELECT unnest(generate_series(0, 511)) AS gx) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS gy) ys),
+      valid AS (SELECT gx AS vx, gy AS vy, v AS vv FROM px WHERE v <> -1.0),
+      fb AS (SELECT p.gx, p.gy,
+            sum(q.vv / CAST($d2 AS DOUBLE)) AS num,
+            sum(1.0 / CAST($d2 AS DOUBLE)) AS den
+          FROM px p JOIN valid q
+          ON q.vx BETWEEN p.gx - 16 AND p.gx + 16 AND q.vy BETWEEN p.gy - 16 AND p.gy + 16
+            AND $d2 BETWEEN 1 AND 256
+          WHERE p.v = -1.0
+          GROUP BY p.gx, p.gy),
+      d AS (SELECT p.gx, p.gy,
+            CASE WHEN p.v <> -1.0 THEN p.v
+                 WHEN fb.den > 0.0 THEN fb.num / fb.den ELSE -1.0 END AS v2
+          FROM px p LEFT JOIN fb ON fb.gx = p.gx AND fb.gy = p.gy),
+      cells AS (SELECT gx >> 7 AS tx, gy >> 7 AS ty, gx % 128 AS cx, gy % 128 AS cy,
+            CAST(floor(v2 + 0.5) AS BIGINT) AS iv FROM d)
+      SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y,
+        CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 128 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks
+      FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
     // -- gap-based sessionization over the events stream table (window
     // lag + running session counter — SQLite-dialect window surface)
     ("s02_sessionize", (s, dir) => {
