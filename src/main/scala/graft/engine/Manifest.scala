@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object Manifest {
 
   case class UnitRecord(job_id: String, unit: String, rows: Long, ms: Long,
-                        input_fingerprint: String)
+                        input_fingerprint: String, metrics_json: String = "{}")
 
   def manifestPath(outDir: String): String = s"$outDir/_graft_manifest"
 
@@ -48,9 +48,9 @@ object Manifest {
     val todo = units.filterNot(done)
     todo.foreach { u =>
       val t0 = System.nanoTime()
-      val rows = process(u)
+      val (rows, stats) = Metrics.measure(spark)(process(u))
       recordUnit(spark, outDir, UnitRecord(jobId, u, rows, (System.nanoTime() - t0) / 1000000,
-        inputFingerprint))
+        inputFingerprint, stats.toJson))
     }
     todo
   }

@@ -159,4 +159,20 @@ class EngineSpec extends AnyFunSuite {
     assert(r3 == Seq("z4", "z5"))
     assert(Manifest.completedUnits(spark, dir2) == units.toSet)
   }
+
+  test("manifest records task metrics per unit (lineage + metrics)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
+    Manifest.runResumable(s, dir, "jobM", Seq("u1"), "fp") { _ =>
+      // real Spark work so the listener sees tasks
+      s.range(0, 100000, 1, 8).selectExpr("sum(id)").collect()
+      100000L
+    }
+    val rec = s.read.parquet(Manifest.manifestPath(dir))
+      .selectExpr("unit", "rows", "metrics_json").as[(String, Long, String)].collect().head
+    assert(rec._1 == "u1" && rec._2 == 100000L)
+    assert(rec._3.contains("\"n_tasks\":") && !rec._3.contains("\"n_tasks\":0"))
+    assert(rec._3.contains("run_time_ms"))
+  }
 }
