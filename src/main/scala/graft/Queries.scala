@@ -395,11 +395,12 @@ object Queries {
 
   /** Per-doc minhash signature frame shared by d04/d05. */
   private def minhashDf(s: SparkSession, dir: String): DataFrame = {
+    prep(s)
     val base = t(s, dir, "documents").where(expr("length(text) >= 3"))
-      .withColumn("codes", expr(trigramCodes("text", duck = false)))
+      .withColumn("sig", gf.text_minhash(col("text")))
     (0 until 8).foldLeft(base) { (df, j) =>
-      df.withColumn(s"h$j", expr(minhashSql("codes", j, duck = false)))
-    }.drop("codes")
+      df.withColumn(s"h$j", element_at(col("sig"), j + 1))
+    }.drop("sig")
   }
 
   private def minhashCte: String = {
@@ -660,9 +661,9 @@ object Queries {
 
     // -- SimHash document fingerprint (16 bits over trigram hashes)
     ("d06_simhash", (s, dir) => {
+      prep(s)
       t(s, dir, "documents").where(expr("length(text) >= 3"))
-        .withColumn("codes", expr(trigramCodes("text", duck = false)))
-        .select(col("doc_id"), expr(simhashSql("codes", 16, duck = false)).as("simhash"))
+        .select(col("doc_id"), gf.text_simhash16(col("text")).as("simhash"))
         .orderBy("doc_id")
     }, Some(s"""
       WITH c AS (SELECT doc_id, ${trigramCodes("text", duck = true)} AS codes
@@ -674,7 +675,7 @@ object Queries {
     ("d07_jaccard_pairs", (s, dir) => {
       val d = t(s, dir, "documents")
         .where(expr("doc_id % 7 = 0 AND length(text) >= 3"))
-        .withColumn("cd", array_distinct(expr(trigramCodes("text", duck = false))))
+        .withColumn("cd", array_distinct(gf.text_trigram_codes(col("text"))))
         .select("doc_id", "lang", "source", "cd")
       d.as("l").join(d.as("r"),
           col("l.lang") === col("r.lang") && col("l.source") === col("r.source") &&

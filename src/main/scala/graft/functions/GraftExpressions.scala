@@ -557,3 +557,46 @@ case class HilbertCode(children: Seq[Expression])
   protected override def withNewChildrenInternal(ns: IndexedSeq[Expression]): HilbertCode =
     copy(children = ns)
 }
+
+/** text_trigram_codes(s) → array<int> of character-trigram codes — the
+  * shared shingle base of the dedup family (single pass, codegen). */
+case class TextTrigramCodes(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "text_trigram_codes"
+  protected override def nullSafeEval(s: Any): Any =
+    new GenericArrayData(graft.functions.TextKernel.trigramCodes(s.asInstanceOf[UTF8String]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextKernel.trigramCodes($s))")
+  protected override def withNewChildInternal(n: Expression): TextTrigramCodes = copy(child = n)
+}
+
+/** text_minhash(s) → array<long> of the 8 MinHash values, one pass
+  * (SURVEY training-data ops; oracle-pinned by d04/d05). */
+case class TextMinHash(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "text_minhash"
+  protected override def nullSafeEval(s: Any): Any =
+    new GenericArrayData(graft.functions.TextKernel.minhashSig(s.asInstanceOf[UTF8String]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextKernel.minhashSig($s))")
+  protected override def withNewChildInternal(n: Expression): TextMinHash = copy(child = n)
+}
+
+/** text_simhash16(s) → 16-bit SimHash fingerprint as long, one pass. */
+case class TextSimHash16(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "text_simhash16"
+  protected override def nullSafeEval(s: Any): Any =
+    graft.functions.TextKernel.simhash16(s.asInstanceOf[UTF8String])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernel.simhash16($s)")
+  protected override def withNewChildInternal(n: Expression): TextSimHash16 = copy(child = n)
+}

@@ -66,6 +66,9 @@ object GraftFunctions {
     arity("st_env_intersects_box", 5)(a => StEnvIntersectsBox(a(0), a(1), a(2), a(3), a(4))),
     arity("st_clip_bbox", 5)(a => StClipBBox(a(0), a(1), a(2), a(3), a(4))),
     arity("hilbert_code", 6)(a => HilbertCode(a)),
+    arity("text_trigram_codes", 1)(a => TextTrigramCodes(a(0))),
+    arity("text_minhash", 1)(a => TextMinHash(a(0))),
+    arity("text_simhash16", 1)(a => TextSimHash16(a(0))),
   )
 
   /** Runtime registration on an existing session (temp functions). */
@@ -135,4 +138,7 @@ object gf {
     call_function("st_clip_bbox", wkb, minX, minY, maxX, maxY)
   def hilbert_code(x: Column, y: Column, minX: Column, minY: Column, maxX: Column, maxY: Column): Column =
     call_function("hilbert_code", x, y, minX, minY, maxX, maxY)
+  def text_trigram_codes(s: Column): Column = call_function("text_trigram_codes", s)
+  def text_minhash(s: Column): Column = call_function("text_minhash", s)
+  def text_simhash16(s: Column): Column = call_function("text_simhash16", s)
 }

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-hash kernels for the dedup family (trigram codes,
+  * MinHash signature, SimHash fingerprint). These are the codegen-friendly
+  * replacements for the HOF (`transform`/`aggregate`) formulations: one
+  * tight loop over the characters instead of 8-16 interpreted lambda
+  * traversals per row. Semantics are identical to the SQL/HOF versions
+  * pinned by the d04/d05/d06 oracles (codepoint-based trigram codes
+  * c0·65536 + c1·256 + c2; h_j(x) = (A_j·x + B_j) mod P; SimHash bit k set
+  * iff Σ (2·bit_k(h)−1) > 0). Codepoints are taken from the UTF-16 chars —
+  * identical to SQL `ascii(substr(...))` for the BMP (the corpus is ASCII).
+  */
+object TextKernel {
+
+  final val P = 1000000007L
+  final val MinhashA: Array[Long] = Array(387420489L, 517578125L, 282475249L,
+    131072003L, 823543019L, 594823321L, 362797057L, 148035889L)
+  final val MinhashB: Array[Long] = Array(12289L, 24593L, 49157L, 98317L,
+    196613L, 393241L, 786433L, 1572869L)
+  final val SimA = 961748927L
+  final val SimB = 179424673L
+
+  def trigramCodes(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val n = str.length
+    if (n < 3) return Array.emptyIntArray
+    val out = new Array[Int](n - 2)
+    var c0 = str.charAt(0).toInt
+    var c1 = str.charAt(1).toInt
+    var i = 0
+    while (i < n - 2) {
+      val c2 = str.charAt(i + 2).toInt
+      out(i) = c0 * 65536 + c1 * 256 + c2
+      c0 = c1; c1 = c2
+      i += 1
+    }
+    out
+  }
+
+  /** 8 MinHash values in one pass (Long.MaxValue when no trigrams). */
+  def minhashSig(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val n = str.length
+    val mins = Array.fill(MinhashA.length)(Long.MaxValue)
+    if (n < 3) return mins
+    var c0 = str.charAt(0).toInt
+    var c1 = str.charAt(1).toInt
+    var i = 0
+    while (i < n - 2) {
+      val c2 = str.charAt(i + 2).toInt
+      val x = (c0 * 65536 + c1 * 256 + c2).toLong
+      var j = 0
+      while (j < MinhashA.length) {
+        val v = (MinhashA(j) * x + MinhashB(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      c0 = c1; c1 = c2
+      i += 1
+    }
+    mins
+  }
+
+  /** 16-bit SimHash in one pass (0 when no trigrams). */
+  def simhash16(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    if (n < 3) return 0L
+    val acc = new Array[Long](16)
+    var c0 = str.charAt(0).toInt
+    var c1 = str.charAt(1).toInt
+    var i = 0
+    while (i < n - 2) {
+      val c2 = str.charAt(i + 2).toInt
+      val x = (c0 * 65536 + c1 * 256 + c2).toLong
+      val h = (SimA * x + SimB) % P
+      var k = 0
+      while (k < 16) {
+        acc(k) += 2L * ((h >> k) & 1L) - 1L
+        k += 1
+      }
+      c0 = c1; c1 = c2
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 16) { if (acc(k) > 0) out |= (1L << k); k += 1 }
+    out
+  }
+}
