@@ -1535,6 +1535,40 @@ object Queries {
       FROM cells GROUP BY 2, 3 ORDER BY x, y"""
     }),
 
+    // -- gdallocationinfo: point → raster pixel value lookup (join on the
+    // tile key, in-tile array index; oracle recomputes f analytically)
+    ("r11_location_info", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val z = 3
+      val tiles = engine.Raster.syntheticTiles(s, z) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }.toDF().select(col("x").as("tx"), col("y").as("ty"), col("pixels"))
+      val pts = eventPoints(s, dir).where(col("event_id") < 5000)
+        .withColumn("pxd", expr(s"((${mercX("lon")}) + $os) / ${resAt(z)}"))
+        .withColumn("pyd", expr(s"2048.0 - (((${mercY("lat")}) + $os) / ${resAt(z)})"))
+        .where(col("pxd") >= 0 && col("pxd") < 2048 && col("pyd") >= 0 && col("pyd") < 2048)
+        .withColumn("ipx", expr("CAST(floor(pxd) AS BIGINT)"))
+        .withColumn("ipy", expr("CAST(floor(pyd) AS BIGINT)"))
+        .withColumn("tx", shiftright(col("ipx"), 8).cast("int"))
+        .withColumn("ty", shiftright(col("ipy"), 8).cast("int"))
+      pts.join(tiles, Seq("tx", "ty"))
+        .select(col("event_id"), col("ipx"), col("ipy"),
+          element_at(col("pixels"),
+            (pmod(col("ipy"), lit(256)) * 256 + pmod(col("ipx"), lit(256)) + 1).cast("int")).as("v"))
+        .orderBy("event_id")
+    }, Some(s"""
+      WITH p AS (SELECT event_id,
+            ((${mercX(lonOf("event_id"))}) + $os) / ${resAt(3)} AS pxd,
+            2048.0 - (((${mercY(latOf("event_id"))}) + $os) / ${resAt(3)}) AS pyd
+          FROM events WHERE event_id < 5000),
+      q AS (SELECT event_id, CAST(floor(pxd) AS BIGINT) AS ipx,
+            CAST(floor(pyd) AS BIGINT) AS ipy FROM p
+          WHERE pxd >= 0 AND pxd < 2048 AND pyd >= 0 AND pyd < 2048)
+      SELECT event_id, ipx, ipy,
+        CAST((ipx * 7919 + ipy * 104729) % 9973 AS DOUBLE) AS v
+      FROM q ORDER BY event_id""")),
+
     // -- gap-based sessionization over the events stream table (window
     // lag + running session counter — SQLite-dialect window surface)
     ("s02_sessionize", (s, dir) => {
