@@ -131,7 +131,13 @@ object Bench {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx24g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-Xmx24g",
+      // GC threads sized to the simulated executor's core allocation —
+      // the JVM default (= machine cores) would give the low-parallelism
+      // JVM 8x its share of GC bandwidth and skew the N vs 4N comparison
+      s"-XX:ParallelGCThreads=$cpus",
+      s"-XX:ConcGCThreads=${math.max(1, cpus / 4)}",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.Bench", "--probe", cpus.toString, n.toString, runs.toString)
     val out = new StringBuilder
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()

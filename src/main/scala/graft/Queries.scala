@@ -410,13 +410,12 @@ object Queries {
           FROM documents WHERE length(text) >= 3))"""
   }
 
-  /** Sequential-fold dot product (identical order in both engines). */
-  private def sparkDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Sequential-fold dot product (identical order in both engines; native
+    * VecKernel expression — same fold as the HOF formulation). */
+  private def sparkDot(a: String, b: String): String = s"vec_dot($a, $b)"
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def sparkNorm(a: String): String =
-    s"sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+  private def sparkNorm(a: String): String = s"vec_norm($a)"
   private def duckNorm(a: String): String =
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 

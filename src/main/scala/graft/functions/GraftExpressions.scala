@@ -600,3 +600,34 @@ case class TextSimHash16(child: Expression)
     defineCodeGen(ctx, ev, s => s"graft.functions.TextKernel.simhash16($s)")
   protected override def withNewChildInternal(n: Expression): TextSimHash16 = copy(child = n)
 }
+
+/** vec_dot(a, b) → double: sequential-fold dot product (ANN hot path). */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.VecKernel.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernel.dot($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** vec_norm(a) → double: sequential-fold L2 norm. */
+case class VecNorm(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+  protected override def nullSafeEval(a: Any): Any =
+    graft.functions.VecKernel.norm(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernel.norm($a)")
+  protected override def withNewChildInternal(n: Expression): VecNorm = copy(child = n)
+}

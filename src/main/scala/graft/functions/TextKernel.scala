@@ -90,3 +90,25 @@ object TextKernel {
     out
   }
 }
+
+/** Sequential-fold vector kernels for the embedding similarity family —
+  * same left-to-right summation order as the `aggregate(zip_with(...))`
+  * HOF formulation (and DuckDB's list_sum), so results are bit-identical
+  * while skipping per-element lambda interpretation. */
+object VecKernel {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+          b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+  def norm(a: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = a.getDouble(i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+}
