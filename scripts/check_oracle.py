@@ -37,12 +37,30 @@ def main(sf_dir, out_dir):
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
         diff_cols = []
+        # driver-faithful compare: dtypes must agree (DuckDB HUGEINT from a
+        # bare sum() surfaces as float64/object and hash-mismatches int64
+        # even when values coerce equal), and values compare as the driver
+        # formats them, not via pandas numeric coercion
+        def fmt(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return "NULL"
+            try:
+                import pandas as _pd
+                if v is _pd.NaT or (hasattr(_pd, "isna") and _pd.isna(v)):
+                    return "NULL"
+            except Exception:
+                pass
+            if isinstance(v, float):
+                return repr(v)
+            return str(v)
         for c in gc:
             a, b = got[c], want[c]
-            try:
-                eq = (a == b) | (a.isna() & b.isna())
-            except Exception:
-                eq = a.astype(str) == b.astype(str)
+            if a.dtype.kind != b.dtype.kind:
+                diff_cols.append((c, "dtype", str(a.dtype), str(b.dtype), -1))
+                continue
+            fa = a.map(fmt)
+            fb = b.map(fmt)
+            eq = fa == fb
             if not eq.all():
                 idx = (~eq).idxmax()
                 diff_cols.append((c, idx, a[idx], b[idx], int((~eq).sum())))

@@ -62,15 +62,16 @@ object Queries {
           countDistinct(col("l_orderkey")).as("n_orders"),
           min("l_returnflag").as("min_flag"),
           max("l_returnflag").as("max_flag"),
-          min("l_quantity").as("min_qty"),
-          max("l_quantity").as("max_qty"),
+          expr("CAST(floor(min(l_quantity) * 100.0 + 0.5) AS BIGINT)").as("min_qty_cents"),
+          expr("CAST(floor(max(l_quantity) * 100.0 + 0.5) AS BIGINT)").as("max_qty_cents"),
           sum(expr(cents("l_extendedprice"))).as("sum_price_cents"))
     }, Some(s"""
       SELECT count(*) AS n_rows,
              count(DISTINCT l_orderkey) AS n_orders,
              min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag,
-             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-             sum(${cents("l_extendedprice")}) AS sum_price_cents
+             CAST(floor(min(l_quantity) * 100.0 + 0.5) AS BIGINT) AS min_qty_cents,
+             CAST(floor(max(l_quantity) * 100.0 + 0.5) AS BIGINT) AS max_qty_cents,
+             CAST(sum(${cents("l_extendedprice")}) AS BIGINT) AS sum_price_cents
       FROM lineitem WHERE l_quantity > 10""")),
 
     // -- projection + arithmetic + filter (OGR WHERE / TranslateFeature)
@@ -104,7 +105,7 @@ object Queries {
     }, Some(s"""
       SELECT l_returnflag, l_linestatus, count(*) AS n,
              CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS sum_qty,
-             sum(${cents("l_extendedprice")}) AS sum_price_cents,
+             CAST(sum(${cents("l_extendedprice")}) AS BIGINT) AS sum_price_cents,
              count(DISTINCT l_partkey) AS n_parts
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""")),
@@ -122,7 +123,7 @@ object Queries {
         .orderBy("r_name", "n_name")
     }, Some(s"""
       SELECT r_name, n_name, count(*) AS n_orders,
-             sum(${cents("o_totalprice")}) AS sum_cents
+             CAST(sum(${cents("o_totalprice")}) AS BIGINT) AS sum_cents
       FROM orders JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
@@ -161,9 +162,9 @@ object Queries {
       SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
              CAST(row_number() OVER w AS BIGINT) AS rn,
              lag(c_custkey, 1) OVER w AS prev_key,
-             sum(${cents("c_acctbal")}) OVER (PARTITION BY c_nationkey
+             CAST(sum(${cents("c_acctbal")}) OVER (PARTITION BY c_nationkey
                ORDER BY c_acctbal DESC, c_custkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
       FROM customer
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
       ORDER BY c_custkey""")),
@@ -255,8 +256,8 @@ object Queries {
         .orderBy("event_type")
     }, Some(s"""
       SELECT event_type, count(*) AS n,
-             sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,
-             sum(${cents("value")}) AS sum_value_cents
+             CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+             CAST(sum(${cents("value")}) AS BIGINT) AS sum_value_cents
       FROM (SELECT *, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k FROM events)
       GROUP BY event_type ORDER BY event_type""")),
 
@@ -270,7 +271,7 @@ object Queries {
         .orderBy("wstart", "event_type")
     }, Some(s"""
       SELECT CAST(floor(floor(epoch(ts)) / 300) * 300 AS BIGINT) AS wstart,
-             event_type, count(*) AS n, sum(${cents("value")}) AS sum_cents
+             event_type, count(*) AS n, CAST(sum(${cents("value")}) AS BIGINT) AS sum_cents
       FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""")),
 
     // -- UNION ALL (OGRUnionLayer / swq UNION ALL)
@@ -317,7 +318,7 @@ object Queries {
       val levels = (3 to 8).map { z =>
         val sh = 8 - z
         s"""SELECT CAST($z AS BIGINT) AS z, x >> $sh AS x, y >> $sh AS y,
-               sum(n) AS n FROM base GROUP BY 2, 3"""
+               CAST(sum(n) AS BIGINT) AS n FROM base GROUP BY 2, 3"""
       }
       s"""WITH pts AS (SELECT ${lonOf("event_id")} AS lon, ${latOf("event_id")} AS lat FROM events),
           base AS (SELECT ${tileX("lon", 8)} AS x, ${tileY("lat", 8)} AS y,
@@ -858,7 +859,8 @@ object Queries {
         .groupBy("poly_id")
         .agg(count(lit(1)).as("n"),
           sum(expr(cents("value"))).as("sum_cents"),
-          min("value").as("min_v"), max("value").as("max_v"),
+          expr("CAST(floor(min(value) * 100.0 + 0.5) AS BIGINT)").as("min_cents"),
+          expr("CAST(floor(max(value) * 100.0 + 0.5) AS BIGINT)").as("max_cents"),
           countDistinct("event_id").as("n_distinct"))
         .orderBy("poly_id")
     }, Some {
@@ -868,8 +870,9 @@ object Queries {
       s"""WITH pts AS (SELECT event_id, value, ${lonOf("event_id")} AS lon,
             ${latOf("event_id")} AS lat FROM events),
           j AS (${arms.mkString(" UNION ALL ")})
-          SELECT poly_id, count(*) AS n, sum(${cents("value")}) AS sum_cents,
-            min(value) AS min_v, max(value) AS max_v,
+          SELECT poly_id, count(*) AS n, CAST(sum(${cents("value")}) AS BIGINT) AS sum_cents,
+            CAST(floor(min(value) * 100.0 + 0.5) AS BIGINT) AS min_cents,
+            CAST(floor(max(value) * 100.0 + 0.5) AS BIGINT) AS max_cents,
             count(DISTINCT event_id) AS n_distinct
           FROM j GROUP BY poly_id ORDER BY poly_id"""
     }),
@@ -899,7 +902,42 @@ object Queries {
           lit(-180.0), lit(-90.0), lit(180.0), lit(90.0)))
         .select("event_id", "h")
         .orderBy("h", "event_id").limit(200)
-    }, None),
+    }, Some(s"""
+      WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events),
+      s AS (SELECT event_id,
+          CAST(floor(65534.0 * (lon + 180.0) / 360.0 + 0.5) AS BIGINT) AS x,
+          CAST(floor(65534.0 * (lat + 90.0) / 180.0 + 0.5) AS BIGINT) AS y FROM pts),
+      h0 AS (SELECT event_id, x, y, xor(x, y) AS a0, xor(65535, xor(x, y)) AS b0,
+          xor(65535, x | y) AS c0, x & xor(y, 65535) AS d0 FROM s),
+      h1 AS (SELECT event_id, x, y, a0 | (b0 >> 1) AS a1, xor(a0 >> 1, a0) AS b1,
+          xor(xor(c0 >> 1, b0 & (d0 >> 1)), c0) AS c1,
+          xor(xor(a0 & (c0 >> 1), d0 >> 1), d0) AS d1 FROM h0),
+      h2 AS (SELECT event_id, x, y,
+          xor(a1 & (a1 >> 2), b1 & (b1 >> 2)) AS a2,
+          xor(a1 & (b1 >> 2), b1 & (xor(a1, b1) >> 2)) AS b2,
+          xor(c1, xor(a1 & (c1 >> 2), b1 & (d1 >> 2))) AS c2,
+          xor(d1, xor(b1 & (c1 >> 2), xor(a1, b1) & (d1 >> 2))) AS d2 FROM h1),
+      h3 AS (SELECT event_id, x, y,
+          xor(a2 & (a2 >> 4), b2 & (b2 >> 4)) AS a3,
+          xor(a2 & (b2 >> 4), b2 & (xor(a2, b2) >> 4)) AS b3,
+          xor(c2, xor(a2 & (c2 >> 4), b2 & (d2 >> 4))) AS c3,
+          xor(d2, xor(b2 & (c2 >> 4), xor(a2, b2) & (d2 >> 4))) AS d3 FROM h2),
+      h4 AS (SELECT event_id, x, y,
+          xor(c3, xor(a3 & (c3 >> 8), b3 & (d3 >> 8))) AS c4,
+          xor(d3, xor(b3 & (c3 >> 8), xor(a3, b3) & (d3 >> 8))) AS d4 FROM h3),
+      h5 AS (SELECT event_id, xor(x, y) AS i0,
+          xor(d4, d4 >> 1) | xor(65535, xor(x, y) | xor(c4, c4 >> 1)) AS i1 FROM h4),
+      h6 AS (SELECT event_id, (i0 | (i0 << 8)) & 16711935 AS i0,
+          (i1 | (i1 << 8)) & 16711935 AS i1 FROM h5),
+      h7 AS (SELECT event_id, (i0 | (i0 << 4)) & 252645135 AS i0,
+          (i1 | (i1 << 4)) & 252645135 AS i1 FROM h6),
+      h8 AS (SELECT event_id, (i0 | (i0 << 2)) & 858993459 AS i0,
+          (i1 | (i1 << 2)) & 858993459 AS i1 FROM h7),
+      h9 AS (SELECT event_id, (i0 | (i0 << 1)) & 1431655765 AS i0,
+          (i1 | (i1 << 1)) & 1431655765 AS i1 FROM h8)
+      SELECT event_id, (i1 << 1) | i0 AS h FROM h9
+      ORDER BY h, event_id LIMIT 200""")),
 
     // -- explode-collections (st_dump Generator) + swap-xy
     // (gdalalg_vector_explode / _swap_xy)
@@ -1088,12 +1126,14 @@ object Queries {
           FROM nodes JOIN pts
           ON (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) <= 25.0),
       agg AS (SELECT i, j, count(*) AS n,
-            sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents
+            CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
           FROM c GROUP BY i, j),
       nr AS (SELECT i, j, pid AS nearest_pid FROM c
           QUALIFY row_number() OVER (PARTITION BY i, j ORDER BY dist2, pid) = 1)
-      SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n, sum_cents, nearest_pid
-      FROM agg JOIN nr USING (i, j) ORDER BY i, j""")),
+      SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        COALESCE(n, 0) AS n, sum_cents, nearest_pid
+      FROM nodes LEFT JOIN agg USING (i, j) LEFT JOIN nr USING (i, j)
+      ORDER BY i, j""")),
 
     // -- ogr2ogr-style composed pipeline: bbox spat filter + attribute
     // filter + reprojection + field select + ordered limit (SURVEY §2.I)
@@ -1594,7 +1634,7 @@ object Queries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no FROM f)
       SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
              CAST(CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS BIGINT) AS dur_s,
-             sum(${cents("value")}) AS sum_cents
+             CAST(sum(${cents("value")}) AS BIGINT) AS sum_cents
       FROM g GROUP BY user_id, sess_no ORDER BY user_id, sess_no"""))
   )
 

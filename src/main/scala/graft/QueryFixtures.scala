@@ -194,7 +194,7 @@ object QueryFixtures {
     val seq = if (duck) s"generate_series(1, length($c) - 2)"
               else s"sequence(1, length($c) - 2)"
     val cp = if (duck) "unicode" else "ascii"
-    s"$xf($seq, i -> ($cp(substr($c, i, 1)) * 65536 + $cp(substr($c, i + 1, 1)) * 256 + $cp(substr($c, i + 2, 1))))"
+    s"$xf($seq, i -> (CAST($cp(substr($c, i, 1)) AS BIGINT) * 65536 + $cp(substr($c, i + 1, 1)) * 256 + $cp(substr($c, i + 2, 1))))"
   }
 
   /** MinHash parameters (fixed, shared): h_j(x) = (a_j * x + b_j) % P. */

@@ -35,9 +35,10 @@ object GridInterp {
   }
 
   /** Radius-search interpolation. pts needs (pid, lon, lat, value).
-    * Returns per node: n (count in radius), sum_cents (exact integer sum
-    * of values), nearest_pid + nearest-value (within radius; null if
-    * empty). Average = sum_cents / n downstream. */
+    * Returns one row per grid node (gdal_grid nodata semantics: nodes with
+    * no point in radius are kept with n=0 and null sum/nearest): n (count
+    * in radius), sum_cents (exact integer sum of values), nearest_pid
+    * (null if empty). Average = sum_cents / n downstream. */
   def radiusMetrics(nodes: DataFrame, pts: DataFrame, radius: Double): DataFrame = {
     val cell = (lon: Column, lat: Column) =>
       struct(floor(lon / radius).cast("long").as("cx"),
@@ -55,11 +56,15 @@ object GridInterp {
           (col("lat") - col("nlat")) * (col("lat") - col("nlat")))
       .where(col("dist2") <= lit(radius * radius))
     val w = Window.partitionBy("i", "j").orderBy(col("dist2"), col("pid"))
-    candidates
+    val metrics = candidates
       .withColumn("rk", row_number().over(w))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")).as("sum_cents"),
         max(when(col("rk") === 1, col("pid"))).as("nearest_pid"))
+    // Left-join back onto the full node grid so empty nodes surface as
+    // nodata rows (gdal_grid writes the nodata value there, alg/gdalgrid.cpp).
+    nodes.select("i", "j").join(metrics, Seq("i", "j"), "left")
+      .na.fill(0L, Seq("n"))
   }
 }

@@ -98,11 +98,11 @@ object Knn {
       pending = stillPending
       if (nPending == 0 || r >= ringCap) {
         if (nPending > 0) {
-          // ring budget exhausted: disk(ringCap) covers the entire grid,
-          // so this final pass is exhaustive (exact, not best-effort)
-          val cand2 = pending
-            .withColumn("pcell", explode(gf.cell_disk(col("qcell"), lit(ringCap))))
-            .join(pts, "pcell")
+          // ring budget exhausted: the unresolved remainder is small (the
+          // stragglers), so cross-join it against the points directly —
+          // exhaustive and exact, without materializing the (2·2^z+1)²-cell
+          // disk array per query that cell_disk(ringCap) would build
+          val cand2 = pending.select("qid", "lon", "lat").crossJoin(pts.drop("pcell"))
             .withColumn("dist_m", gf.st_greatcircle(col("lat"), col("lon"), col("plat"), col("plon")))
             .withColumn("rank", row_number().over(w))
             .where(col("rank") <= k)

@@ -563,7 +563,7 @@ case class HilbertCode(children: Seq[Expression])
 case class TextTrigramCodes(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "text_trigram_codes"
   protected override def nullSafeEval(s: Any): Any =
     new GenericArrayData(graft.functions.TextKernel.trigramCodes(s.asInstanceOf[UTF8String]))

@@ -73,10 +73,18 @@ object GraftFunctions {
     arity("vec_norm", 1)(a => VecNorm(a(0))),
   )
 
-  /** Runtime registration on an existing session (temp functions). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) => reg.createOrReplaceTempFunction(name, b, "scala_udf") }
+  /** Runtime registration on an existing session (temp functions).
+    * Idempotent per session: re-registering identical builders is a no-op,
+    * which keeps repeated prep() calls from spamming "function replaced"
+    * warnings in Verify/Bench logs. */
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.add(spark)) {
+      val reg = spark.sessionState.functionRegistry
+      builders.foreach { case (name, b) => reg.createOrReplaceTempFunction(name, b, "scala_udf") }
+    }
   }
 
   /** For spark.sql.extensions=graft.functions.GraftExtensions. */

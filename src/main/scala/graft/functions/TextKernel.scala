@@ -8,9 +8,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * tight loop over the characters instead of 8-16 interpreted lambda
   * traversals per row. Semantics are identical to the SQL/HOF versions
   * pinned by the d04/d05/d06 oracles (codepoint-based trigram codes
-  * c0·65536 + c1·256 + c2; h_j(x) = (A_j·x + B_j) mod P; SimHash bit k set
-  * iff Σ (2·bit_k(h)−1) > 0). Codepoints are taken from the UTF-16 chars —
-  * identical to SQL `ascii(substr(...))` for the BMP (the corpus is ASCII).
+  * c0·65536 + c1·256 + c2 computed in Long; h_j(x) = (A_j·x + B_j) mod P;
+  * SimHash bit k set iff Σ (2·bit_k(h)−1) > 0). Codepoints are taken from
+  * the UTF-16 chars — identical to SQL `ascii(substr(...))` for the whole
+  * BMP now that the code is widened to 64 bits before the multiply.
   */
 object TextKernel {
 
@@ -22,17 +23,17 @@ object TextKernel {
   final val SimA = 961748927L
   final val SimB = 179424673L
 
-  def trigramCodes(s: UTF8String): Array[Int] = {
+  def trigramCodes(s: UTF8String): Array[Long] = {
     val str = s.toString
     val n = str.length
-    if (n < 3) return Array.emptyIntArray
-    val out = new Array[Int](n - 2)
+    if (n < 3) return Array.emptyLongArray
+    val out = new Array[Long](n - 2)
     var c0 = str.charAt(0).toInt
     var c1 = str.charAt(1).toInt
     var i = 0
     while (i < n - 2) {
       val c2 = str.charAt(i + 2).toInt
-      out(i) = c0 * 65536 + c1 * 256 + c2
+      out(i) = c0.toLong * 65536L + c1 * 256L + c2
       c0 = c1; c1 = c2
       i += 1
     }
@@ -50,7 +51,7 @@ object TextKernel {
     var i = 0
     while (i < n - 2) {
       val c2 = str.charAt(i + 2).toInt
-      val x = (c0 * 65536 + c1 * 256 + c2).toLong
+      val x = c0.toLong * 65536L + c1 * 256L + c2
       var j = 0
       while (j < MinhashA.length) {
         val v = (MinhashA(j) * x + MinhashB(j)) % P
@@ -74,7 +75,7 @@ object TextKernel {
     var i = 0
     while (i < n - 2) {
       val c2 = str.charAt(i + 2).toInt
-      val x = (c0 * 65536 + c1 * 256 + c2).toLong
+      val x = c0.toLong * 65536L + c1 * 256L + c2
       val h = (SimA * x + SimB) % P
       var k = 0
       while (k < 16) {

@@ -31,11 +31,11 @@ object OgrCompat {
   final val IntMax = 2147483647L
 
   /** OGR integer division: x/0 = INT_MAX (swq_op_general.cpp:686-694).
-    * C++ int64 division truncates toward zero: (a - a%b)/b, since `%`
-    * follows the dividend's sign in both C++ and Spark. */
+    * Spark's `div` is true int64 integral division truncating toward zero
+    * (same as C++), with no double round-trip — exact for all quotients. */
   def intDiv(a: Column, b: Column): Column = {
     val al = a.cast("long"); val bl = b.cast("long")
-    when(bl === 0, lit(IntMax)).otherwise(((al - (al % bl)) / bl).cast("long"))
+    when(bl === 0, lit(IntMax)).otherwise(call_function("div", al, bl))
   }
 
   /** OGR integer modulo: x%0 = INT_MAX (swq_op_general.cpp:696-705). */
