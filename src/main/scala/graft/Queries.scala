@@ -1608,6 +1608,84 @@ object Queries {
         CAST((ipx * 7919 + ipy * 104729) % 9973 AS DOUBLE) AS v
       FROM q ORDER BY event_id""")),
 
+    // -- distributed sieve filter over a stripe raster whose merge result
+    // has a closed form: vertical stripes with widths from a deterministic
+    // sequence; stripes with area < threshold are absorbed into the wider
+    // of their two neighbors (GDALSieveFilter smallest-first semantics;
+    // the stripe pattern guarantees merges are independent: no two small
+    // stripes share a neighbor, so the SQL lag/lead rule is exact).
+    // Raster 512x256 tiled 128px (4x2 tiles) -> components cross tiles.
+    ("r12_sieve", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      // stripe spec: prefix of i=0.. while inclusive cum width <= 500,
+      // then a padding stripe to x=512. Widths: small 1+(i%2) when i%3==2,
+      // else large 6+(i%5). Values 10+i; padding 99999.
+      val stripes = {
+        val buf = scala.collection.mutable.ArrayBuffer[(Int, Int, Double)]()
+        var cum = 0; var i = 0; var stop = false
+        while (i < 200 && !stop) {
+          val w = if (i % 3 == 2) 1 + (i % 2) else 6 + (i % 5)
+          if (cum + w <= 500) { buf += ((cum, cum + w, 10.0 + i)); cum += w }
+          else stop = true
+          i += 1
+        }
+        buf += ((cum, 512, 99999.0))
+        buf.toArray
+      }
+      val x0s = stripes.map(_._1)
+      val valueAt: Int => Double = gx => {
+        var lo = 0; var hi = stripes.length - 1
+        while (lo < hi) { val m = (lo + hi + 1) / 2; if (x0s(m) <= gx) lo = m else hi = m - 1 }
+        stripes(lo)._3
+      }
+      val ts = 128
+      val tiles = s.range(0, 8, 1, 8).map { id =>
+        val tx = (id % 4).toInt; val ty = (id / 4).toInt
+        val px = new Array[Double](ts * ts)
+        var y = 0
+        while (y < ts) {
+          var x = 0
+          while (x < ts) { px(y * ts + x) = valueAt(tx * ts + x); x += 1 }
+          y += 1
+        }
+        engine.Tile(0, tx, ty, 1, ts, ts, px)
+      }
+      engine.Sieve.sieve(tiles, width = 512, threshold = 1500)
+        .flatMap { t =>
+          // stripes are vertical: one (column, value) pair per column
+          (0 until t.w).iterator.map { x =>
+            ((t.x * t.w + x).toLong, t.pixels(x).toLong)
+          }
+        }.distinct().toDF("x", "v")
+        .orderBy("x")
+    }, Some("""
+      WITH s AS (SELECT i, CASE WHEN i % 3 = 2 THEN 1 + (i % 2)
+                   ELSE 6 + (i % 5) END AS w
+                 FROM (SELECT unnest(generate_series(0, 199)) AS i)),
+      c AS (SELECT i, w, CAST(sum(w) OVER (ORDER BY i) AS BIGINT) AS cumw FROM s),
+      kept AS (SELECT i, w, cumw - w AS x0, cumw AS x1, 10 + i AS val
+               FROM c WHERE cumw <= 500),
+      mx AS (SELECT max(i) AS mi, max(x1) AS mc FROM kept),
+      pad AS (SELECT mi + 1 AS i, CAST(512 - mc AS BIGINT) AS w, mc AS x0,
+                     CAST(512 AS BIGINT) AS x1, 99999 AS val FROM mx),
+      st AS (SELECT * FROM kept UNION ALL SELECT * FROM pad),
+      j AS (SELECT i, w * 256 AS area, x0, x1, val,
+              lag(val) OVER (ORDER BY i) AS lval, lag(w) OVER (ORDER BY i) AS lw,
+              lead(val) OVER (ORDER BY i) AS rval, lead(w) OVER (ORDER BY i) AS rw
+            FROM st),
+      f AS (SELECT x0, x1,
+              CASE WHEN area >= 1500 THEN val
+                   WHEN lw IS NULL AND rw IS NULL THEN val
+                   WHEN lw IS NULL THEN rval
+                   WHEN rw IS NULL THEN lval
+                   WHEN lw >= rw THEN lval
+                   ELSE rval END AS fv
+            FROM j),
+      px AS (SELECT unnest(generate_series(0, 511)) AS x)
+      SELECT CAST(x AS BIGINT) AS x, CAST(fv AS BIGINT) AS v
+      FROM px JOIN f ON x >= x0 AND x < x1 ORDER BY x""")),
+
     // -- gap-based sessionization over the events stream table (window
     // lag + running session counter — SQLite-dialect window surface)
     ("s02_sessionize", (s, dir) => {

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed polygonize: connected components of equal-valued pixels
-  * (4-connected, GDAL default) over a tiled raster — per-tile labeling plus
+  * (4-connected GDAL default, 8-connected option) over a tiled raster —
+  * per-tile labeling plus
   * cross-tile boundary merge, the classic "crosses tile borders" raster op
   * (SURVEY.md §2.G).
   *
@@ -22,15 +23,17 @@ import org.apache.spark.sql.functions._
   * Labels are min-global-pixel-index, so output is invariant to tiling.
   */
 case class PolyTileOut(comps: Array[(Long, Double, Long)],
-                       borders: Array[(Int, Int, Int, Boolean, Array[Double], Array[Long])])
+                       borders: Array[(Int, Int, Int, Int, Array[Double], Array[Long])])
 
 object Polygonize {
 
   /** (label = min global pixel idx, value, size) per component. `width` =
     * global raster width in pixels (for the global index). */
-  def components(tiles: Dataset[Tile], width: Long): DataFrame = {
+  def components(tiles: Dataset[Tile], width: Long, conn: Int = 4): DataFrame = {
+    require(conn == 4 || conn == 8, s"connectivity must be 4 or 8, got $conn")
     val spark = tiles.sparkSession
     import spark.implicits._
+    val connB = conn
 
     // ---- pass 1: per-tile CCL + border strips
     val perTile = tiles.map { t =>
@@ -54,6 +57,10 @@ object Polygonize {
           val i = y * w + x
           if (x + 1 < w && t.pixels(i) == t.pixels(i + 1)) union(i, i + 1)
           if (y + 1 < h && t.pixels(i) == t.pixels(i + w)) union(i, i + w)
+          if (connB == 8) {
+            if (x + 1 < w && y + 1 < h && t.pixels(i) == t.pixels(i + w + 1)) union(i, i + w + 1)
+            if (x > 0 && y + 1 < h && t.pixels(i) == t.pixels(i + w - 1)) union(i, i + w - 1)
+          }
           x += 1
         }
         y += 1
@@ -104,12 +111,25 @@ object Polygonize {
         }
         (vs, ls)
       }
-      val borders = Array(
-        { val (vs, ls) = colStrip(w - 1); (t.x, t.y, t.band, true, vs, ls) },     // our right edge
-        { val (vs, ls) = colStrip(0); (t.x - 1, t.y, t.band, true, vs, ls) },     // neighbor's right edge
-        { val (vs, ls) = rowStrip(h - 1); (t.x, t.y, t.band, false, vs, ls) },    // our bottom edge
-        { val (vs, ls) = rowStrip(0); (t.x, t.y - 1, t.band, false, vs, ls) }     // neighbor's bottom edge
+      // kinds: 0 = vertical edge, 1 = horizontal edge, 2 = main-diagonal
+      // corner (NW/SE tiles), 3 = anti-diagonal corner (NE/SW tiles)
+      def corner(x: Int, y: Int) = {
+        val g = find(y * w + x)
+        (Array(t.pixels(y * w + x)), Array(lbl.get(g).longValue))
+      }
+      val strips = Array(
+        { val (vs, ls) = colStrip(w - 1); (t.x, t.y, t.band, 0, vs, ls) },     // our right edge
+        { val (vs, ls) = colStrip(0); (t.x - 1, t.y, t.band, 0, vs, ls) },     // neighbor's right edge
+        { val (vs, ls) = rowStrip(h - 1); (t.x, t.y, t.band, 1, vs, ls) },     // our bottom edge
+        { val (vs, ls) = rowStrip(0); (t.x, t.y - 1, t.band, 1, vs, ls) }      // neighbor's bottom edge
       )
+      val borders =
+        if (connB != 8) strips
+        else strips ++ Array(
+          { val (vs, ls) = corner(w - 1, h - 1); (t.x, t.y, t.band, 2, vs, ls) },    // we are NW
+          { val (vs, ls) = corner(0, 0); (t.x - 1, t.y - 1, t.band, 2, vs, ls) },    // we are SE
+          { val (vs, ls) = corner(0, h - 1); (t.x - 1, t.y, t.band, 3, vs, ls) },    // we are NE
+          { val (vs, ls) = corner(w - 1, 0); (t.x, t.y - 1, t.band, 3, vs, ls) })    // we are SW
       PolyTileOut(comps, borders)
     }.cache()
 
@@ -124,9 +144,13 @@ object Polygonize {
           // pair equal-valued aligned pixels
           val (_, _, _, _, v1, l1) = sides(0)
           val (_, _, _, _, v2, l2) = sides(1)
-          (0 until v1.length).iterator
-            .filter(i => v1(i) == v2(i) && l1(i) != l2(i))
-            .map(i => (math.min(l1(i), l2(i)), math.max(l1(i), l2(i))))
+          val offs = if (connB == 8) Seq(-1, 0, 1) else Seq(0)
+          (0 until v1.length).iterator.flatMap { i =>
+            offs.iterator.map(o => i + o)
+              .filter(j => j >= 0 && j < v2.length)
+              .filter(j => v1(i) == v2(j) && l1(i) != l2(j))
+              .map(j => (math.min(l1(i), l2(j)), math.max(l1(i), l2(j))))
+          }
         }
       }.distinct().collect()
 

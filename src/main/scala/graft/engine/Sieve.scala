@@ -2,9 +2,10 @@ package graft.engine
 
 import org.apache.spark.sql.Dataset
 
-/** Distributed sieve filter: raster polygons (4-connected equal-value
-  * components) smaller than a threshold are absorbed into their largest
-  * neighbor, smallest-first, until none remain (SURVEY.md §2.G `sieve`).
+/** Distributed sieve filter: raster polygons (4- or 8-connected
+  * equal-value components) smaller than a threshold are absorbed into their
+  * largest neighbor, smallest-first, until none remain (SURVEY.md §2.G
+  * `sieve`; connectivity option as in the reference's nPolyConnectedness).
   *
   * Reference: GDALSieveFilter (/root/reference/alg/gdalsievefilter.cpp:178)
   * — polygon enumeration + merge-into-largest-neighbor. Semantics here
@@ -99,15 +100,55 @@ object Sieve {
   }
 
   /** Sieve a tiled raster; returns the rewritten tiles. `width` = global
-    * raster width in pixels. */
-  def sieve(tiles: Dataset[Tile], width: Long, threshold: Long): Dataset[Tile] = {
+    * raster width in pixels.
+    *
+    * Scale shape: nothing O(pixels) or O(components) ever reaches the
+    * driver. The driver sees only (a) cross-tile border adjacency
+    * (perimeter-proportional, same budget Polygonize already spends) and
+    * (b) the merge subgraph — components under the size threshold, their
+    * incident edges, and the stats of their neighbors. Everything else
+    * (per-tile CCL, global size aggregation, edge semi-joins) is
+    * distributed. Only absorbed components change value, so the rewrite
+    * broadcast carries just those labels. */
+  def sieve(tiles: Dataset[Tile], width: Long, threshold: Long,
+            conn: Int = 4): Dataset[Tile] = {
+    require(conn == 4 || conn == 8, s"connectivity must be 4 or 8, got $conn")
     val spark = tiles.sparkSession
     import spark.implicits._
     val t0 = tiles.cache()
 
-    // pass 1 (reuse Polygonize internals): same-value union + components
-    val (comps, sameEdges, diffEdges) = componentGraph(t0, width)
-    // union same-value cross-tile edges first
+    val per = t0.map { t =>
+      val (_, comps, adjB, borders) = localCcl(t, width, conn)
+      (comps, adjB, borders)
+    }.cache()
+    per.count() // materialize once; three downstream consumers
+
+    // cross-tile edges from border strips: perimeter-proportional.
+    // 8-conn additionally pairs each strip pixel with its diagonal
+    // neighbors (offset ±1 on the facing strip) and the corner points of
+    // diagonally-adjacent tiles (kind 2/3 single-pixel strips).
+    val connB = conn
+    val crossEdges = per.flatMap(_._3)
+      .groupByKey(b => (b._1, b._2, b._3, b._4))
+      .flatMapGroups { (_, it) =>
+        val sides = it.toArray
+        if (sides.length < 2) Iterator.empty
+        else {
+          val (_, _, _, _, v1, l1) = sides(0)
+          val (_, _, _, _, v2, l2) = sides(1)
+          val offs = if (connB == 8) Seq(-1, 0, 1) else Seq(0)
+          (0 until v1.length).iterator.flatMap { i =>
+            offs.iterator
+              .map(o => i + o)
+              .filter(j => j >= 0 && j < v2.length)
+              .map(j => (v1(i) == v2(j), math.min(l1(i), l2(j)), math.max(l1(i), l2(j))))
+          }.filter(e => e._2 != e._3)
+        }
+      }.distinct().cache()
+
+    // same-value cross-tile union-find on the driver: the edge list is
+    // O(tile perimeter), not O(pixels) — the acceptable driver budget
+    val sameEdges = crossEdges.filter(_._1).map(e => (e._2, e._3)).collect()
     val root = scala.collection.mutable.HashMap[Long, Long]()
     def find(a: Long): Long = {
       var r = a
@@ -120,37 +161,79 @@ object Sieve {
       val ra = find(a); val rb = find(b)
       if (ra != rb) { if (ra < rb) root(rb) = ra else root(ra) = rb }
     }
-    val merged = scala.collection.mutable.HashMap[Long, (Double, Long)]()
-    comps.foreach { case (l, v, s) =>
-      val r = find(l)
-      val cur = merged.getOrElse(r, (v, 0L))
-      merged(r) = (v, cur._2 + s)
+    // path-compress into an immutable broadcastable map (touched labels
+    // only). Snapshot the key set BEFORE calling find(): find's path
+    // compression writes into `root` and mutable-HashMap iteration is not
+    // safe under concurrent value writes (it silently drops entries).
+    val rootMap: Map[Long, Long] = {
+      val ks = root.keys.toList
+      ks.map(l => l -> find(l)).filter(kv => kv._1 != kv._2).toMap
     }
-    val adjEdges = diffEdges.map { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      (math.min(ra, rb), math.max(ra, rb))
-    }.filter(e => e._1 != e._2).toSet
-    val finalValue = mergePolicy(merged.toMap, adjEdges, threshold)
-    // original local label -> final value
-    val labelValue: Map[Long, Double] =
-      comps.map { case (l, v, _) => l -> finalValue(find(l)) }.toMap
-    val bc = spark.sparkContext.broadcast(labelValue)
+    val bcRoot = spark.sparkContext.broadcast(rootMap)
 
-    // final pass: recompute local CCL per tile, rewrite pixel values
+    // global component stats, aggregated distributively on root labels
+    val compStats = per.flatMap(_._1.iterator.map { case (l, v, s) =>
+        (bcRoot.value.getOrElse(l, l), v, s)
+      })
+      .groupByKey(_._1)
+      .mapGroups { (l, it) =>
+        var v = 0.0; var s = 0L; var first = true
+        it.foreach { c => if (first) { v = c._2; first = false }; s += c._3 }
+        (l, v, s)
+      }.cache()
+
+    // diff-value adjacency on roots, deduped distributively
+    val diffEdges = per.flatMap(_._2.iterator)
+      .union(crossEdges.filter(!_._1).map(e => (e._2, e._3)))
+      .map { e =>
+        val ra = bcRoot.value.getOrElse(e._1, e._1)
+        val rb = bcRoot.value.getOrElse(e._2, e._2)
+        (math.min(ra, rb), math.max(ra, rb))
+      }.filter(e => e._1 != e._2).distinct().cache()
+
+    // merge subgraph: components below threshold + incident edges + the
+    // stats of every node those edges touch
+    val smallIds = compStats.filter(_._3 < threshold).map(_._1).cache()
+    val eDf = diffEdges.toDF("a", "b").cache()
+    val sA = smallIds.toDF("a"); val sB = smallIds.toDF("b")
+    val touchingDf = eDf.join(sA, Seq("a"), "left_semi")
+      .unionByName(eDf.join(sB, Seq("b"), "left_semi")).distinct()
+    val touching = touchingDf.as[(Long, Long)].collect()
+    val nodeIds = (touching.iterator.flatMap(e => Iterator(e._1, e._2)) ++
+      smallIds.collect().iterator).toSet
+    val bcNodes = spark.sparkContext.broadcast(nodeIds)
+    val nodes = compStats.filter(c => bcNodes.value.contains(c._1)).collect()
+
+    val finalValue = mergePolicy(
+      nodes.map { case (l, v, s) => l -> (v, s) }.toMap,
+      touching.toSet, threshold)
+    // only absorbed components change value; broadcast just those
+    val origValue = nodes.map { case (l, v, _) => l -> v }.toMap
+    val changed: Map[Long, Double] = finalValue.filter { case (l, v) => origValue(l) != v }
+    val bcChanged = spark.sparkContext.broadcast(changed)
+
+    per.unpersist(); crossEdges.unpersist(); compStats.unpersist()
+    smallIds.unpersist(); eDf.unpersist()
+
+    // final pass: recompute local CCL per tile, rewrite absorbed pixels
     t0.map { t =>
-      val (lbl, _, _, _) = localCcl(t, width)
+      val (lbl, _, _, _) = localCcl(t, width, connB)
       val out = new Array[Double](t.pixels.length)
       var i = 0
-      while (i < out.length) { out(i) = bc.value(lbl(i)); i += 1 }
+      while (i < out.length) {
+        val r = bcRoot.value.getOrElse(lbl(i), lbl(i))
+        out(i) = bcChanged.value.getOrElse(r, t.pixels(i))
+        i += 1
+      }
       Tile(t.z, t.x, t.y, t.band, t.w, t.h, out)
     }
   }
 
   /** Per-tile CCL: (per-pixel global label, comps (label,value,size),
     * in-tile diff-value adjacency, border (strips for cross-tile)). */
-  private[engine] def localCcl(t: Tile, width: Long)
+  private[engine] def localCcl(t: Tile, width: Long, conn: Int = 4)
       : (Array[Long], Array[(Long, Double, Long)], Array[(Long, Long)],
-         Array[(Int, Int, Int, Boolean, Array[Double], Array[Long])]) = {
+         Array[(Int, Int, Int, Int, Array[Double], Array[Long])]) = {
     val w = t.w; val h = t.h
     val parent = Array.tabulate(w * h)(identity)
     def find(a: Int): Int = {
@@ -171,6 +254,10 @@ object Sieve {
         val i = y * w + x
         if (x + 1 < w && t.pixels(i) == t.pixels(i + 1)) union(i, i + 1)
         if (y + 1 < h && t.pixels(i) == t.pixels(i + w)) union(i, i + w)
+        if (conn == 8) {
+          if (x + 1 < w && y + 1 < h && t.pixels(i) == t.pixels(i + w + 1)) union(i, i + w + 1)
+          if (x > 0 && y + 1 < h && t.pixels(i) == t.pixels(i + w - 1)) union(i, i + w - 1)
+        }
         x += 1
       }
       y += 1
@@ -205,10 +292,15 @@ object Sieve {
       var x = 0
       while (x < w) {
         val i = y * w + x
-        if (x + 1 < w && t.pixels(i) != t.pixels(i + 1))
-          adjB += ((math.min(pixLbl(i), pixLbl(i + 1)), math.max(pixLbl(i), pixLbl(i + 1))))
-        if (y + 1 < h && t.pixels(i) != t.pixels(i + w))
-          adjB += ((math.min(pixLbl(i), pixLbl(i + w)), math.max(pixLbl(i), pixLbl(i + w))))
+        def diffEdge(j: Int): Unit =
+          if (t.pixels(i) != t.pixels(j))
+            adjB += ((math.min(pixLbl(i), pixLbl(j)), math.max(pixLbl(i), pixLbl(j))))
+        if (x + 1 < w) diffEdge(i + 1)
+        if (y + 1 < h) diffEdge(i + w)
+        if (conn == 8) {
+          if (x + 1 < w && y + 1 < h) diffEdge(i + w + 1)
+          if (x > 0 && y + 1 < h) diffEdge(i + w - 1)
+        }
         x += 1
       }
       y += 1
@@ -225,42 +317,23 @@ object Sieve {
       while (xx < w) { vs(xx) = t.pixels(y0 * w + xx); ls(xx) = pixLbl(y0 * w + xx); xx += 1 }
       (vs, ls)
     }
-    val borders = Array(
-      { val (vs, ls) = colStrip(w - 1); (t.x, t.y, t.band, true, vs, ls) },
-      { val (vs, ls) = colStrip(0); (t.x - 1, t.y, t.band, true, vs, ls) },
-      { val (vs, ls) = rowStrip(h - 1); (t.x, t.y, t.band, false, vs, ls) },
-      { val (vs, ls) = rowStrip(0); (t.x, t.y - 1, t.band, false, vs, ls) })
+    // kinds: 0 = vertical edge, 1 = horizontal edge, 2 = main-diagonal
+    // corner (NW/SE tiles), 3 = anti-diagonal corner (NE/SW tiles)
+    def corner(x: Int, y: Int) =
+      (Array(t.pixels(y * w + x)), Array(pixLbl(y * w + x)))
+    val strips = Array(
+      { val (vs, ls) = colStrip(w - 1); (t.x, t.y, t.band, 0, vs, ls) },
+      { val (vs, ls) = colStrip(0); (t.x - 1, t.y, t.band, 0, vs, ls) },
+      { val (vs, ls) = rowStrip(h - 1); (t.x, t.y, t.band, 1, vs, ls) },
+      { val (vs, ls) = rowStrip(0); (t.x, t.y - 1, t.band, 1, vs, ls) })
+    val borders =
+      if (conn != 8) strips
+      else strips ++ Array(
+        { val (vs, ls) = corner(w - 1, h - 1); (t.x, t.y, t.band, 2, vs, ls) },     // we are NW
+        { val (vs, ls) = corner(0, 0); (t.x - 1, t.y - 1, t.band, 2, vs, ls) },     // we are SE
+        { val (vs, ls) = corner(0, h - 1); (t.x - 1, t.y, t.band, 3, vs, ls) },     // we are NE
+        { val (vs, ls) = corner(w - 1, 0); (t.x, t.y - 1, t.band, 3, vs, ls) })     // we are SW
     (pixLbl, comps, adjB.toArray, borders)
   }
 
-  /** Distributed component graph: (components, same-value cross-tile
-    * edges, diff-value edges incl. in-tile). */
-  private def componentGraph(tiles: Dataset[Tile], width: Long)
-      : (Array[(Long, Double, Long)], Array[(Long, Long)], Array[(Long, Long)]) = {
-    val spark = tiles.sparkSession
-    import spark.implicits._
-    val per = tiles.map { t =>
-      val (_, comps, adjB, borders) = localCcl(t, width)
-      (comps, adjB, borders)
-    }.cache()
-    val comps = per.flatMap(_._1).collect()
-    val inTile = per.flatMap(_._2).collect()
-    val crossEdges = per.flatMap(_._3)
-      .groupByKey(b => (b._1, b._2, b._3, b._4))
-      .flatMapGroups { (_, it) =>
-        val sides = it.toArray
-        if (sides.length < 2) Iterator.empty
-        else {
-          val (_, _, _, _, v1, l1) = sides(0)
-          val (_, _, _, _, v2, l2) = sides(1)
-          (0 until v1.length).iterator.map { i =>
-            (v1(i) == v2(i), math.min(l1(i), l2(i)), math.max(l1(i), l2(i)))
-          }.filter(e => e._2 != e._3)
-        }
-      }.distinct().collect()
-    val same = crossEdges.collect { case (true, a, b) => (a, b) }
-    val diff = crossEdges.collect { case (false, a, b) => (a, b) } ++ inTile
-    per.unpersist()
-    (comps, same, diff)
-  }
 }

@@ -52,4 +52,48 @@ class SieveSpec extends AnyFunSuite {
     val out2 = Sieve.sieve(t, width = 8, threshold = 1).collect().head
     assert(out2.pixels(3 * 8 + 3) == 9.0) // threshold 1: size-1 comp not < 1
   }
+
+  test("8-connectivity: diagonal chain is one component; 4-conn absorbs it") {
+    val s = spark
+    import s.implicits._
+    // 8x8 zeros with a diagonal line of 9s: (1,1)..(6,6) — under 8-conn a
+    // single size-6 component, under 4-conn six size-1 islands
+    val px = Array.fill(64)(0.0)
+    for (i <- 1 to 6) px(i * 8 + i) = 9.0
+    val t = () => s.createDataset(Seq(Tile(0, 0, 0, 1, 8, 8, px.clone())))
+    val out4 = Sieve.sieve(t(), width = 8, threshold = 5, conn = 4).collect().head
+    assert(out4.pixels.forall(_ == 0.0)) // each island size 1 < 5 → absorbed
+    val out8 = Sieve.sieve(t(), width = 8, threshold = 5, conn = 8).collect().head
+    for (i <- 1 to 6) assert(out8.pixels(i * 8 + i) == 9.0) // size 6 >= 5 → kept
+  }
+
+  test("8-conn distributed sieve == single-tile (tiling invariance incl. corners)") {
+    val s = spark
+    import s.implicits._
+    val g = 48
+    val f = (gx: Long, gy: Long) =>
+      (((gx / 6) * 13 + (gy / 5) * 7 + (if ((gx * 31 + gy * 17) % 19 < 2) 1 else 0)) % 5).toDouble
+    val tiled = Raster.syntheticTiles(s, 2, tileSize = 12)(f)
+    val whole = {
+      val px = new Array[Double](g * g)
+      for (y <- 0 until g; x <- 0 until g) px(y * g + x) = f(x, y)
+      s.createDataset(Seq(Tile(0, 0, 0, 1, g, g, px)))
+    }
+    val a = Sieve.sieve(tiled, width = g, threshold = 8, conn = 8).collect()
+    val b = Sieve.sieve(whole, width = g, threshold = 8, conn = 8).collect().head
+    a.foreach { t =>
+      for (y <- 0 until 12; x <- 0 until 12) {
+        val gx = t.x * 12 + x; val gy = t.y * 12 + y
+        assert(t.pixels(y * 12 + x) == b.pixels(gy * g + gx),
+          s"tile(${t.x},${t.y}) px($x,$y)")
+      }
+    }
+    // polygonize with the same connectivity is tiling-invariant too
+    import graft.engine.Polygonize
+    val ca = Polygonize.components(tiled, width = g, conn = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    val cb = Polygonize.components(whole, width = g, conn = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(ca.toSeq == cb.toSeq)
+  }
 }
