@@ -22,6 +22,8 @@ def main(sf_dir, out_dir):
     for name in sorted(oracle):
         sql = oracle[name]
         pq = f"{out_dir}/{name}"
+        if not os.path.isdir(pq):
+            continue  # not attempted (Verify name-filter iteration run)
         if not glob.glob(f"{pq}/*.parquet"):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:

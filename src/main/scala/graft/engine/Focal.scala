@@ -30,6 +30,18 @@ object Focal {
     * as a row-major 9-array (a b c / d e f / g h i). */
   def focal3x3(tiles: Dataset[Tile], f: Array[Double] => Double,
                nodataOut: Double = 0.0): Dataset[Tile] = {
+    val spark0 = tiles.sparkSession
+    import spark0.implicits._
+    focal3x3Multi(tiles, Seq(f), nodataOut).map(_._2)
+  }
+
+  /** N window kernels over ONE halo exchange: the shuffle ships each border
+    * strip once however many kernels consume it (gdaldem computes one
+    * derivative per pass; at 100 TB the halo shuffle dominates, so batching
+    * kernels is the Spark-native win). Output key = kernel index. Input must
+    * be single-band; the Tile.band field carries the input band through. */
+  def focal3x3Multi(tiles: Dataset[Tile], fns: Seq[Array[Double] => Double],
+                    nodataOut: Double = 0.0): Dataset[(Int, Tile)] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val contrib = tiles.flatMap { t =>
@@ -62,11 +74,11 @@ object Focal {
     }
     contrib
       .groupByKey(c => (c.z, c.x, c.y, c.band))
-      .mapGroups { (key, it) =>
+      .flatMapGroups { (key, it) =>
         val (z, x, y, band) = key
         val parts = it.toArray
         val center = parts.find(c => c.dx == 0 && c.dy == 0).orNull
-        if (center == null) null
+        if (center == null) Iterator.empty
         else {
           val w = center.sw; val h = center.sh
           val pw = w + 2; val ph = h + 2
@@ -88,7 +100,7 @@ object Focal {
               sy += 1
             }
           }
-          val out = new Array[Double](w * h)
+          val outs = Array.fill(fns.length)(new Array[Double](w * h))
           val win = new Array[Double](9)
           var yy = 0
           while (yy < h) {
@@ -108,15 +120,20 @@ object Focal {
                 }
                 wy += 1
               }
-              out(yy * w + xx) = if (ok) f(win) else nodataOut
+              var fi = 0
+              while (fi < fns.length) {
+                outs(fi)(yy * w + xx) = if (ok) fns(fi)(win) else nodataOut
+                fi += 1
+              }
               xx += 1
             }
             yy += 1
           }
-          Tile(z, x, y, band, w, h, out)
+          outs.iterator.zipWithIndex.map { case (out, fi) =>
+            (fi, Tile(z, x, y, band, w, h, out))
+          }
         }
       }
-      .filter(_ != null)
   }
 
   /** Horn slope in degrees (gdaldem slope semantics, scale=1, z=1):
@@ -149,7 +166,124 @@ object Focal {
     s / 9.0
   }
 
+  /** Aspect as compass azimuth in degrees (gdaldem aspect defaults,
+    * /root/reference/apps/gdaldem_lib.cpp:1441-1479): unweighted-corner
+    * gradient dx=(c+2f+i)-(a+2d+g), dy=(g+2h+i)-(a+2b+c),
+    * atan2(dy,-dx)→deg, then 90-a / 450-a azimuth fold; flat (dx=dy=0) →
+    * `flat` nodata; 360 folds to 0. Double arithmetic (the reference runs
+    * the window in float32; values agree to well below checksum rounding). */
+  def aspectWindow(flat: Double = -9999.0)(w: Array[Double]): Double = {
+    val dx = (w(2) + 2.0 * w(5) + w(8)) - (w(0) + 2.0 * w(3) + w(6))
+    val dy = (w(6) + 2.0 * w(7) + w(8)) - (w(0) + 2.0 * w(1) + w(2))
+    if (dx == 0.0 && dy == 0.0) flat
+    else {
+      val a = math.atan2(dy, -dx) * 180.0 / math.Pi
+      val az = if (a > 90.0) 450.0 - a else 90.0 - a
+      if (az == 360.0) 0.0 else az
+    }
+  }
+
+  /** TPI: center minus mean of the 8 neighbors
+    * (/root/reference/apps/gdaldem_lib.cpp:2352-2360). */
+  def tpiWindow(w: Array[Double]): Double =
+    w(4) - ((w(0) + w(1) + w(2) + w(3) + w(5) + w(6) + w(7) + w(8)) * 0.125)
+
+  /** TRI, Riley et al. 1999 (gdaldem tri default, terrestrial):
+    * sqrt of the sum of squared center-neighbor differences
+    * (/root/reference/apps/gdaldem_lib.cpp:2330-2346). */
+  def triRileyWindow(w: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < 9) {
+      if (i != 4) { val d = w(i) - w(4); s += d * d }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** TRI, Wilson et al. 2007 (bathymetric): mean |center-neighbor|
+    * (/root/reference/apps/gdaldem_lib.cpp:2316-2326). */
+  def triWilsonWindow(w: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < 9) {
+      if (i != 4) s += math.abs(w(i) - w(4))
+      i += 1
+    }
+    s * 0.125
+  }
+
+  /** Roughness: max-min over the window
+    * (/root/reference/apps/gdaldem_lib.cpp:2366-2386). */
+  def roughnessWindow(w: Array[Double]): Double = {
+    var mn = w(0); var mx = w(0); var i = 1
+    while (i < 9) {
+      if (w(i) > mx) mx = w(i)
+      if (w(i) < mn) mn = w(i)
+      i += 1
+    }
+    mx - mn
+  }
+
+  // gdalalg_raster_neighbors methods (reference :207 SetChoices list):
+  // mean/sum/min/max/stddev/median/mode over the window.
+
+  def sumWindow(w: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < 9) { s += w(i); i += 1 }
+    s
+  }
+
+  def minWindow(w: Array[Double]): Double = {
+    var m = w(0); var i = 1
+    while (i < 9) { if (w(i) < m) m = w(i); i += 1 }
+    m
+  }
+
+  def maxWindow(w: Array[Double]): Double = {
+    var m = w(0); var i = 1
+    while (i < 9) { if (w(i) > m) m = w(i); i += 1 }
+    m
+  }
+
+  /** Population stddev; the exact fold order (index 0..8, sums first) is
+    * fixed so an SQL twin writing the same left-assoc expression is
+    * bit-identical. */
+  def stddevWindow(w: Array[Double]): Double = {
+    var s = 0.0; var sq = 0.0; var i = 0
+    while (i < 9) { s += w(i); i += 1 }
+    i = 0
+    while (i < 9) { sq += w(i) * w(i); i += 1 }
+    val m = s / 9.0
+    math.sqrt(sq / 9.0 - m * m)
+  }
+
+  /** Middle of the 9 sorted values. */
+  def medianWindow(w: Array[Double]): Double = {
+    val c = w.clone(); java.util.Arrays.sort(c); c(4)
+  }
+
+  /** Most frequent value; ties break to the smallest value (deterministic
+    * for distributed runs; the reference's VRT-kernel mode is
+    * iteration-order-dependent on ties). */
+  def modeWindow(w: Array[Double]): Double = {
+    val c = w.clone(); java.util.Arrays.sort(c)
+    var best = c(0); var bestN = 1
+    var cur = c(0); var curN = 1
+    var i = 1
+    while (i < 9) {
+      if (c(i) == cur) curN += 1
+      else { cur = c(i); curN = 1 }
+      if (curN > bestN) { best = cur; bestN = curN }
+      i += 1
+    }
+    best
+  }
+
   def slope(tiles: Dataset[Tile]): Dataset[Tile] = focal3x3(tiles, slopeWindow)
   def hillshade(tiles: Dataset[Tile]): Dataset[Tile] = focal3x3(tiles, hillshadeWindow())
   def focalMean(tiles: Dataset[Tile]): Dataset[Tile] = focal3x3(tiles, meanWindow)
+  def aspect(tiles: Dataset[Tile]): Dataset[Tile] = focal3x3(tiles, aspectWindow())
+  def tpi(tiles: Dataset[Tile]): Dataset[Tile] = focal3x3(tiles, tpiWindow)
+  def tri(tiles: Dataset[Tile], alg: String = "Riley"): Dataset[Tile] =
+    focal3x3(tiles, if (alg == "Wilson") triWilsonWindow else triRileyWindow)
+  def roughness(tiles: Dataset[Tile]): Dataset[Tile] = focal3x3(tiles, roughnessWindow)
 }
