@@ -165,6 +165,115 @@ object Queries2 {
             ${cksCol("ivx")} AS cks_max, ${cksCol("ivm")} AS cks_med,
             ${cksCol("ivd")} AS cks_sd, ${cksCol("ivo")} AS cks_mode
           FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
+    // -- gdalwarp area resampling kernels (GDALResampleAlg Average/Sum/RMS/
+    // Min/Max/Med/Q1/Q3/Mode) on an exact x2 downsample: every dst pixel's
+    // source footprint is an exact 2x2 block (all coverage weights 1), so
+    // each kernel has a closed form per block. The hash f is duplicate-free
+    // within any 2x2 block (7919*dx + 4999*dy != 0 mod 9973 for |dx|,|dy|<=1),
+    // so mode = first-encountered = top-left (GWKTS_First) and the quantile
+    // picks (idx = ceil(q*4-1) -> q1:l[1], med:l[2], q3:l[3]) are unambiguous
+    ("r15_warp_area", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = engine.Raster.syntheticTiles(s, 3) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val aff = engine.Raster.WarpAffine(2.0, 2.0, 0.0, 0.0)
+      val kernels = Seq("average", "sum", "rms", "min", "max", "med", "q1", "q3", "mode")
+      val dfs = kernels.map { k =>
+        engine.Raster.warpAffine(base, 2, 4, 4, aff, k, 2048, 2048)
+          .map(t => (t.x.toLong, t.y.toLong,
+            engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+          .toDF("x", "y", s"cks_$k")
+      }
+      dfs.reduce((a, b) => a.join(b, Seq("x", "y")))
+        .withColumn("z", lit(2).cast("long"))
+        .select(col("z") +: col("x") +: col("y") +: kernels.map(k => col(s"cks_$k")): _*)
+        .orderBy("x", "y")
+    }, Some {
+      val maxG = 1023
+      def fAt(dx: Int, dy: Int) =
+        s"CAST(((2 * gx + $dx) * 7919 + (2 * gy + $dy) * 104729) % 9973 AS DOUBLE)"
+      // scan order of GWKAverageOrMode: iy outer, ix inner
+      val (v00, v10, v01, v11) = (fAt(0, 0), fAt(1, 0), fAt(0, 1), fAt(1, 1))
+      val sum4 = s"($v00 + $v10 + $v01 + $v11)"
+      val sq4 = s"($v00 * $v00 + $v10 * $v10 + $v01 * $v01 + $v11 * $v11)"
+      val lst = s"list_sort([$v00, $v10, $v01, $v11])"
+      val cols = Seq(
+        "average" -> s"($sum4 / 4.0)",
+        "sum" -> sum4,
+        "rms" -> s"sqrt($sq4 / 4.0)",
+        "min" -> s"least($v00, $v10, $v01, $v11)",
+        "max" -> s"greatest($v00, $v10, $v01, $v11)",
+        "med" -> s"($lst[2])",
+        "q1" -> s"($lst[1])",
+        "q3" -> s"($lst[3])",
+        "mode" -> v00)
+      val vSel = cols.map { case (k, e) => s"$e AS v_$k" }.mkString(", ")
+      val iSel = cols.map { case (k, _) => s"${toInt(s"v_$k")} AS i_$k" }.mkString(", ")
+      val cSel = cols.map { case (k, _) => s"${cksCol(s"i_$k")} AS cks_$k" }.mkString(", ")
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, $maxG)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, $maxG)) AS gy) ys),
+          v AS (SELECT gx, gy, $vSel FROM px),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            $iSel FROM v)
+          SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y, $cSel
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
+    // -- gdalwarp cubic (Keys convolution) on the r05 fractional affine:
+    // the oracle writes the exact GWKCubicComputeWeights polynomials with
+    // the engine's operation order ((0.5*f)*f etc.), so doubles are
+    // bit-identical before checksum rounding
+    ("r16_warp_cubic", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = engine.Raster.syntheticTiles(s, 3) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val aff = engine.Raster.WarpAffine(0.5, 0.5, 1500.3, 57.7)
+      engine.Raster.warpAffine(base, 3, 8, 8, aff, "cubic", 2048, 2048)
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks_cubic")
+        .withColumn("z", lit(3).cast("long"))
+        .select("z", "x", "y", "cks_cubic")
+        .orderBy("x", "y")
+    }, Some {
+      val maxG = 2047
+      def fAt(xe: String, ye: String) =
+        s"CAST((CAST($xe AS BIGINT) * 7919 + CAST($ye AS BIGINT) * 104729) % 9973 AS DOUBLE)"
+      def w(f: String, i: Int): String = i match {
+        case 0 => s"((0.5 * $f) * (-1.0 + $f * (2.0 - $f)))"
+        case 1 => s"(1.0 + ((0.5 * $f) * $f) * (-5.0 + 3.0 * $f))"
+        case 2 => s"((0.5 * $f) * (1.0 + $f * (4.0 - 3.0 * $f)))"
+        case 3 => s"(((0.5 * $f) * $f) * (-1.0 + $f))"
+      }
+      val rows = (0 until 4).map { j =>
+        val terms = (0 until 4).map { i =>
+          s"${w("fx", i)} * ${fAt(s"bx + ${i - 1}", s"by + ${j - 1}")}"
+        }.mkString(" + ")
+        s"${w("fy", j)} * ($terms)"
+      }.mkString(" + ")
+      val cub = s"""CASE WHEN bx - 1 < 0 OR bx + 2 > $maxG OR by - 1 < 0 OR by + 2 > $maxG
+          THEN 0.0 ELSE ($rows) END"""
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, $maxG)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, $maxG)) AS gy) ys),
+          sm AS (SELECT gx, gy,
+            (CAST(gx AS DOUBLE) + 0.5) * 0.5 + 1500.3 - 0.5 AS sxp,
+            (CAST(gy AS DOUBLE) + 0.5) * 0.5 + 57.7 - 0.5 AS syp FROM px),
+          fr AS (SELECT gx, gy, CAST(floor(sxp) AS BIGINT) AS bx,
+            CAST(floor(syp) AS BIGINT) AS by,
+            sxp - floor(sxp) AS fx, syp - floor(syp) AS fy FROM sm),
+          v AS (SELECT gx, gy, $cub AS vc FROM fr),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            ${toInt("vc")} AS ivc FROM v)
+          SELECT CAST(3 AS BIGINT) AS z, tx AS x, ty AS y, ${cksCol("ivc")} AS cks_cubic
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
     })
   )
 }

@@ -142,14 +142,78 @@ object Raster {
   /** dst pixel-center → src pixel-center affine: srcPx = (dstPx+0.5)·s + t − 0.5. */
   case class WarpAffine(sx: Double, sy: Double, tx: Double, ty: Double)
 
+  /** GDAL cubic-convolution weights (alg/gdalwarpkernel.cpp:3234
+    * GWKCubicComputeWeights, Keys a=-0.5). */
+  private def cubicWeights(x: Double): Array[Double] = {
+    val halfX = 0.5 * x; val threeX = 3.0 * x; val halfX2 = halfX * x
+    Array(halfX * (-1.0 + x * (2.0 - x)),
+      1.0 + halfX2 * (-5.0 + threeX),
+      halfX * (1.0 + x * (4.0 - threeX)),
+      halfX2 * (-1.0 + x))
+  }
+
+  /** GDAL cubic B-spline basis (alg/gdalwarpkernel.cpp GWKBSpline; the
+    * reference omits the 1/6 factor and normalizes by the weight sum in
+    * GWKResample — we do the same). */
+  private def bspline(x: Double): Double = {
+    val xp2 = x + 2.0; val xp1 = x + 1.0; val xm1 = x - 1.0
+    var v = 0.0
+    if (xp2 > 0.0) {
+      v = xp2 * xp2 * xp2
+      if (xp1 > 0.0) {
+        v += -4.0 * xp1 * xp1 * xp1
+        if (x > 0.0) {
+          v += 6.0 * x * x * x
+          if (xm1 > 0.0) v += -4.0 * xm1 * xm1 * xm1
+        }
+      }
+    }
+    v
+  }
+
+  /** Lanczos windowed sinc, radius 3 (alg/gdalwarpkernel.cpp:3677). */
+  private def lanczosSinc(x: Double): Double = {
+    if (x == 0.0) 1.0
+    else if (math.abs(x) >= 3.0) 0.0
+    else {
+      val px = math.Pi * x
+      val px3 = px / 3.0
+      (math.sin(px) / px) * (math.sin(px3) / px3)
+    }
+  }
+
+  /** Resampling kernels and their source support radius in src pixels
+    * (reference: GDALResampleAlg, alg/gdalwarper.h:35-67). Point kernels
+    * sample around the inverse-mapped center; area kernels reduce the dst
+    * pixel's source footprint rect (GWKAverageOrMode,
+    * alg/gdalwarpkernel.cpp:6845). */
+  private val pointKernels = Set("near", "bilinear", "cubic", "cubicspline", "lanczos")
+  private val areaKernels = Set("average", "sum", "rms", "min", "max", "med", "q1", "q3", "mode")
+
+  private def kernelRadius(kernel: String, scale: Double): Int = kernel match {
+    case "near"                     => 1
+    case "bilinear"                 => 1
+    case "cubic" | "cubicspline"    => 2
+    case "lanczos"                  => 3
+    case _                          => math.ceil(math.abs(scale)).toInt + 1
+  }
+
   /** Output-driven warp between tile grids (gdalwarp architecture,
     * /root/reference/alg/gdalwarpoperation.cpp:103-144: chunk destination,
     * compute source window, inverse-map each dst pixel, apply kernel).
     * Spark shape: each SRC tile is shipped to every dst tile whose
     * source window overlaps it (replication factor ≈ (1/s)² + halo — cheap
     * for down/up-scales near 1), one shuffle groups each dst tile with its
-    * source window, then per-tile inverse mapping + kernel. Kernels:
-    * "near" (ix = floor(src+0.5)) and "bilinear". Out-of-source pixels → 0
+    * source window, then per-tile inverse mapping + kernel.
+    *
+    * Kernels: the full GDALResampleAlg set — point kernels "near",
+    * "bilinear", "cubic" (Keys convolution, gdalwarpkernel.cpp:3220),
+    * "cubicspline" (B-spline, weight-sum-normalized), "lanczos" (sinc·sinc/3,
+    * radius 3, weight-sum-normalized); area kernels "average"/"sum"/"rms"
+    * (coverage-weighted, GWKAverageOrMode COMPUTE_WEIGHT semantics),
+    * "min"/"max" (unweighted), "med"/"q1"/"q3" (sorted, idx=ceil(q·n−1),
+    * gdalwarpkernel.cpp:8337), "mode" (weighted counts, first-encounter tie,
+    * GWKTS_First). Out-of-source / no-valid-contributor pixels → 0
     * (nodata), matching the oracle convention. */
   def warpAffine(src: Dataset[Tile], dstZ: Int, nDstX: Int, nDstY: Int,
                  aff: WarpAffine, kernel: String,
@@ -157,17 +221,18 @@ object Raster {
     val spark = src.sparkSession
     import spark.implicits._
     val ts = tileSize
-    val bilinear = kernel == "bilinear"
-    require(kernel == "near" || kernel == "bilinear", s"kernel $kernel")
+    require(pointKernels.contains(kernel) || areaKernels.contains(kernel), s"kernel $kernel")
+    val isArea = areaKernels.contains(kernel)
+    val rad = math.max(kernelRadius(kernel, aff.sx), kernelRadius(kernel, aff.sy))
 
-    // dst tile → src pixel window → src tile range (with 1px kernel halo)
+    // dst tile → src pixel window → src tile range (with kernel-radius halo)
     def srcTileRange(dx: Int, dy: Int): (Int, Int, Int, Int) = {
       def sx(d: Double) = (d + 0.5) * aff.sx + aff.tx - 0.5
       def sy(d: Double) = (d + 0.5) * aff.sy + aff.ty - 0.5
       val xs = Seq(sx(dx.toLong * ts), sx(dx.toLong * ts + ts - 1))
       val ys = Seq(sy(dy.toLong * ts), sy(dy.toLong * ts + ts - 1))
-      ((math.floor(xs.min - 1).toLong / ts).toInt, (math.floor(ys.min - 1).toLong / ts).toInt,
-       (math.floor(xs.max + 1).toLong / ts).toInt, (math.floor(ys.max + 1).toLong / ts).toInt)
+      ((math.floor(xs.min - rad).toLong / ts).toInt, (math.floor(ys.min - rad).toLong / ts).toInt,
+       (math.floor(xs.max + rad).toLong / ts).toInt, (math.floor(ys.max + rad).toLong / ts).toInt)
     }
 
     val marker = spark.range(0, nDstX.toLong * nDstY, 1, math.min(nDstX * nDstY, 64))
@@ -181,8 +246,8 @@ object Raster {
       // O(nDstTiles), so the plan survives arbitrarily large grids
       def dstPxX(sp: Double) = (sp + 0.5 - aff.tx) / aff.sx - 0.5
       def dstPxY(sp: Double) = (sp + 0.5 - aff.ty) / aff.sy - 0.5
-      val xs = Seq(dstPxX(t.x.toLong * ts - 2), dstPxX(t.x.toLong * ts + ts + 1))
-      val ys = Seq(dstPxY(t.y.toLong * ts - 2), dstPxY(t.y.toLong * ts + ts + 1))
+      val xs = Seq(dstPxX(t.x.toLong * ts - rad - 1), dstPxX(t.x.toLong * ts + ts + rad))
+      val ys = Seq(dstPxY(t.y.toLong * ts - rad - 1), dstPxY(t.y.toLong * ts + ts + rad))
       val dx0 = math.max(0, (math.floor(xs.min) / ts).toInt)
       val dx1 = math.min(nDstX - 1, (math.floor(xs.max) / ts).toInt)
       val dy0 = math.max(0, (math.floor(ys.min) / ts).toInt)
@@ -211,7 +276,43 @@ object Raster {
             case None => Double.NaN
           }
         }
+        // point-kernel separable resample: rows convolved with wx then wy
+        // (exact operation order of the reference's CONVOL4 — left-assoc
+        // dot products — so an SQL twin writing the same expression is
+        // bit-identical)
+        def convolve(sxp: Double, syp: Double, wOf: Double => Array[Double],
+                     halfWidth: Int, normalize: Boolean): Double = {
+          val bx = math.floor(sxp); val by = math.floor(syp)
+          val fx = sxp - bx; val fy = syp - by
+          val wx = wOf(fx); val wy = wOf(fy)
+          val n = 2 * halfWidth
+          var acc = 0.0; var wsum = 0.0
+          var j = 0
+          var bad = false
+          while (j < n && !bad) {
+            var rowAcc = 0.0; var i = 0
+            while (i < n && !bad) {
+              val v = pix(bx.toLong + i - (halfWidth - 1), by.toLong + j - (halfWidth - 1))
+              if (java.lang.Double.isNaN(v)) bad = true
+              else rowAcc += wx(i) * v
+              i += 1
+            }
+            acc += wy(j) * rowAcc
+            j += 1
+          }
+          if (bad) Double.NaN
+          else if (normalize) {
+            var i = 0
+            var sx0 = 0.0; var sy0 = 0.0
+            while (i < n) { sx0 += wx(i); sy0 += wy(i); i += 1 }
+            wsum = sx0 * sy0
+            if (wsum == 0.0) Double.NaN else acc / wsum
+          } else acc
+        }
+
+        val eps = 1e-10
         val out = new Array[Double](ts * ts)
+        val vbuf = new scala.collection.mutable.ArrayBuffer[Double](64)
         var yy = 0
         while (yy < ts) {
           val gyD = dy.toLong * ts + yy
@@ -220,8 +321,11 @@ object Raster {
           while (xx < ts) {
             val gxD = dx.toLong * ts + xx
             val sxp = (gxD + 0.5) * aff.sx + aff.tx - 0.5
-            val v =
-              if (bilinear) {
+            val v: Double = kernel match {
+              case "near" =>
+                val v0 = pix(math.floor(sxp + 0.5).toLong, math.floor(syp + 0.5).toLong)
+                if (java.lang.Double.isNaN(v0)) 0.0 else v0
+              case "bilinear" =>
                 val x0 = math.floor(sxp); val y0 = math.floor(syp)
                 val wx = sxp - x0; val wy = syp - y0
                 val v00 = pix(x0.toLong, y0.toLong); val v10 = pix(x0.toLong + 1, y0.toLong)
@@ -230,10 +334,112 @@ object Raster {
                     java.lang.Double.isNaN(v01) || java.lang.Double.isNaN(v11)) 0.0
                 else (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) +
                   wy * ((1.0 - wx) * v01 + wx * v11)
-              } else {
-                val v0 = pix(math.floor(sxp + 0.5).toLong, math.floor(syp + 0.5).toLong)
-                if (java.lang.Double.isNaN(v0)) 0.0 else v0
-              }
+              case "cubic" =>
+                val r = convolve(sxp, syp, cubicWeights, 2, normalize = false)
+                if (java.lang.Double.isNaN(r)) 0.0 else r
+              case "cubicspline" =>
+                val r = convolve(sxp, syp,
+                  f => Array(bspline(f + 1.0), bspline(f), bspline(f - 1.0), bspline(f - 2.0)),
+                  2, normalize = true)
+                if (java.lang.Double.isNaN(r)) 0.0 else r
+              case "lanczos" =>
+                val r = convolve(sxp, syp,
+                  f => Array(lanczosSinc(f + 2.0), lanczosSinc(f + 1.0), lanczosSinc(f),
+                    lanczosSinc(f - 1.0), lanczosSinc(f - 2.0), lanczosSinc(f - 3.0)),
+                  3, normalize = true)
+                if (java.lang.Double.isNaN(r)) 0.0 else r
+              case _ =>
+                // area kernel: dst pixel edges → src footprint rect
+                // (GWKAverageOrModeComputeSourceCoords, gdalwarpkernel.cpp:6990:
+                // edge transform e·s+t, EPSILON=1e-10 floor/ceil, degenerate
+                // rects widened by one)
+                val xMin = gxD * aff.sx + aff.tx; val xMax = (gxD + 1) * aff.sx + aff.tx
+                val yMin = gyD * aff.sy + aff.ty; val yMax = (gyD + 1) * aff.sy + aff.ty
+                val (dfXMin, dfXMax) = if (xMin <= xMax) (xMin, xMax) else (xMax, xMin)
+                val (dfYMin, dfYMax) = if (yMin <= yMax) (yMin, yMax) else (yMax, yMin)
+                if (!(dfXMax > -eps && dfXMin < srcW + eps) ||
+                    !(dfYMax > -eps && dfYMin < srcH + eps)) 0.0
+                else {
+                  var iXMin = math.max(math.floor(dfXMin + eps), 0.0).toInt
+                  var iXMax = math.min(math.ceil(dfXMax - eps), srcW.toDouble).toInt
+                  if (iXMin == iXMax && iXMax < srcW) iXMax += 1
+                  var iYMin = math.max(math.floor(dfYMin + eps), 0.0).toInt
+                  var iYMax = math.min(math.ceil(dfYMax - eps), srcH.toDouble).toInt
+                  if (iYMin == iYMax && iYMax < srcH) iYMax += 1
+                  def weightY(iy: Int): Double =
+                    if (iy == iYMin) { if (iYMin + 1 == iYMax) 1.0 else 1.0 - (dfYMin - iYMin) }
+                    else if (iy + 1 == iYMax) 1.0 - (iYMax - dfYMax)
+                    else 1.0
+                  def weightX(ix: Int, wy: Double): Double =
+                    if (ix == iXMin) { if (iXMin + 1 == iXMax) wy else wy * (1.0 - (dfXMin - iXMin)) }
+                    else if (ix + 1 == iXMax) wy * (1.0 - (iXMax - dfXMax))
+                    else wy
+                  var tot = 0.0; var totW = 0.0
+                  var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+                  var any = false
+                  vbuf.clear()
+                  // mode: weighted counts, first-encounter tie (GWKTS_First)
+                  var modeVals: Array[Double] = null
+                  var modeCounts: Array[Double] = null
+                  var nBins = 0; var iMode = -1
+                  val needMode = kernel == "mode"
+                  val needSorted = kernel == "med" || kernel == "q1" || kernel == "q3"
+                  if (needMode) { modeVals = new Array[Double](64); modeCounts = new Array[Double](64) }
+                  var iy = iYMin
+                  while (iy < iYMax) {
+                    val wy0 = weightY(iy)
+                    var ix = iXMin
+                    while (ix < iXMax) {
+                      val pv = pix(ix.toLong, iy.toLong)
+                      if (!java.lang.Double.isNaN(pv)) {
+                        any = true
+                        val w = weightX(ix, wy0)
+                        tot += w * (if (kernel == "rms") pv * pv else pv)
+                        totW += w
+                        if (pv < mn) mn = pv
+                        if (pv > mx) mx = pv
+                        if (needSorted) vbuf += pv
+                        if (needMode) {
+                          var i = 0; var found = false
+                          while (i < nBins && !found) {
+                            if (modeVals(i) == pv) {
+                              modeCounts(i) += w
+                              if (modeCounts(i) > modeCounts(iMode)) iMode = i
+                              found = true
+                            }
+                            i += 1
+                          }
+                          if (!found) {
+                            if (nBins == modeVals.length) {
+                              modeVals = java.util.Arrays.copyOf(modeVals, nBins * 2)
+                              modeCounts = java.util.Arrays.copyOf(modeCounts, nBins * 2)
+                            }
+                            modeVals(nBins) = pv; modeCounts(nBins) = w
+                            if (iMode < 0 || modeCounts(nBins) > modeCounts(iMode)) iMode = nBins
+                            nBins += 1
+                          }
+                        }
+                      }
+                      ix += 1
+                    }
+                    iy += 1
+                  }
+                  if (!any) 0.0
+                  else kernel match {
+                    case "average" => tot / totW
+                    case "sum"     => tot
+                    case "rms"     => math.sqrt(tot / totW)
+                    case "min"     => mn
+                    case "max"     => mx
+                    case "mode"    => modeVals(iMode)
+                    case q =>
+                      val quant = if (q == "med") 0.5 else if (q == "q1") 0.25 else 0.75
+                      val arr = vbuf.toArray
+                      java.util.Arrays.sort(arr)
+                      arr(math.ceil(quant * arr.length - 1).toInt)
+                  }
+                }
+            }
             out(yy * ts + xx) = v
             xx += 1
           }
