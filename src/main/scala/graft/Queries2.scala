@@ -10,6 +10,11 @@ import QueryFixtures._
   * round-1 verdict flagged as missing). Same conventions as [[Queries]]. */
 object Queries2 {
 
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def prep(s: SparkSession): Unit = functions.GraftFunctions.register(s)
+
   /** GDALChecksumImage column over per-pixel ints, negative-safe: the
     * engine masks the accumulator with &0xffff per row (always the
     * canonical [0,65535] representative), so the SQL twin takes the same
@@ -274,6 +279,79 @@ object Queries2 {
             ${toInt("vc")} AS ivc FROM v)
           SELECT CAST(3 AS BIGINT) AS z, tx AS x, ty AS y, ${cksCol("ivc")} AS cks_cubic
           FROM cells GROUP BY 2, 3 ORDER BY x, y"""
-    })
+    }),
+
+    // -- general polygon overlay (layer-algebra core): per-row
+    // Intersection/Union/Difference/SymDifference GEOMETRY construction via
+    // the Martinez–Rueda sweep, areas oracled in closed form on
+    // fractionally-overlapping axis-aligned rect pairs (incl. exact edge
+    // tangency at doc_id%40=32)
+    ("g20_overlay", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = t(s, dir, "documents").where(col("doc_id") < 20000)
+        .select(col("doc_id"))
+        .withColumn("x0", expr(lonOf("doc_id")))
+        .withColumn("y0", expr(s"greatest(-84.0, least(80.0, ${latOf("doc_id")}))"))
+        .withColumn("dx", expr("CAST(doc_id % 40 AS DOUBLE) / 16.0"))
+        .withColumn("wa", expr(rectWktSql("x0", "y0", "x0 + 2.0", "y0 + 2.0")))
+        .withColumn("wb", expr(rectWktSql("x0 + dx", "y0 + 1.0", "x0 + dx + 2.0", "y0 + 3.0")))
+        .withColumn("ga", gf.st_geomfromtext(col("wa")))
+        .withColumn("gb", gf.st_geomfromtext(col("wb")))
+      def an(c: org.apache.spark.sql.Column) =
+        floor(gf.st_area(c) * lit(1000000000.0) + lit(0.5)).cast("long")
+      base.select(col("doc_id"),
+          an(gf.st_intersection(col("ga"), col("gb"))).as("inter_n"),
+          an(gf.st_union(col("ga"), col("gb"))).as("union_n"),
+          an(gf.st_difference(col("ga"), col("gb"))).as("diff_n"),
+          an(gf.st_symdifference(col("ga"), col("gb"))).as("sym_n"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH b AS (SELECT doc_id, CAST(doc_id % 40 AS DOUBLE) / 16.0 AS dx
+                 FROM documents WHERE doc_id < 20000),
+      ov AS (SELECT doc_id, greatest(0.0, 2.0 - dx) * 1.0 AS inter FROM b)
+      SELECT doc_id,
+        CAST(floor(inter * 1000000000.0 + 0.5) AS BIGINT) AS inter_n,
+        CAST(floor((8.0 - inter) * 1000000000.0 + 0.5) AS BIGINT) AS union_n,
+        CAST(floor((4.0 - inter) * 1000000000.0 + 0.5) AS BIGINT) AS diff_n,
+        CAST(floor((8.0 - 2.0 * inter) * 1000000000.0 + 0.5) AS BIGINT) AS sym_n
+      FROM ov ORDER BY doc_id""")),
+
+    // -- dissolve: geometric union GROUP BY key via the typed union
+    // Aggregator (map-side partial dissolve). Fixture: overlapping unit-
+    // height rects [i, i+1.5]x[0,1]; the oracle merges the interval runs
+    // with a lag() window (exact halves, so doubles are exact on both sides)
+    ("g22_dissolve", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = t(s, dir, "documents")
+        .select((col("doc_id") % 17).as("grp"),
+          expr("CAST((doc_id div 17) % 12 AS DOUBLE)").as("i"))
+        .distinct()
+        .withColumn("wkt", expr(rectWktSql("i", "0.0", "i + 1.5", "1.0")))
+        .withColumn("wkb", gf.st_geomfromtext(col("wkt")))
+      base.groupBy("grp")
+        .agg(engine.Dissolve.unionCol(col("wkb")).as("u"))
+        .select(col("grp").cast("long").as("grp"),
+          floor(gf.st_area(col("u")) * lit(1000000000.0) + lit(0.5))
+            .cast("long").as("area_n"))
+        .orderBy("grp")
+    }, Some("""
+      WITH m AS (SELECT DISTINCT doc_id % 17 AS grp,
+                   CAST((doc_id // 17) % 12 AS DOUBLE) AS i FROM documents),
+      o AS (SELECT grp, i, lag(i) OVER (PARTITION BY grp ORDER BY i) AS pi FROM m),
+      c AS (SELECT grp, CASE WHEN pi IS NULL THEN 1.5
+                   WHEN i - pi >= 1.5 THEN 1.5 ELSE i - pi END AS w FROM o)
+      SELECT CAST(grp AS BIGINT) AS grp,
+             CAST(floor(sum(w) * 1000000000.0 + 0.5) AS BIGINT) AS area_n
+      FROM c GROUP BY grp ORDER BY grp"""))
   )
+
+  /** WKT for an axis-aligned rect from SQL sub-expressions (CCW closed). */
+  private def rectWktSql(x0: String, y0: String, x1: String, y1: String): String =
+    s"concat('POLYGON ((', CAST($x0 AS STRING), ' ', CAST($y0 AS STRING), ',', " +
+      s"CAST($x1 AS STRING), ' ', CAST($y0 AS STRING), ',', " +
+      s"CAST($x1 AS STRING), ' ', CAST($y1 AS STRING), ',', " +
+      s"CAST($x0 AS STRING), ' ', CAST($y1 AS STRING), ',', " +
+      s"CAST($x0 AS STRING), ' ', CAST($y0 AS STRING), '))')"
 }

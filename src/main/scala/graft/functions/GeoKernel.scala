@@ -118,6 +118,16 @@ object GeoKernel {
   def dump(wkb: Array[Byte]): Array[Array[Byte]] =
     GeoOps.dump(decode(wkb)).map(Wkb.write)
 
+  // ---- boolean overlay (Martinez–Rueda sweep; ref ogrgeometry.cpp:5318-5874)
+  def geomIntersection(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Wkb.write(BoolOps.intersection(decode(a), decode(b)))
+  def geomUnion(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Wkb.write(BoolOps.union(decode(a), decode(b)))
+  def geomDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Wkb.write(BoolOps.difference(decode(a), decode(b)))
+  def geomSymDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Wkb.write(BoolOps.symDifference(decode(a), decode(b)))
+
   // ---- cells & tiles
   def cell(lon: Double, lat: Double, z: Int): Long = CellId.fromLonLat(lon, lat, z)
 

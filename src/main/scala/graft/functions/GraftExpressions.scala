@@ -277,6 +277,63 @@ case class StEnvIntersects(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_intersection(a, b) → overlay geometry. Ref: OGRGeometry::Intersection
+  * (ogrgeometry.cpp:5318); computed by the Martinez–Rueda sweep (BoolOps). */
+case class StIntersection(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_intersection"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.geomIntersection(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.geomIntersection($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StIntersection =
+    copy(left = l, right = r)
+}
+
+/** st_union(a, b). Ref: OGRGeometry::Union (ogrgeometry.cpp:5562). */
+case class StUnion(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_union"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.geomUnion(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.geomUnion($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StUnion =
+    copy(left = l, right = r)
+}
+
+/** st_difference(a, b). Ref: OGRGeometry::Difference (ogrgeometry.cpp:5698). */
+case class StDifference(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_difference"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.geomDifference(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.geomDifference($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StDifference =
+    copy(left = l, right = r)
+}
+
+/** st_symdifference(a, b). Ref: OGRGeometry::SymDifference (ogrgeometry.cpp:5807). */
+case class StSymDifference(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_symdifference"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.geomSymDifference(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.geomSymDifference($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StSymDifference =
+    copy(left = l, right = r)
+}
+
 /** st_distance(a, b). Ref: OGRGeometry::Distance (ogrgeometry.cpp:3818). */
 case class StDistance(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

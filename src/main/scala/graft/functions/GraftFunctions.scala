@@ -44,6 +44,10 @@ object GraftFunctions {
     arity("st_contains", 2)(a => StContains(a(0), a(1))),
     arity("st_env_intersects", 2)(a => StEnvIntersects(a(0), a(1))),
     arity("st_distance", 2)(a => StDistance(a(0), a(1))),
+    arity("st_intersection", 2)(a => StIntersection(a(0), a(1))),
+    arity("st_union", 2)(a => StUnion(a(0), a(1))),
+    arity("st_difference", 2)(a => StDifference(a(0), a(1))),
+    arity("st_symdifference", 2)(a => StSymDifference(a(0), a(1))),
     arity("st_simplify", 2)(a => StSimplify(a(0), a(1))),
     arity("st_segmentize", 2)(a => StSegmentize(a(0), a(1))),
     arity("st_cover", 2)(a => StCover(a(0), a(1))),
@@ -126,6 +130,10 @@ object gf {
   def st_contains(a: Column, b: Column): Column = call_function("st_contains", a, b)
   def st_env_intersects(a: Column, b: Column): Column = call_function("st_env_intersects", a, b)
   def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
+  def st_intersection(a: Column, b: Column): Column = call_function("st_intersection", a, b)
+  def st_union(a: Column, b: Column): Column = call_function("st_union", a, b)
+  def st_difference(a: Column, b: Column): Column = call_function("st_difference", a, b)
+  def st_symdifference(a: Column, b: Column): Column = call_function("st_symdifference", a, b)
   def st_simplify(wkb: Column, tol: Column): Column = call_function("st_simplify", wkb, tol)
   def st_segmentize(wkb: Column, maxLen: Column): Column = call_function("st_segmentize", wkb, maxLen)
   def st_cover(wkb: Column, z: Column): Column = call_function("st_cover", wkb, z)
