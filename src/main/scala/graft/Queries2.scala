@@ -344,7 +344,46 @@ object Queries2 {
                    WHEN i - pi >= 1.5 THEN 1.5 ELSE i - pi END AS w FROM o)
       SELECT CAST(grp AS BIGINT) AS grp,
              CAST(floor(sum(w) * 1000000000.0 + 0.5) AS BIGINT) AS area_n
-      FROM c GROUP BY grp ORDER BY grp"""))
+      FROM c GROUP BY grp ORDER BY grp""")),
+
+    // -- buffer + erosion + make-valid (gdal vector buffer / make-valid).
+    // Line buffer d=0.5, quadSegs=8 (32-gon discs): area = 2dL + (k/2)d²
+    // sin(2π/k) — the vertical disc diameter passes exactly through 32-gon
+    // vertices, so the end caps are exact half-discs. Negative buffer of a
+    // square erodes to the inner square exactly (corner discs are subsets
+    // of the edge strips). Bowtie make-valid re-nodes to the two triangles
+    // with total area 2s². Scaled-int micro-areas, closed forms in SQL.
+    ("g23_buffer_makevalid", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = t(s, dir, "documents").where(col("doc_id") < 5000)
+        .select(col("doc_id"))
+        .withColumn("l", expr("3.0 + CAST(doc_id % 10 AS DOUBLE) * 0.25"))
+        .withColumn("sc", expr("1.0 + CAST(doc_id % 7 AS DOUBLE) * 0.5"))
+        .withColumn("wline", expr(
+          "concat('LINESTRING (0 0, ', CAST(l AS STRING), ' 0)')"))
+        .withColumn("wsq", expr(
+          "concat('POLYGON ((0 0,4 0,4 4,0 4,0 0))')"))
+        .withColumn("wbow", expr(
+          "concat('POLYGON ((0 0, ', CAST(2.0 * sc AS STRING), ' ', CAST(2.0 * sc AS STRING), ', ', " +
+            "CAST(2.0 * sc AS STRING), ' 0, 0 ', CAST(2.0 * sc AS STRING), ', 0 0))')"))
+      def an(c: org.apache.spark.sql.Column) =
+        floor(gf.st_area(c) * lit(1000000000.0) + lit(0.5)).cast("long")
+      base.select(col("doc_id"),
+          an(gf.st_buffer(gf.st_geomfromtext(col("wline")), lit(0.5))).as("bufline_n"),
+          an(gf.st_buffer(gf.st_geomfromtext(col("wsq")), lit(-0.5))).as("erode_n"),
+          an(gf.st_makevalid(gf.st_geomfromtext(col("wbow")))).as("mkvalid_n"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH b AS (SELECT doc_id, 3.0 + CAST(doc_id % 10 AS DOUBLE) * 0.25 AS l,
+                   1.0 + CAST(doc_id % 7 AS DOUBLE) * 0.5 AS sc
+                 FROM documents WHERE doc_id < 5000)
+      SELECT doc_id,
+        CAST(floor((2.0 * 0.5 * l + 16.0 * 0.25 * sin(2.0 * ${dlit(math.Pi)} / 32.0))
+             * 1000000000.0 + 0.5) AS BIGINT) AS bufline_n,
+        CAST(floor(9.0 * 1000000000.0 + 0.5) AS BIGINT) AS erode_n,
+        CAST(floor(2.0 * sc * sc * 1000000000.0 + 0.5) AS BIGINT) AS mkvalid_n
+      FROM b ORDER BY doc_id"""))
   )
 
   /** WKT for an axis-aligned rect from SQL sub-expressions (CCW closed). */

@@ -128,6 +128,12 @@ object GeoKernel {
   def geomSymDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     Wkb.write(BoolOps.symDifference(decode(a), decode(b)))
 
+  def buffer(wkb: Array[Byte], dist: Double): Array[Byte] =
+    Wkb.write(Buffer.buffer(decode(wkb), dist))
+
+  def makeValid(wkb: Array[Byte]): Array[Byte] =
+    Wkb.write(BoolOps.makeValid(decode(wkb)))
+
   // ---- cells & tiles
   def cell(lon: Double, lat: Double, z: Int): Long = CellId.fromLonLat(lon, lat, z)
 

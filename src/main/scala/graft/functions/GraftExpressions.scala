@@ -334,6 +334,33 @@ case class StSymDifference(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_buffer(wkb, dist) — constructive Minkowski buffer, round joins,
+  * quadSegs=8. Ref: OGRGeometry::Buffer (ogrgeometry.cpp:4949). */
+case class StBuffer(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_buffer"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.buffer(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.buffer($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StBuffer =
+    copy(left = l, right = r)
+}
+
+/** st_makevalid(wkb) — even-odd re-noding of self-intersecting polygons.
+  * Ref: OGRGeometry::MakeValid (ogrgeometry.cpp:4183). */
+case class StMakeValid(child: Expression) extends GeoUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_makevalid"
+  protected def method = "makeValid"
+  protected override def nullSafeEval(w: Any): Any =
+    GeoKernel.makeValid(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.makeValid($c)"
+  protected override def withNewChildInternal(n: Expression): StMakeValid = copy(child = n)
+}
+
 /** st_distance(a, b). Ref: OGRGeometry::Distance (ogrgeometry.cpp:3818). */
 case class StDistance(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -48,6 +48,8 @@ object GraftFunctions {
     arity("st_union", 2)(a => StUnion(a(0), a(1))),
     arity("st_difference", 2)(a => StDifference(a(0), a(1))),
     arity("st_symdifference", 2)(a => StSymDifference(a(0), a(1))),
+    arity("st_buffer", 2)(a => StBuffer(a(0), a(1))),
+    arity("st_makevalid", 1)(a => StMakeValid(a(0))),
     arity("st_simplify", 2)(a => StSimplify(a(0), a(1))),
     arity("st_segmentize", 2)(a => StSegmentize(a(0), a(1))),
     arity("st_cover", 2)(a => StCover(a(0), a(1))),
@@ -134,6 +136,8 @@ object gf {
   def st_union(a: Column, b: Column): Column = call_function("st_union", a, b)
   def st_difference(a: Column, b: Column): Column = call_function("st_difference", a, b)
   def st_symdifference(a: Column, b: Column): Column = call_function("st_symdifference", a, b)
+  def st_buffer(wkb: Column, dist: Column): Column = call_function("st_buffer", wkb, dist)
+  def st_makevalid(wkb: Column): Column = call_function("st_makevalid", wkb)
   def st_simplify(wkb: Column, tol: Column): Column = call_function("st_simplify", wkb, tol)
   def st_segmentize(wkb: Column, maxLen: Column): Column = call_function("st_segmentize", wkb, maxLen)
   def st_cover(wkb: Column, z: Column): Column = call_function("st_cover", wkb, z)

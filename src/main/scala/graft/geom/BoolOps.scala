@@ -489,6 +489,20 @@ object BoolOps {
   private def assembleCopy(ps: Array[Polygon]): Geom =
     if (ps.length == 1) ps(0) else MultiPolygon(ps)
 
+  /** MakeValid for self-intersecting polygons (reference:
+    * OGRGeometry::MakeValid, ogrgeometry.cpp:4183, STRUCTURE method):
+    * the sweep subdivides the polygon's edges at self-intersections
+    * (op=Xor keeps every subdivided edge), then ring connection + even-odd
+    * depth classification rebuilds the valid shell/hole structure — a
+    * bowtie becomes its two triangles. Even-odd fill semantics; parts of a
+    * MultiPolygon that overlap each other cancel (documented deviation from
+    * GEOS, which unions them). */
+  def makeValid(g: Geom): Geom = {
+    val subj = polygonsOf(g)
+    if (subj.isEmpty || subj.forall(_.isEmpty)) MultiPolygon(Array.empty)
+    else assemble(connect(sweep(subj, Array.empty, Xor)))
+  }
+
   def intersection(a: Geom, b: Geom): Geom = boolOp(a, b, Intersection)
   def union(a: Geom, b: Geom): Geom = boolOp(a, b, Union)
   def difference(a: Geom, b: Geom): Geom = boolOp(a, b, Difference)
