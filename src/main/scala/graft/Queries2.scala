@@ -384,6 +384,52 @@ object Queries2 {
         CAST(floor(9.0 * 1000000000.0 + 0.5) AS BIGINT) AS erode_n,
         CAST(floor(2.0 * sc * sc * 1000000000.0 + 0.5) AS BIGINT) AS mkvalid_n
       FROM b ORDER BY doc_id"""))
+  ,
+
+    // -- DE-9IM predicates (st_equals/overlaps/touches/disjoint/within/
+    // crosses) over parameterized fixtures whose truth values are pure
+    // doc_id arithmetic: B = A shifted by dx∈{0..4} (equal/overlap/edge-
+    // touch/disjoint), C = inner square shifted by dy∈{0,1,2}, L =
+    // horizontal line shifted by e∈{0..3} (cross/within/cross/point-touch)
+    ("g21_predicates", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = t(s, dir, "documents").where(col("doc_id") < 10000)
+        .select(col("doc_id"))
+        .withColumn("dx", expr("CAST(doc_id % 5 AS DOUBLE)"))
+        .withColumn("dy", expr("CAST(doc_id % 3 AS DOUBLE)"))
+        .withColumn("e", expr("CAST(doc_id % 4 AS DOUBLE)"))
+        .withColumn("ga", gf.st_geomfromtext(
+          expr(rectWktSql("0.0", "0.0", "2.0", "2.0"))))
+        .withColumn("gb", gf.st_geomfromtext(
+          expr(rectWktSql("dx", "0.0", "dx + 2.0", "2.0"))))
+        .withColumn("gc", gf.st_geomfromtext(
+          expr(rectWktSql("0.5 + dy", "0.5", "1.5 + dy", "1.5"))))
+        .withColumn("gl", gf.st_geomfromtext(expr(
+          "concat('LINESTRING (', CAST(e - 1.0 AS STRING), ' 1, ', CAST(e + 1.0 AS STRING), ' 1)')")))
+      base.select(col("doc_id"),
+          gf.st_equals(col("ga"), col("gb")).cast("long").as("p_eq"),
+          gf.st_overlaps(col("ga"), col("gb")).cast("long").as("p_ov"),
+          gf.st_touches(col("ga"), col("gb")).cast("long").as("p_tc"),
+          gf.st_disjoint(col("ga"), col("gb")).cast("long").as("p_dj"),
+          gf.st_within(col("gc"), col("ga")).cast("long").as("p_in"),
+          gf.st_crosses(col("gl"), col("ga")).cast("long").as("p_cr"),
+          gf.st_within(col("gl"), col("ga")).cast("long").as("p_lin"),
+          gf.st_touches(col("gl"), col("ga")).cast("long").as("p_ltc"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH b AS (SELECT doc_id, doc_id % 5 AS dx, doc_id % 3 AS dy, doc_id % 4 AS e
+                 FROM documents WHERE doc_id < 10000)
+      SELECT doc_id,
+        CAST(dx = 0 AS BIGINT) AS p_eq,
+        CAST(dx = 1 AS BIGINT) AS p_ov,
+        CAST(dx = 2 AS BIGINT) AS p_tc,
+        CAST(dx >= 3 AS BIGINT) AS p_dj,
+        CAST(dy = 0 AS BIGINT) AS p_in,
+        CAST(e = 0 OR e = 2 AS BIGINT) AS p_cr,
+        CAST(e = 1 AS BIGINT) AS p_lin,
+        CAST(e = 3 AS BIGINT) AS p_ltc
+      FROM b ORDER BY doc_id"""))
   )
 
   /** WKT for an axis-aligned rect from SQL sub-expressions (CCW closed). */

@@ -128,6 +128,14 @@ object GeoKernel {
   def geomSymDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     Wkb.write(BoolOps.symDifference(decode(a), decode(b)))
 
+  // ---- DE-9IM predicates (ref ogrgeometry.cpp:6009-6409)
+  def within(a: Array[Byte], b: Array[Byte]): Boolean = Relate.within(decode(a), decode(b))
+  def touches(a: Array[Byte], b: Array[Byte]): Boolean = Relate.touches(decode(a), decode(b))
+  def crosses(a: Array[Byte], b: Array[Byte]): Boolean = Relate.crosses(decode(a), decode(b))
+  def overlaps(a: Array[Byte], b: Array[Byte]): Boolean = Relate.overlaps(decode(a), decode(b))
+  def equalsGeom(a: Array[Byte], b: Array[Byte]): Boolean = Relate.equalsG(decode(a), decode(b))
+  def disjoint(a: Array[Byte], b: Array[Byte]): Boolean = Relate.disjoint(decode(a), decode(b))
+
   def buffer(wkb: Array[Byte], dist: Double): Array[Byte] =
     Wkb.write(Buffer.buffer(decode(wkb), dist))
 

@@ -334,6 +334,72 @@ case class StSymDifference(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Binary DE-9IM predicate base (ref ogrgeometry.cpp:6009-6409). */
+abstract class GeoPredicate extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  protected def kernel: String
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.getClass.getMethod(kernel, classOf[Array[Byte]], classOf[Array[Byte]])
+      .invoke(GeoKernel, a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.$kernel($a, $b)")
+}
+
+case class StWithin(left: Expression, right: Expression) extends GeoPredicate {
+  override def prettyName: String = "st_within"
+  protected def kernel = "within"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.within(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StWithin =
+    copy(left = l, right = r)
+}
+
+case class StTouches(left: Expression, right: Expression) extends GeoPredicate {
+  override def prettyName: String = "st_touches"
+  protected def kernel = "touches"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.touches(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StTouches =
+    copy(left = l, right = r)
+}
+
+case class StCrosses(left: Expression, right: Expression) extends GeoPredicate {
+  override def prettyName: String = "st_crosses"
+  protected def kernel = "crosses"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.crosses(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StCrosses =
+    copy(left = l, right = r)
+}
+
+case class StOverlaps(left: Expression, right: Expression) extends GeoPredicate {
+  override def prettyName: String = "st_overlaps"
+  protected def kernel = "overlaps"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.overlaps(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StOverlaps =
+    copy(left = l, right = r)
+}
+
+case class StEquals(left: Expression, right: Expression) extends GeoPredicate {
+  override def prettyName: String = "st_equals"
+  protected def kernel = "equalsGeom"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.equalsGeom(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StEquals =
+    copy(left = l, right = r)
+}
+
+case class StDisjoint(left: Expression, right: Expression) extends GeoPredicate {
+  override def prettyName: String = "st_disjoint"
+  protected def kernel = "disjoint"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.disjoint(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StDisjoint =
+    copy(left = l, right = r)
+}
+
 /** st_buffer(wkb, dist) — constructive Minkowski buffer, round joins,
   * quadSegs=8. Ref: OGRGeometry::Buffer (ogrgeometry.cpp:4949). */
 case class StBuffer(left: Expression, right: Expression)

@@ -49,6 +49,12 @@ object GraftFunctions {
     arity("st_difference", 2)(a => StDifference(a(0), a(1))),
     arity("st_symdifference", 2)(a => StSymDifference(a(0), a(1))),
     arity("st_buffer", 2)(a => StBuffer(a(0), a(1))),
+    arity("st_within", 2)(a => StWithin(a(0), a(1))),
+    arity("st_touches", 2)(a => StTouches(a(0), a(1))),
+    arity("st_crosses", 2)(a => StCrosses(a(0), a(1))),
+    arity("st_overlaps", 2)(a => StOverlaps(a(0), a(1))),
+    arity("st_equals", 2)(a => StEquals(a(0), a(1))),
+    arity("st_disjoint", 2)(a => StDisjoint(a(0), a(1))),
     arity("st_makevalid", 1)(a => StMakeValid(a(0))),
     arity("st_simplify", 2)(a => StSimplify(a(0), a(1))),
     arity("st_segmentize", 2)(a => StSegmentize(a(0), a(1))),
@@ -137,6 +143,12 @@ object gf {
   def st_difference(a: Column, b: Column): Column = call_function("st_difference", a, b)
   def st_symdifference(a: Column, b: Column): Column = call_function("st_symdifference", a, b)
   def st_buffer(wkb: Column, dist: Column): Column = call_function("st_buffer", wkb, dist)
+  def st_within(a: Column, b: Column): Column = call_function("st_within", a, b)
+  def st_touches(a: Column, b: Column): Column = call_function("st_touches", a, b)
+  def st_crosses(a: Column, b: Column): Column = call_function("st_crosses", a, b)
+  def st_overlaps(a: Column, b: Column): Column = call_function("st_overlaps", a, b)
+  def st_equals(a: Column, b: Column): Column = call_function("st_equals", a, b)
+  def st_disjoint(a: Column, b: Column): Column = call_function("st_disjoint", a, b)
   def st_makevalid(wkb: Column): Column = call_function("st_makevalid", wkb)
   def st_simplify(wkb: Column, tol: Column): Column = call_function("st_simplify", wkb, tol)
   def st_segmentize(wkb: Column, maxLen: Column): Column = call_function("st_segmentize", wkb, maxLen)
