@@ -429,7 +429,106 @@ object Queries2 {
         CAST(e = 0 OR e = 2 AS BIGINT) AS p_cr,
         CAST(e = 1 AS BIGINT) AS p_lin,
         CAST(e = 3 AS BIGINT) AS p_ltc
-      FROM b ORDER BY doc_id"""))
+      FROM b ORDER BY doc_id""")),
+
+    // -- weighted-Brovey pansharpen (GDALPansharpenOperation): two spectral
+    // bands + pan on the same grid, factor = pan/pseudo; the oracle writes
+    // the identical left-assoc pseudo-pan expression so doubles are
+    // bit-exact before checksum rounding
+    ("r17_pansharpen", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val z = 2
+      val pan = engine.Raster.syntheticTiles(s, z) { (gx, gy) =>
+        ((gx * 31 + gy * 17) % 97 + 1).toDouble
+      }
+      val s1 = engine.Raster.syntheticTiles(s, z) { (gx, gy) =>
+        ((gx * 7 + gy * 3) % 53 + 1).toDouble
+      }
+      val s2 = engine.Raster.syntheticTiles(s, z) { (gx, gy) =>
+        ((gx * 11 + gy * 5) % 59 + 1).toDouble
+      }
+      engine.Raster.pansharpen(pan, Seq(s1, s2), Seq(0.5, 0.5))
+        .map(t => (t.x.toLong, t.y.toLong, t.band,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "b", "cks")
+        .groupBy("x", "y")
+        .agg(max(when(col("b") === 1, col("cks"))).as("cks_b1"),
+          max(when(col("b") === 2, col("cks"))).as("cks_b2"))
+        .withColumn("z", lit(z).cast("long"))
+        .select("z", "x", "y", "cks_b1", "cks_b2")
+        .orderBy("x", "y")
+    }, Some {
+      val maxG = 1023
+      val pan = "CAST((gx * 31 + gy * 17) % 97 + 1 AS DOUBLE)"
+      val s1 = "CAST((gx * 7 + gy * 3) % 53 + 1 AS DOUBLE)"
+      val s2 = "CAST((gx * 11 + gy * 5) % 59 + 1 AS DOUBLE)"
+      val factor = s"($pan / (0.5 * $s1 + 0.5 * $s2))"
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, $maxG)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, $maxG)) AS gy) ys),
+          v AS (SELECT gx, gy, $s1 * $factor AS v1, $s2 * $factor AS v2 FROM px),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            ${toInt("v1")} AS iv1, ${toInt("v2")} AS iv2 FROM v)
+          SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y,
+            ${cksCol("iv1")} AS cks_b1, ${cksCol("iv2")} AS cks_b2
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
+    // -- raster footprint (gdal_footprint): per-tile run-rect unions
+    // dissolved across tiles; with pixel-aligned unit squares the footprint
+    // area equals the valid-pixel count exactly (diagonal stripes cross
+    // every tile boundary, so the cross-tile dissolve is what's verified)
+    ("r18_footprint", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      import graft.functions.gf
+      prep(s)
+      val tiles = engine.Raster.syntheticTiles(s, 2, tileSize = 64) { (gx, gy) =>
+        if ((gx + gy) % 7 < 4) 1.0 else 0.0
+      }
+      engine.Footprint.footprint(tiles, v => v > 0.5)
+        .select(lit(1L).as("id"),
+          floor(gf.st_area(col("footprint")) + lit(0.5)).cast("long").as("area_px"))
+    }, Some("""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 255)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS gy) ys)
+      SELECT CAST(1 AS BIGINT) AS id,
+             CAST(count(*) FILTER (WHERE (gx + gy) % 7 < 4) AS BIGINT) AS area_px
+      FROM px""")),
+
+    // -- nearblack border flood fill: ragged left collar (border-connected,
+    // scrubbed to 0) vs two interior near-black blobs (one tile-interior,
+    // one crossing a tile boundary — both preserved)
+    ("r19_nearblack", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def f(gx: Long, gy: Long): Double =
+        if (gx < 10 + (gy % 5)) 3.0
+        else if (gx >= 50 && gx < 60 && gy >= 50 && gy < 60) 3.0
+        else if (gx >= 120 && gx < 136 && gy >= 120 && gy < 130) 3.0
+        else 100.0
+      val tiles = engine.Raster.syntheticTiles(s, 2, tileSize = 64)(f)
+      engine.Nearblack.nearblack(tiles, 4, 4, v => v < 5.0)
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks")
+        .orderBy("x", "y")
+    }, Some {
+      val v = """CASE WHEN gx < 10 + (gy % 5) THEN 0
+          WHEN gx >= 50 AND gx < 60 AND gy >= 50 AND gy < 60 THEN 3
+          WHEN gx >= 120 AND gx < 136 AND gy >= 120 AND gy < 130 THEN 3
+          ELSE 100 END"""
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 255)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS gy) ys),
+          cells AS (SELECT gx >> 6 AS tx, gy >> 6 AS ty, gx % 64 AS cx, gy % 64 AS cy,
+            CAST($v AS BIGINT) AS iv FROM px)
+          SELECT tx AS x, ty AS y,
+            CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks
+          FROM cells GROUP BY 1, 2 ORDER BY x, y"""
+    })
   )
 
   /** WKT for an axis-aligned rect from SQL sub-expressions (CCW closed). */

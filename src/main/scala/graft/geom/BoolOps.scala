@@ -103,13 +103,14 @@ object BoolOps {
     if (cmpEv(a, b) > 0) 1 else -1
   }
 
-  /** Segment intersection: returns 0 (none), 1 (point in pix/piy), or
-    * 2 (collinear overlap, [pix,piy]-[qix,qiy]). Standard parametric
-    * formulation with exact-double endpoint snapping. */
-  private var pix, piy, qix, qiy = 0.0
-
+  /** Segment intersection: returns 0 (none), 1 (point in out(0..1)), or
+    * 2 (collinear overlap, [out(0..1)]-[out(2..3)]). Standard parametric
+    * formulation with exact-double endpoint snapping. Results go into the
+    * caller-provided `out` buffer — BoolOps must stay free of shared
+    * mutable state (it runs concurrently in every executor thread). */
   private def segInt(a0x: Double, a0y: Double, a1x: Double, a1y: Double,
-                     b0x: Double, b0y: Double, b1x: Double, b1y: Double): Int = {
+                     b0x: Double, b0y: Double, b1x: Double, b1y: Double,
+                     out: Array[Double]): Int = {
     val vax = a1x - a0x; val vay = a1y - a0y
     val vbx = b1x - b0x; val vby = b1y - b0y
     val ex = b0x - a0x; val ey = b0y - a0y
@@ -120,11 +121,11 @@ object BoolOps {
       val t = (ex * vay - ey * vax) / kross
       if (t < 0.0 || t > 1.0) return 0
       // snap to endpoints so subdivision never creates near-duplicate points
-      if (s == 0.0) { pix = a0x; piy = a0y }
-      else if (s == 1.0) { pix = a1x; piy = a1y }
-      else if (t == 0.0) { pix = b0x; piy = b0y }
-      else if (t == 1.0) { pix = b1x; piy = b1y }
-      else { pix = a0x + s * vax; piy = a0y + s * vay }
+      if (s == 0.0) { out(0) = a0x; out(1) = a0y }
+      else if (s == 1.0) { out(0) = a1x; out(1) = a1y }
+      else if (t == 0.0) { out(0) = b0x; out(1) = b0y }
+      else if (t == 1.0) { out(0) = b1x; out(1) = b1y }
+      else { out(0) = a0x + s * vax; out(1) = a0y + s * vay }
       return 1
     }
     // parallel: collinear?
@@ -144,9 +145,9 @@ object BoolOps {
       else if (isB1) (b1x, b1y)
       else (a0x + s * vax, a0y + s * vay)
     val (lx, ly) = at(lo, lo == s0, lo == s1)
-    if (lo == hi) { pix = lx; piy = ly; return 1 }
+    if (lo == hi) { out(0) = lx; out(1) = ly; return 1 }
     val (hx, hy) = at(hi, hi == s0, hi == s1)
-    pix = lx; piy = ly; qix = hx; qiy = hy
+    out(0) = lx; out(1) = ly; out(2) = hx; out(3) = hy
     2
   }
 
@@ -193,15 +194,16 @@ object BoolOps {
   /** Returns 2 when the segments fully coincide (caller must recompute
     * fields), per the published implementation's contract. */
   private def possibleIntersection(e1: Ev, e2: Ev, q: JPriorityQueue[Ev]): Int = {
+    val ib = new Array[Double](4)
     val n = segInt(e1.x, e1.y, e1.other.x, e1.other.y,
-      e2.x, e2.y, e2.other.x, e2.other.y)
+      e2.x, e2.y, e2.other.x, e2.other.y, ib)
     if (n == 0) return 0
     if (n == 1) {
       val shareLeft = e1.x == e2.x && e1.y == e2.y
       val shareRight = e1.other.x == e2.other.x && e1.other.y == e2.other.y
-      if ((shareLeft && pix == e1.x && piy == e1.y) ||
-          (shareRight && pix == e1.other.x && piy == e1.other.y)) return 0
-      val px = pix; val py = piy
+      if ((shareLeft && ib(0) == e1.x && ib(1) == e1.y) ||
+          (shareRight && ib(0) == e1.other.x && ib(1) == e1.other.y)) return 0
+      val px = ib(0); val py = ib(1)
       if (!(px == e1.x && py == e1.y) && !(px == e1.other.x && py == e1.other.y))
         divide(e1, px, py, q)
       if (!(px == e2.x && py == e2.y) && !(px == e2.other.x && py == e2.other.y))
