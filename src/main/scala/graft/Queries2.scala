@@ -528,6 +528,48 @@ object Queries2 {
           SELECT tx AS x, ty AS y,
             CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks
           FROM cells GROUP BY 1, 2 ORDER BY x, y"""
+    }),
+
+    // -- viewshed (GDAL ViewshedExecutor port): flat terrain + a full-height
+    // wall column 7 px right of the observer (H=3, eye=5). Inside the
+    // |dx| >= |dy| wedge the EDGE-mode recursion collapses to the 1-D line
+    // rule (deps stay in the wedge; Za=Zb), so visibility has a closed
+    // form: hidden exactly for dx in [8,17] (reappear at n* = h·n_wall/
+    // (h−H) = 17.5, safely off-integer). Cells outside the wedge are
+    // masked to 7 on both sides.
+    ("r20_viewshed", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def dem(gx: Long, gy: Long): Double = if (gx == 135) 3.0 else 0.0
+      val tiles = engine.Raster.syntheticTiles(s, 2, tileSize = 64)(dem)
+      engine.Viewshed.viewsheds(tiles, Seq((1L, 128, 128, 5.0)), 4, 4)
+        .map { case (_, t) =>
+          val out = new Array[Double](t.pixels.length)
+          var i = 0
+          while (i < out.length) {
+            val gx = t.x.toLong * t.w + (i % t.w)
+            val gy = t.y.toLong * t.h + (i / t.w)
+            val dx = gx - 128; val dy = gy - 128
+            out(i) = if (math.abs(dx) >= math.abs(dy)) t.pixels(i) else 7.0
+            i += 1
+          }
+          (t.x.toLong, t.y.toLong,
+            engine.Raster.checksum(out, t.w, t.h).toLong)
+        }
+        .toDF("x", "y", "cks")
+        .orderBy("x", "y")
+    }, Some {
+      val v = """CASE WHEN abs(gx - 128) < abs(gy - 128) THEN 7
+          WHEN gx - 128 BETWEEN 8 AND 17 THEN 0
+          ELSE 255 END"""
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 255)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS gy) ys),
+          cells AS (SELECT gx >> 6 AS tx, gy >> 6 AS ty, gx % 64 AS cx, gy % 64 AS cy,
+            CAST($v AS BIGINT) AS iv FROM px)
+          SELECT tx AS x, ty AS y,
+            CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks
+          FROM cells GROUP BY 1, 2 ORDER BY x, y"""
     })
   )
 
