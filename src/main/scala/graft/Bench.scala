@@ -25,7 +25,8 @@ object Bench {
     "g03_pip_join", "g01_tile_assign", "g02_tile_pyramid", "g05_cover_join",
     "g06_knn", "r01_rasterize_checksum", "r02_pyramid_checksum",
     "d01_dedup_exact", "d04_minhash_sig", "d05_lsh_pairs", "d06_simhash",
-    "d07_jaccard_pairs", "e01_cosine_topk", "e02_embed_neardup",
+    "d07_jaccard_pairs", "d08_lsh_jaccard", "e01_cosine_topk", "e02_embed_neardup",
+    "g20_overlay", "r13_dem_extras", "r15_warp_area",
     "q03_groupby", "q04_join_agg", "q10_firstmatch_join", "q13_time_window")
 
   private def session(cpus: Int): SparkSession = {
@@ -79,7 +80,7 @@ object Bench {
     * the measurement CPU-bound on this sandbox's flaky-I/O disk. Timed work
     * = the distributed operators under test: salted cell PIP join and tile
     * assignment. Returns (join docs/sec, tile-assign seconds), medians. */
-  def scalingProbe(cpus: Int, n: Long, runs: Int): (Double, Double) = {
+  def scalingProbe(cpus: Int, n: Long, runs: Int): (Double, Double, Double, Double) = {
     val s = session(cpus)
     try {
       val g = engine.GeoDocs.withGeometry(
@@ -106,10 +107,11 @@ object Bench {
       tileOnce()
       val ts = (1 to runs).map(_ => secs(tileOnce())).sorted
       println(s"PROBEDETAIL p$cpus join=${js.map(x => f"$x%.2f").mkString(",")} salted=${ss.map(x => f"$x%.2f").mkString(",")} tile=${ts.map(x => f"$x%.2f").mkString(",")}")
-      // min time = max sustained throughput: this sandbox carries an
-      // external background load that injects multi-second stalls into
-      // individual runs; the fastest of 5 runs is the reproducible figure
-      (n.toDouble / js.head, ts.head)
+      // min time = max sustained throughput (this sandbox carries an
+      // external background load injecting multi-second stalls); the
+      // MEDIAN is reported alongside so the stall impact is visible
+      def med(v: Seq[Double]): Double = v(v.length / 2)
+      (n.toDouble / js.head, n.toDouble / med(js), ts.head, med(ts))
     } finally s.stop()
   }
 
@@ -127,7 +129,7 @@ object Bench {
 
   /** Run one probe level in a FRESH JVM (spark-submit-equivalent isolation;
     * in-process back-to-back sessions pollute each other via GC/heap). */
-  private def probeInSubprocess(cpus: Int, n: Long, runs: Int): (Double, Double) = {
+  private def probeInSubprocess(cpus: Int, n: Long, runs: Int): (Double, Double, Double, Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
@@ -148,12 +150,12 @@ object Bench {
     })
     drain.setDaemon(true); drain.start()
     var line = rdr.readLine()
-    var result: (Double, Double) = (-1.0, -1.0)
+    var result: (Double, Double, Double, Double) = (-1.0, -1.0, -1.0, -1.0)
     while (line != null) {
       if (line.startsWith("PROBEDETAIL")) System.err.println(line)
       else if (line.startsWith("PROBE ")) {
         val parts = line.split(" ")
-        result = (parts(1).toDouble, parts(2).toDouble)
+        result = (parts(1).toDouble, parts(2).toDouble, parts(3).toDouble, parts(4).toDouble)
       }
       line = rdr.readLine()
     }
@@ -163,8 +165,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 4 && args(0) == "--probe") {
-      val (thr, tile) = scalingProbe(args(1).toInt, args(2).toLong, args(3).toInt)
-      println(f"PROBE $thr%.1f $tile%.3f")
+      val (thr, thrMed, tile, tileMed) = scalingProbe(args(1).toInt, args(2).toLong, args(3).toInt)
+      println(f"PROBE $thr%.1f $thrMed%.1f $tile%.3f $tileMed%.3f")
       sys.exit(0)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -184,10 +186,11 @@ object Bench {
 
     val pLo = sys.env.getOrElse("SPARK_GRAFT_SCALE_P", "4").toInt
     val scaling: String = if (skipScaling) "null" else {
-      val (thr8, tile8) = probeInSubprocess(pLo, scaleN, scaleRuns)
-      val (thr32, tile32) = probeInSubprocess(pLo * 4, scaleN, scaleRuns)
+      val (thr8, thr8m, tile8, tile8m) = probeInSubprocess(pLo, scaleN, scaleRuns)
+      val (thr32, thr32m, tile32, tile32m) = probeInSubprocess(pLo * 4, scaleN, scaleRuns)
       val eff = thr32 / (4.0 * thr8)
-      f"""{"n":$scaleN,"p_lo":$pLo,"p_hi":${pLo * 4},"join_docs_per_sec_lo":${thr8}%.1f,"join_docs_per_sec_hi":${thr32}%.1f,"tile_assign_sec_lo":$tile8%.3f,"tile_assign_sec_hi":$tile32%.3f,"scaling_efficiency":$eff%.3f}"""
+      val effMed = thr32m / (4.0 * thr8m)
+      f"""{"n":$scaleN,"p_lo":$pLo,"p_hi":${pLo * 4},"join_docs_per_sec_lo":${thr8}%.1f,"join_docs_per_sec_hi":${thr32}%.1f,"join_docs_per_sec_lo_med":${thr8m}%.1f,"join_docs_per_sec_hi_med":${thr32m}%.1f,"tile_assign_sec_lo":$tile8%.3f,"tile_assign_sec_hi":$tile32%.3f,"tile_assign_sec_lo_med":$tile8m%.3f,"tile_assign_sec_hi_med":$tile32m%.3f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_med":$effMed%.3f}"""
     }
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

@@ -395,7 +395,7 @@ object Queries {
   // =====================================================================
 
   /** Per-doc minhash signature frame shared by d04/d05. */
-  private def minhashDf(s: SparkSession, dir: String): DataFrame = {
+  def minhashDf(s: SparkSession, dir: String): DataFrame = {
     prep(s)
     val base = t(s, dir, "documents").where(expr("length(text) >= 3"))
       .withColumn("sig", gf.text_minhash(col("text")))
@@ -404,7 +404,7 @@ object Queries {
     }.drop("sig")
   }
 
-  private def minhashCte: String = {
+  def minhashCte: String = {
     val hs = (0 until 8).map(j => s"${minhashSql("codes", j, duck = true)} AS h$j").mkString(", ")
     s"""sig AS (SELECT doc_id, $hs FROM
          (SELECT doc_id, ${trigramCodes("text", duck = true)} AS codes

@@ -187,13 +187,16 @@ object Queries2 {
       }
       val aff = engine.Raster.WarpAffine(2.0, 2.0, 0.0, 0.0)
       val kernels = Seq("average", "sum", "rms", "min", "max", "med", "q1", "q3", "mode")
-      val dfs = kernels.map { k =>
-        engine.Raster.warpAffine(base, 2, 4, 4, aff, k, 2048, 2048)
-          .map(t => (t.x.toLong, t.y.toLong,
-            engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
-          .toDF("x", "y", s"cks_$k")
-      }
-      dfs.reduce((a, b) => a.join(b, Seq("x", "y")))
+      engine.Raster.warpAffineMulti(base, 2, 4, 4, aff, kernels, 2048, 2048)
+        .map { case (k, t) => (t.x.toLong, t.y.toLong, k,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong) }
+        .toDF("x", "y", "k", "cks")
+        .groupBy("x", "y")
+        .agg(kernels.zipWithIndex.map { case (k, i) =>
+          max(when(col("k") === i, col("cks"))).as(s"cks_$k")
+        }.head, kernels.zipWithIndex.map { case (k, i) =>
+          max(when(col("k") === i, col("cks"))).as(s"cks_$k")
+        }.tail: _*)
         .withColumn("z", lit(2).cast("long"))
         .select(col("z") +: col("x") +: col("y") +: kernels.map(k => col(s"cks_$k")): _*)
         .orderBy("x", "y")
@@ -570,6 +573,53 @@ object Queries2 {
           SELECT tx AS x, ty AS y,
             CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks
           FROM cells GROUP BY 1, 2 ORDER BY x, y"""
+    }),
+
+    // -- near-dup ENGINE PATH: LSH banded candidates (d05's bucketed
+    // equi-join — scales) piped into exact n-gram Jaccard refinement over
+    // candidates only. This is the 100 TB near-dup entry point; d07's
+    // group-quadratic join remains the oracle-scale baseline.
+    ("d08_lsh_jaccard", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val sig = Queries.minhashDf(s, dir)
+      val bands = sig.select(col("doc_id"), explode(array((0 until 2).map { b =>
+          struct(lit(b).as("band"), col(s"h${4 * b}").as("x1"), col(s"h${4 * b + 1}").as("x2"),
+            col(s"h${4 * b + 2}").as("x3"), col(s"h${4 * b + 3}").as("x4"))
+        }: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.*"))
+      val cand = bands.as("l").join(bands.as("r"),
+          col("l.band") === col("r.band") && col("l.x1") === col("r.x1") &&
+            col("l.x2") === col("r.x2") && col("l.x3") === col("r.x3") &&
+            col("l.x4") === col("r.x4") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        .distinct()
+      val sets = t(s, dir, "documents").where(expr("length(text) >= 3"))
+        .select(col("doc_id"),
+          array_distinct(gf.text_trigram_codes(col("text"))).as("cd"))
+      cand.join(sets.as("sa"), col("a") === col("sa.doc_id"))
+        .select(col("a"), col("b"), col("sa.cd").as("ca"))
+        .join(sets.as("sb"), col("b") === col("sb.doc_id"))
+        .select(col("a"), col("b"),
+          expr("CAST(floor(1000.0 * size(array_intersect(ca, sb.cd)) / " +
+            "(size(ca) + size(sb.cd) - size(array_intersect(ca, sb.cd)))) AS BIGINT)").as("jac_x1000"))
+        .orderBy("a", "b")
+    }, Some {
+      val bandArms = (0 until 2).map { b =>
+        s"SELECT doc_id, $b AS band, h${4 * b} AS x1, h${4 * b + 1} AS x2, h${4 * b + 2} AS x3, h${4 * b + 3} AS x4 FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH ${Queries.minhashCte}, bands AS ($bandArms),
+          cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r ON l.band = r.band AND l.x1 = r.x1 AND l.x2 = r.x2
+              AND l.x3 = r.x3 AND l.x4 = r.x4 AND l.doc_id < r.doc_id),
+          sets AS (SELECT doc_id, list_distinct(${trigramCodes("text", duck = true)}) AS cd
+            FROM documents WHERE length(text) >= 3),
+          p AS (SELECT a, b,
+              len(list_filter(sa.cd, x -> list_contains(sb.cd, x))) AS inter,
+              len(sa.cd) + len(sb.cd) AS tot
+            FROM cand JOIN sets sa ON a = sa.doc_id JOIN sets sb ON b = sb.doc_id)
+          SELECT a, b, CAST(floor(1000.0 * inter / (tot - inter)) AS BIGINT) AS jac_x1000
+          FROM p ORDER BY a, b"""
     })
   )
 

@@ -220,10 +220,21 @@ object Raster {
                  srcW: Long, srcH: Long, tileSize: Int = TileSize): Dataset[Tile] = {
     val spark = src.sparkSession
     import spark.implicits._
+    warpAffineMulti(src, dstZ, nDstX, nDstY, aff, Seq(kernel), srcW, srcH, tileSize)
+      .map(_._2)
+  }
+
+  /** N kernels over ONE source shuffle (same batching rationale as
+    * focal3x3Multi: at scale the src-tile replication shuffle dominates, so
+    * kernels share it). Output key = kernel index. */
+  def warpAffineMulti(src: Dataset[Tile], dstZ: Int, nDstX: Int, nDstY: Int,
+                 aff: WarpAffine, kernels: Seq[String],
+                 srcW: Long, srcH: Long, tileSize: Int = TileSize): Dataset[(Int, Tile)] = {
+    val spark = src.sparkSession
+    import spark.implicits._
     val ts = tileSize
-    require(pointKernels.contains(kernel) || areaKernels.contains(kernel), s"kernel $kernel")
-    val isArea = areaKernels.contains(kernel)
-    val rad = math.max(kernelRadius(kernel, aff.sx), kernelRadius(kernel, aff.sy))
+    kernels.foreach(k => require(pointKernels.contains(k) || areaKernels.contains(k), s"kernel $k"))
+    val rad = kernels.map(k => math.max(kernelRadius(k, aff.sx), kernelRadius(k, aff.sy))).max
 
     // dst tile → src pixel window → src tile range (with kernel-radius halo)
     def srcTileRange(dx: Int, dy: Int): (Int, Int, Int, Int) = {
@@ -262,19 +273,34 @@ object Raster {
     }
     contrib.union(marker)
       .groupByKey(c => (c._1, c._2))
-      .mapGroups { (key, it) =>
+      .flatMapGroups { (key, it) =>
         val (dx, dy) = key
-        val tiles = new scala.collection.mutable.HashMap[(Int, Int), Tile]
+        val tileList = new scala.collection.mutable.ArrayBuffer[Tile]()
         var z = dstZ; var band = 1
         it.foreach { case (_, _, t) =>
-          if (t.band != -1) { tiles((t.x, t.y)) = t; z = t.z; band = t.band }
+          if (t.band != -1) { tileList += t; z = t.z; band = t.band }
         }
-        def pix(gx: Long, gy: Long): Double = {
-          if (gx < 0 || gy < 0 || gx >= srcW || gy >= srcH) Double.NaN
-          else tiles.get(((gx / ts).toInt, (gy / ts).toInt)) match {
-            case Some(t) => t.pixels(((gy % ts) * ts + (gx % ts)).toInt)
-            case None => Double.NaN
+        // dense local tile grid: pix() is two array indexes, no boxed
+        // hashmap lookups (the hot path runs srcWindow accesses per pixel)
+        val (tx0, ty0, tx1, ty1) =
+          if (tileList.isEmpty) (0, 0, -1, -1)
+          else (tileList.map(_.x).min, tileList.map(_.y).min,
+                tileList.map(_.x).max, tileList.map(_.y).max)
+        val gw = tx1 - tx0 + 1
+        val grid: Array[Array[Double]] =
+          if (tileList.isEmpty) Array.empty
+          else {
+            val g = new Array[Array[Double]](gw * (ty1 - ty0 + 1))
+            tileList.foreach(t => g((t.y - ty0) * gw + (t.x - tx0)) = t.pixels)
+            g
           }
+        def pix(gx: Long, gy: Long): Double = {
+          if (gx < 0 || gy < 0 || gx >= srcW || gy >= srcH) return Double.NaN
+          val tx = (gx / ts).toInt - tx0; val ty = (gy / ts).toInt - ty0
+          if (tx < 0 || ty < 0 || tx >= gw || ty >= ty1 - ty0 + 1) return Double.NaN
+          val p = grid(ty * gw + tx)
+          if (p == null) Double.NaN
+          else p(((gy % ts) * ts + (gx % ts)).toInt)
         }
         // point-kernel separable resample: rows convolved with wx then wy
         // (exact operation order of the reference's CONVOL4 — left-assoc
@@ -311,8 +337,12 @@ object Raster {
         }
 
         val eps = 1e-10
-        val out = new Array[Double](ts * ts)
+        val outs = Array.fill(kernels.length)(new Array[Double](ts * ts))
         val vbuf = new scala.collection.mutable.ArrayBuffer[Double](64)
+        var ki = 0
+        while (ki < kernels.length) {
+        val kernel = kernels(ki)
+        val out = outs(ki)
         var yy = 0
         while (yy < ts) {
           val gyD = dy.toLong * ts + yy
@@ -445,7 +475,11 @@ object Raster {
           }
           yy += 1
         }
-        Tile(dstZ, dx, dy, band, ts, ts, out)
+        ki += 1
+        }
+        outs.iterator.zipWithIndex.map { case (o, i) =>
+          (i, Tile(dstZ, dx, dy, band, ts, ts, o))
+        }
       }
   }
 

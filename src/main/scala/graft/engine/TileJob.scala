@@ -36,19 +36,16 @@ object TileJob {
     * counts sum like an Average-kernel mosaic's weight plane). One shuffle
     * per level, each level 4x smaller. */
   def pyramidCounts(pts: DataFrame, minZ: Int, maxZ: Int): DataFrame = {
-    val base = tileCounts(pts, maxZ).cache()
-    base.count() // materialize once so the 6-way union reads the cache
-    // every overview level derives from the (small, cached) base via bit
-    // shifts — one cheap shuffle per level over pre-aggregated data, not a
-    // chain of recomputations
-    val levels = base :: (minZ until maxZ).map { z =>
-      val shift = maxZ - z
-      base.select(lit(z).as("z"),
-          shiftright(col("x"), shift).cast("int").as("x"),
-          shiftright(col("y"), shift).cast("int").as("y"),
-          col("n"))
-        .groupBy("z", "x", "y").agg(sum("n").as("n"))
-    }.toList
-    levels.reduce(_ unionByName _)
+    // base level aggregated once, then ONE explode over the zoom levels +
+    // ONE re-aggregation: two shuffles total and a single codegen stage,
+    // instead of the previous per-level union (6 compiled stages + cache)
+    // whose first-execution JIT dominated wall time
+    tileCounts(pts, maxZ)
+      .withColumn("zo", explode(lit((minZ to maxZ).toArray)))
+      .select(col("zo").cast("int").as("z"),
+        expr(s"CAST(x div CAST(pow(2, $maxZ - zo) AS BIGINT) AS INT)").as("x"),
+        expr(s"CAST(y div CAST(pow(2, $maxZ - zo) AS BIGINT) AS INT)").as("y"),
+        col("n"))
+      .groupBy("z", "x", "y").agg(sum("n").as("n"))
   }
 }
