@@ -24,6 +24,8 @@ object Queries2 {
 
   private def toInt(col: String): String = s"CAST(floor($col + 0.5) AS BIGINT)"
 
+  private def cents0(c: String): String = s"CAST(floor($c * 100.0 + 0.5) AS BIGINT)"
+
   val defs4: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // -- gdaldem aspect / TPI / TRI (Riley + Wilson) / roughness over the
@@ -620,6 +622,127 @@ object Queries2 {
             FROM cand JOIN sets sa ON a = sa.doc_id JOIN sets sb ON b = sb.doc_id)
           SELECT a, b, CAST(floor(1000.0 * inter / (tot - inter)) AS BIGINT) AS jac_x1000
           FROM p ORDER BY a, b"""
+    }),
+
+    // -- OGR SQL dialect coercion quirks: '+' concatenates when the left
+    // operand is a string (SWQ_ADD string branch) and strings coerce to
+    // numbers via CPLAtof leading-prefix parse ("12abc" -> 12, "abc" -> 0)
+    ("q20_dialect_coerce", (s, dir) => {
+      prep(s)
+      import graft.sql.OgrCompat
+      val base = t(s, dir, "documents").where(col("doc_id") < 10000)
+        .withColumn("sn", expr("CAST(doc_id % 100 AS STRING)"))
+        .withColumn("s2", expr(
+          "CASE WHEN doc_id % 3 = 0 THEN concat(CAST(doc_id % 100 AS STRING), 'x') " +
+          "WHEN doc_id % 3 = 1 THEN concat('v', CAST(doc_id % 100 AS STRING)) " +
+          "ELSE CAST(doc_id % 100 AS STRING) END"))
+      base.select(col("doc_id"),
+          OgrCompat.addOgr(col("sn"), col("doc_id") % 10, leftIsString = true).as("cat"),
+          OgrCompat.strToNum(col("s2")).cast("long").as("num"),
+          (OgrCompat.strToNum(col("s2")) > 50.0).cast("long").as("gt50"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH b AS (SELECT doc_id, CAST(doc_id % 100 AS VARCHAR) AS sn,
+          CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 100 AS VARCHAR) || 'x'
+               WHEN doc_id % 3 = 1 THEN 'v' || CAST(doc_id % 100 AS VARCHAR)
+               ELSE CAST(doc_id % 100 AS VARCHAR) END AS s2
+        FROM documents WHERE doc_id < 10000),
+      c AS (SELECT doc_id, sn || CAST(doc_id % 10 AS VARCHAR) AS cat,
+          COALESCE(TRY_CAST(regexp_extract(s2, '^\s*[-+]?[0-9]*\.?[0-9]+([eE][-+]?[0-9]+)?', 0) AS DOUBLE), 0.0) AS numv
+        FROM b)
+      SELECT doc_id, cat, CAST(numv AS BIGINT) AS num,
+             CAST(numv > 50.0 AS BIGINT) AS gt50
+      FROM c ORDER BY doc_id""")),
+
+    // -- upsert / MERGE INTO (OGRLayer::UpsertFeature): updates override
+    // base on the key, inserts otherwise — one latest-wins shuffle; oracle
+    // is the FULL OUTER JOIN + COALESCE formulation
+    ("u02_upsert", (s, dir) => {
+      val base = t(s, dir, "orders")
+        .where(expr("o_orderkey % 2 = 0"))
+        .select(col("o_orderkey"), expr(cents0("o_totalprice")).as("price_c"))
+      val updates = t(s, dir, "orders")
+        .where(expr("o_orderkey % 3 = 0"))
+        .select(col("o_orderkey"),
+          expr(s"${cents0("o_totalprice")} + 10000").as("price_c"))
+      engine.Upsert.upsert(base, updates, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }, Some(s"""
+      WITH base AS (SELECT o_orderkey, ${cents0("o_totalprice")} AS price_c
+                    FROM orders WHERE o_orderkey % 2 = 0),
+      upd AS (SELECT o_orderkey, ${cents0("o_totalprice")} + 10000 AS price_c
+              FROM orders WHERE o_orderkey % 3 = 0)
+      SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CAST(COALESCE(u.price_c, b.price_c) AS BIGINT) AS price_c
+      FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+      ORDER BY o_orderkey""")),
+
+    // -- curve geometry: CIRCULARSTRING linearized on read at the OGR
+    // default 4° max step. Semicircle radius r -> 45 equal chords, length
+    // 90·r·sin(π/90) in closed form (chord sums agree to ~1e-13 relative,
+    // far inside the micro-int rounding)
+    ("g24_circularstring", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = t(s, dir, "documents").where(col("doc_id") < 5000)
+        .withColumn("r", expr("1.0 + CAST(doc_id % 9 AS DOUBLE) * 0.5"))
+        .withColumn("wkt", expr(
+          "concat('CIRCULARSTRING (', CAST(-r AS STRING), ' 0, 0 ', CAST(r AS STRING), ', ', CAST(r AS STRING), ' 0)')"))
+        .withColumn("g", gf.st_geomfromtext(col("wkt")))
+      base.select(col("doc_id"),
+          expr("CAST(floor(st_length(g) * 1000000.0 + 0.5) AS BIGINT)").as("len_u"),
+          gf.st_geometrytype(col("g")).as("gtype"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH b AS (SELECT doc_id, 1.0 + CAST(doc_id % 9 AS DOUBLE) * 0.5 AS r
+                 FROM documents WHERE doc_id < 5000)
+      SELECT doc_id,
+        CAST(floor(90.0 * r * sin(${dlit(math.Pi)} / 90.0) * 1000000.0 + 0.5) AS BIGINT) AS len_u,
+        'LINESTRING' AS gtype
+      FROM b ORDER BY doc_id""")),
+
+    // -- gdaldem color-relief: linear interpolation between color stops,
+    // channel = clamp(int(0.5 + lo + ratio·(hi−lo))), boundary colors
+    // outside the table; per-band checksums against the closed form
+    ("r21_color_relief", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val z = 2
+      val base = engine.Raster.syntheticTiles(s, z) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val stops = Seq((500.0, 10, 250, 40), (4000.0, 200, 120, 0), (9000.0, 255, 255, 255))
+      engine.Raster.colorRelief(base, stops)
+        .map(t => (t.x.toLong, t.y.toLong, t.band,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "b", "cks")
+        .groupBy("x", "y")
+        .agg(max(when(col("b") === 1, col("cks"))).as("cks_r"),
+          max(when(col("b") === 2, col("cks"))).as("cks_g"),
+          max(when(col("b") === 3, col("cks"))).as("cks_b"))
+        .withColumn("z", lit(z).cast("long"))
+        .select("z", "x", "y", "cks_r", "cks_g", "cks_b")
+        .orderBy("x", "y")
+    }, Some {
+      val maxG = 1023
+      val v = "CAST((gx * 7919 + gy * 104729) % 9973 AS DOUBLE)"
+      def chan(lo: Int, hi: Int, loV: Double, hiV: Double): String =
+        s"least(255, greatest(0, CAST(floor(0.5 + $lo + (($v - $loV) / (${hiV - loV})) * (${hi - lo})) AS BIGINT)))"
+      def band(c1: Int, c2: Int, c3: Int): String =
+        s"""CASE WHEN $v <= 500.0 THEN $c1
+            WHEN $v >= 9000.0 THEN $c3
+            WHEN $v <= 4000.0 THEN ${chan(c1, c2, 500.0, 4000.0)}
+            ELSE ${chan(c2, c3, 4000.0, 9000.0)} END"""
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, $maxG)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, $maxG)) AS gy) ys),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            CAST(${band(10, 200, 255)} AS BIGINT) AS ivr,
+            CAST(${band(250, 120, 255)} AS BIGINT) AS ivg,
+            CAST(${band(40, 0, 255)} AS BIGINT) AS ivb FROM px)
+          SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y,
+            ${cksCol("ivr")} AS cks_r, ${cksCol("ivg")} AS cks_g, ${cksCol("ivb")} AS cks_b
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
     })
   )
 

@@ -483,6 +483,42 @@ object Raster {
       }
   }
 
+  /** gdaldem color-relief (reference: GDALColorReliefGetRGBA,
+    * /root/reference/apps/gdaldem_lib.cpp:1740-1800, interpolation mode):
+    * per-pixel linear interpolation between sorted (value → r,g,b) stops,
+    * channel = clamp(int(0.5 + lo + ratio·(hi − lo)), 0, 255); values
+    * below the first / above the last stop take the boundary color.
+    * Narrow map per band — no shuffle. */
+  def colorRelief(tiles: Dataset[Tile], stops: Seq[(Double, Int, Int, Int)]): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val sorted = stops.sortBy(_._1).toArray
+    tiles.flatMap { t =>
+      val n = t.pixels.length
+      val outs = Array.fill(3)(new Array[Double](n))
+      var i = 0
+      while (i < n) {
+        val v = t.pixels(i)
+        var hi = 0
+        while (hi < sorted.length && sorted(hi)._1 < v) hi += 1
+        val (r, g, b) =
+          if (hi == 0) (sorted(0)._2, sorted(0)._3, sorted(0)._4)
+          else if (hi >= sorted.length) {
+            val l = sorted(sorted.length - 1); (l._2, l._3, l._4)
+          } else {
+            val lo = sorted(hi - 1); val h = sorted(hi)
+            val ratio = (v - lo._1) / (h._1 - lo._1)
+            def interp(a: Int, b0: Int): Int =
+              math.min(255, math.max(0, (0.5 + a + ratio * (b0 - a)).toInt))
+            (interp(lo._2, h._2), interp(lo._3, h._3), interp(lo._4, h._4))
+          }
+        outs(0)(i) = r; outs(1)(i) = g; outs(2)(i) = b
+        i += 1
+      }
+      (0 until 3).iterator.map(bi => Tile(t.z, t.x, t.y, bi + 1, t.w, t.h, outs(bi)))
+    }
+  }
+
   /** Weighted-Brovey pansharpening (reference: GDALPansharpenOperation::
     * WeightedBrovey3, /root/reference/alg/gdalpansharpen.cpp:592-630):
     * pseudo-pan = Σ wᵢ·spectralᵢ, factor = pan/pseudo (0 when pseudo = 0),

@@ -42,6 +42,26 @@ object OgrCompat {
   def intMod(a: Column, b: Column): Column =
     when(b === 0, lit(IntMax)).otherwise(a.cast("long") % b.cast("long"))
 
+  /** OGR `+` concatenates when the LEFT operand is string-typed — SWQ_ADD
+    * falls into the string branch and appends all operands' string values
+    * (swq_op_general.cpp:1135-1145; type promotion :1453-1460). The
+    * dispatch is static on the declared field type, so it is a parameter
+    * here, matching the reference's compile-time resolution. */
+  def addOgr(a: Column, b: Column, leftIsString: Boolean): Column =
+    if (leftIsString) concat(a, b.cast("string")) else a + b
+
+  /** CPLAtof coercion: a string used as a number parses its LEADING
+    * numeric prefix, yielding 0 when there is none ("12abc" → 12,
+    * "abc" → 0) — swq_op_general.cpp:1744 via CPLAtof. Spark's bare
+    * CAST(string AS DOUBLE) nulls on trailing garbage, hence the
+    * prefix-extract. */
+  def strToNum(c: Column): Column = {
+    val m = regexp_extract(c, "^\\s*[-+]?[0-9]*\\.?[0-9]+([eE][-+]?[0-9]+)?", 0)
+    // the regex guarantees a valid literal, so only the no-match empty
+    // string needs guarding (ANSI CAST throws on it)
+    when(length(m) === 0, lit(0.0)).otherwise(m.cast("double"))
+  }
+
   /** OGR AND: null iff both null (swq_op_general.cpp:545-552). */
   def andOgr(a: Column, b: Column): Column =
     when(a.isNull && b.isNull, lit(null).cast("boolean"))

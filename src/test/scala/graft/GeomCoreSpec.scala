@@ -30,9 +30,13 @@ class GeomCoreSpec extends AnyFunSuite {
     assert(Wkt.parse("MULTIPOINT (1 2,3 4)").asInstanceOf[MultiPoint].points.length == 2)
   }
 
-  test("WKT rejects curve types with clear error") {
-    val e = intercept[IllegalArgumentException](Wkt.parse("CIRCULARSTRING (0 0,1 1,2 0)"))
-    assert(e.getMessage.contains("not supported"))
+  test("WKT linearizes CIRCULARSTRING; other curve types rejected") {
+    // semicircle radius 1 through (0,0)-(1,1)-(2,0): 45 chords, closed-form length
+    val g = Wkt.parse("CIRCULARSTRING (0 0,1 1,2 0)").asInstanceOf[LineString]
+    assert(g.numPoints == 46)
+    assert(math.abs(GeoOps.length(g) - 90.0 * math.sin(math.Pi / 90.0)) < 1e-9)
+    val e = intercept[IllegalArgumentException](Wkt.parse("COMPOUNDCURVE ((0 0,1 1))"))
+    assert(e.getMessage.contains("unexpected") || e.getMessage.contains("not supported"))
   }
 
   test("WKB multi geometries round-trip") {
