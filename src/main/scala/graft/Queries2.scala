@@ -743,6 +743,55 @@ object Queries2 {
           SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y,
             ${cksCol("ivr")} AS cks_r, ${cksCol("ivg")} AS cks_g, ${cksCol("ivb")} AS cks_b
           FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
+    // -- general NxN focal windows (gdalalg_raster_neighbors size option):
+    // 5x5 sum/min/max through the widened 2-px halo strips; 2-px global
+    // border yields nodata 0 as in the 3x3 case
+    ("r22_focal5x5", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val z = 2
+      val base = engine.Raster.syntheticTiles(s, z) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val fns: Seq[Array[Double] => Double] = Seq(
+        w => { var t = 0.0; var i = 0; while (i < w.length) { t += w(i); i += 1 }; t },
+        w => { var m = w(0); var i = 1; while (i < w.length) { if (w(i) < m) m = w(i); i += 1 }; m },
+        w => { var m = w(0); var i = 1; while (i < w.length) { if (w(i) > m) m = w(i); i += 1 }; m })
+      engine.Focal.focalMulti(base, fns, size = 5)
+        .map { case (k, ti) => (ti.x.toLong, ti.y.toLong, k,
+          engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong) }
+        .toDF("x", "y", "k", "cks")
+        .groupBy("x", "y")
+        .agg(max(when(col("k") === 0, col("cks"))).as("cks_sum5"),
+          max(when(col("k") === 1, col("cks"))).as("cks_min5"),
+          max(when(col("k") === 2, col("cks"))).as("cks_max5"))
+        .withColumn("z", lit(z).cast("long"))
+        .select("z", "x", "y", "cks_sum5", "cks_min5", "cks_max5")
+        .orderBy("x", "y")
+    }, Some {
+      val maxG = 1023
+      def fAt(dx: Int, dy: Int) =
+        s"CAST(((gx + ($dx)) * 7919 + (gy + ($dy)) * 104729) % 9973 AS DOUBLE)"
+      val w25 = for (dy <- -2 to 2; dx <- -2 to 2) yield fAt(dx, dy)
+      val sum25 = w25.mkString("(", " + ", ")")
+      val mn = w25.mkString("least(", ", ", ")")
+      val mx = w25.mkString("greatest(", ", ", ")")
+      val border = s"gx < 2 OR gy < 2 OR gx > $maxG - 2 OR gy > $maxG - 2"
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, $maxG)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, $maxG)) AS gy) ys),
+          v AS (SELECT gx, gy,
+            CASE WHEN $border THEN 0.0 ELSE $sum25 END AS vs,
+            CASE WHEN $border THEN 0.0 ELSE $mn END AS vn,
+            CASE WHEN $border THEN 0.0 ELSE $mx END AS vx FROM px),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            ${toInt("vs")} AS ivs, ${toInt("vn")} AS ivn, ${toInt("vx")} AS ivx FROM v)
+          SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y,
+            ${cksCol("ivs")} AS cks_sum5, ${cksCol("ivn")} AS cks_min5,
+            ${cksCol("ivx")} AS cks_max5
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
     })
   )
 

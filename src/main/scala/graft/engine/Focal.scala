@@ -41,19 +41,29 @@ object Focal {
     * kernels is the Spark-native win). Output key = kernel index. Input must
     * be single-band; the Tile.band field carries the input band through. */
   def focal3x3Multi(tiles: Dataset[Tile], fns: Seq[Array[Double] => Double],
-                    nodataOut: Double = 0.0): Dataset[(Int, Tile)] = {
+                    nodataOut: Double = 0.0): Dataset[(Int, Tile)] =
+    focalMulti(tiles, fns, 3, nodataOut)
+
+  /** General odd NxN windows (gdalalg_raster_neighbors `size` 3..99,
+    * reference :209): halo strips widen to (size-1)/2 pixels — shuffle
+    * volume ~(1 + 2·hw/tileSize)², still far below whole-tile replication. */
+  def focalMulti(tiles: Dataset[Tile], fns: Seq[Array[Double] => Double],
+                 size: Int, nodataOut: Double = 0.0): Dataset[(Int, Tile)] = {
+    require(size >= 3 && size % 2 == 1, s"odd size >= 3, got $size")
+    val hw = (size - 1) / 2
     val spark = tiles.sparkSession
     import spark.implicits._
     val contrib = tiles.flatMap { t =>
+      require(hw <= t.w && hw <= t.h, s"window $size exceeds tile ${t.w}x${t.h}")
       for {
         dy <- -1 to 1
         dx <- -1 to 1
       } yield {
         // the neighbor at (+dx,+dy) needs our facing border strip
-        val x0 = if (dx == 1) t.w - 1 else 0
-        val y0 = if (dy == 1) t.h - 1 else 0
-        val sw = if (dx == 0) t.w else 1
-        val sh = if (dy == 0) t.h else 1
+        val x0 = if (dx == 1) t.w - hw else 0
+        val y0 = if (dy == 1) t.h - hw else 0
+        val sw = if (dx == 0) t.w else hw
+        val sh = if (dy == 0) t.h else hw
         val strip =
           if (dx == 0 && dy == 0) t.pixels
           else {
@@ -81,18 +91,18 @@ object Focal {
         if (center == null) Iterator.empty
         else {
           val w = center.sw; val h = center.sh
-          val pw = w + 2; val ph = h + 2
+          val pw = w + 2 * hw; val ph = h + 2 * hw
           val pad = Array.fill(pw * ph)(Double.NaN)
           parts.foreach { c =>
             // source tile sits at offset (-dx,-dy) from this tile; its
             // strip pixel (sx,sy) is source-tile pixel (x0+sx, y0+sy)
             var sy = 0
             while (sy < c.sh) {
-              val py = (c.y0 + sy) - c.dy * h + 1
+              val py = (c.y0 + sy) - c.dy * h + hw
               if (py >= 0 && py < ph) {
                 var sx = 0
                 while (sx < c.sw) {
-                  val px = (c.x0 + sx) - c.dx * w + 1
+                  val px = (c.x0 + sx) - c.dx * w + hw
                   if (px >= 0 && px < pw) pad(py * pw + px) = c.strip(sy * c.sw + sx)
                   sx += 1
                 }
@@ -101,7 +111,7 @@ object Focal {
             }
           }
           val outs = Array.fill(fns.length)(new Array[Double](w * h))
-          val win = new Array[Double](9)
+          val win = new Array[Double](size * size)
           var yy = 0
           while (yy < h) {
             var xx = 0
@@ -109,9 +119,9 @@ object Focal {
               var ok = true
               var k = 0
               var wy = 0
-              while (wy < 3) {
+              while (wy < size) {
                 var wx = 0
-                while (wx < 3) {
+                while (wx < size) {
                   val v = pad((yy + wy) * pw + (xx + wx))
                   if (java.lang.Double.isNaN(v)) ok = false
                   win(k) = v
