@@ -792,7 +792,26 @@ object Queries2 {
             ${cksCol("ivs")} AS cks_sum5, ${cksCol("ivn")} AS cks_min5,
             ${cksCol("ivx")} AS cks_max5
           FROM cells GROUP BY 2, 3 ORDER BY x, y"""
-    })
+    }),
+
+    // -- cell-prefix-partitioned + hilbert-sorted layout (the persistent-
+    // index analog): write, then bbox read whose cell cover prunes
+    // directories at plan time (PartitionFilters — asserted in
+    // CellLayoutSpec); gate checks the roundtrip returns exactly the
+    // bbox rows
+    ("u03_cell_layout", (s, dir) => {
+      prep(s)
+      val pts = Queries.eventPoints(s, dir)
+      val path = s"/tmp/graft_cell_layout_gate"
+      engine.CellLayout.write(pts, path, prefixZ = 3)
+      engine.CellLayout.readBbox(s, path, 3, -20.0, -30.0, 40.0, 35.0)
+        .select(col("event_id")).orderBy("event_id")
+    }, Some(s"""
+      WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events)
+      SELECT event_id FROM pts
+      WHERE lon >= -20.0 AND lon <= 40.0 AND lat >= -30.0 AND lat <= 35.0
+      ORDER BY event_id"""))
   )
 
   /** WKT for an axis-aligned rect from SQL sub-expressions (CCW closed). */
