@@ -339,10 +339,16 @@ object Raster {
         val eps = 1e-10
         val outs = Array.fill(kernels.length)(new Array[Double](ts * ts))
         val vbuf = new scala.collection.mutable.ArrayBuffer[Double](64)
-        var ki = 0
-        while (ki < kernels.length) {
-        val kernel = kernels(ki)
-        val out = outs(ki)
+        // pixel-outer loop: point kernels computed individually, area
+        // kernels share ONE footprint-rect scan per pixel (two accumulator
+        // chains — plain and squared — so each kernel's value is
+        // bit-identical to the single-kernel path)
+        val areaIdxs = kernels.indices.filter(i => areaKernels.contains(kernels(i))).toArray
+        val pointIdxs = kernels.indices.filter(i => pointKernels.contains(kernels(i))).toArray
+        val needSorted = areaIdxs.exists(i => kernels(i) == "med" || kernels(i) == "q1" || kernels(i) == "q3")
+        val needMode = areaIdxs.exists(i => kernels(i) == "mode")
+        var modeVals: Array[Double] = null
+        var modeCounts: Array[Double] = null
         var yy = 0
         while (yy < ts) {
           val gyD = dy.toLong * ts + yy
@@ -351,131 +357,144 @@ object Raster {
           while (xx < ts) {
             val gxD = dx.toLong * ts + xx
             val sxp = (gxD + 0.5) * aff.sx + aff.tx - 0.5
-            val v: Double = kernel match {
-              case "near" =>
-                val v0 = pix(math.floor(sxp + 0.5).toLong, math.floor(syp + 0.5).toLong)
-                if (java.lang.Double.isNaN(v0)) 0.0 else v0
-              case "bilinear" =>
-                val x0 = math.floor(sxp); val y0 = math.floor(syp)
-                val wx = sxp - x0; val wy = syp - y0
-                val v00 = pix(x0.toLong, y0.toLong); val v10 = pix(x0.toLong + 1, y0.toLong)
-                val v01 = pix(x0.toLong, y0.toLong + 1); val v11 = pix(x0.toLong + 1, y0.toLong + 1)
-                if (java.lang.Double.isNaN(v00) || java.lang.Double.isNaN(v10) ||
-                    java.lang.Double.isNaN(v01) || java.lang.Double.isNaN(v11)) 0.0
-                else (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) +
-                  wy * ((1.0 - wx) * v01 + wx * v11)
-              case "cubic" =>
-                val r = convolve(sxp, syp, cubicWeights, 2, normalize = false)
-                if (java.lang.Double.isNaN(r)) 0.0 else r
-              case "cubicspline" =>
-                val r = convolve(sxp, syp,
-                  f => Array(bspline(f + 1.0), bspline(f), bspline(f - 1.0), bspline(f - 2.0)),
-                  2, normalize = true)
-                if (java.lang.Double.isNaN(r)) 0.0 else r
-              case "lanczos" =>
-                val r = convolve(sxp, syp,
-                  f => Array(lanczosSinc(f + 2.0), lanczosSinc(f + 1.0), lanczosSinc(f),
-                    lanczosSinc(f - 1.0), lanczosSinc(f - 2.0), lanczosSinc(f - 3.0)),
-                  3, normalize = true)
-                if (java.lang.Double.isNaN(r)) 0.0 else r
-              case _ =>
-                // area kernel: dst pixel edges → src footprint rect
-                // (GWKAverageOrModeComputeSourceCoords, gdalwarpkernel.cpp:6990:
-                // edge transform e·s+t, EPSILON=1e-10 floor/ceil, degenerate
-                // rects widened by one)
-                val xMin = gxD * aff.sx + aff.tx; val xMax = (gxD + 1) * aff.sx + aff.tx
-                val yMin = gyD * aff.sy + aff.ty; val yMax = (gyD + 1) * aff.sy + aff.ty
-                val (dfXMin, dfXMax) = if (xMin <= xMax) (xMin, xMax) else (xMax, xMin)
-                val (dfYMin, dfYMax) = if (yMin <= yMax) (yMin, yMax) else (yMax, yMin)
-                if (!(dfXMax > -eps && dfXMin < srcW + eps) ||
-                    !(dfYMax > -eps && dfYMin < srcH + eps)) 0.0
-                else {
-                  var iXMin = math.max(math.floor(dfXMin + eps), 0.0).toInt
-                  var iXMax = math.min(math.ceil(dfXMax - eps), srcW.toDouble).toInt
-                  if (iXMin == iXMax && iXMax < srcW) iXMax += 1
-                  var iYMin = math.max(math.floor(dfYMin + eps), 0.0).toInt
-                  var iYMax = math.min(math.ceil(dfYMax - eps), srcH.toDouble).toInt
-                  if (iYMin == iYMax && iYMax < srcH) iYMax += 1
-                  def weightY(iy: Int): Double =
-                    if (iy == iYMin) { if (iYMin + 1 == iYMax) 1.0 else 1.0 - (dfYMin - iYMin) }
-                    else if (iy + 1 == iYMax) 1.0 - (iYMax - dfYMax)
-                    else 1.0
-                  def weightX(ix: Int, wy: Double): Double =
-                    if (ix == iXMin) { if (iXMin + 1 == iXMax) wy else wy * (1.0 - (dfXMin - iXMin)) }
-                    else if (ix + 1 == iXMax) wy * (1.0 - (iXMax - dfXMax))
-                    else wy
-                  var tot = 0.0; var totW = 0.0
-                  var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
-                  var any = false
-                  vbuf.clear()
-                  // mode: weighted counts, first-encounter tie (GWKTS_First)
-                  var modeVals: Array[Double] = null
-                  var modeCounts: Array[Double] = null
-                  var nBins = 0; var iMode = -1
-                  val needMode = kernel == "mode"
-                  val needSorted = kernel == "med" || kernel == "q1" || kernel == "q3"
-                  if (needMode) { modeVals = new Array[Double](64); modeCounts = new Array[Double](64) }
-                  var iy = iYMin
-                  while (iy < iYMax) {
-                    val wy0 = weightY(iy)
-                    var ix = iXMin
-                    while (ix < iXMax) {
-                      val pv = pix(ix.toLong, iy.toLong)
-                      if (!java.lang.Double.isNaN(pv)) {
-                        any = true
-                        val w = weightX(ix, wy0)
-                        tot += w * (if (kernel == "rms") pv * pv else pv)
-                        totW += w
-                        if (pv < mn) mn = pv
-                        if (pv > mx) mx = pv
-                        if (needSorted) vbuf += pv
-                        if (needMode) {
-                          var i = 0; var found = false
-                          while (i < nBins && !found) {
-                            if (modeVals(i) == pv) {
-                              modeCounts(i) += w
-                              if (modeCounts(i) > modeCounts(iMode)) iMode = i
-                              found = true
-                            }
-                            i += 1
+            val pidx = yy * ts + xx
+            var pi2 = 0
+            while (pi2 < pointIdxs.length) {
+              val ki = pointIdxs(pi2)
+              val v: Double = kernels(ki) match {
+                case "near" =>
+                  val v0 = pix(math.floor(sxp + 0.5).toLong, math.floor(syp + 0.5).toLong)
+                  if (java.lang.Double.isNaN(v0)) 0.0 else v0
+                case "bilinear" =>
+                  val x0 = math.floor(sxp); val y0 = math.floor(syp)
+                  val wx = sxp - x0; val wy = syp - y0
+                  val v00 = pix(x0.toLong, y0.toLong); val v10 = pix(x0.toLong + 1, y0.toLong)
+                  val v01 = pix(x0.toLong, y0.toLong + 1); val v11 = pix(x0.toLong + 1, y0.toLong + 1)
+                  if (java.lang.Double.isNaN(v00) || java.lang.Double.isNaN(v10) ||
+                      java.lang.Double.isNaN(v01) || java.lang.Double.isNaN(v11)) 0.0
+                  else (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) +
+                    wy * ((1.0 - wx) * v01 + wx * v11)
+                case "cubic" =>
+                  val r = convolve(sxp, syp, cubicWeights, 2, normalize = false)
+                  if (java.lang.Double.isNaN(r)) 0.0 else r
+                case "cubicspline" =>
+                  val r = convolve(sxp, syp,
+                    f => Array(bspline(f + 1.0), bspline(f), bspline(f - 1.0), bspline(f - 2.0)),
+                    2, normalize = true)
+                  if (java.lang.Double.isNaN(r)) 0.0 else r
+                case "lanczos" =>
+                  val r = convolve(sxp, syp,
+                    f => Array(lanczosSinc(f + 2.0), lanczosSinc(f + 1.0), lanczosSinc(f),
+                      lanczosSinc(f - 1.0), lanczosSinc(f - 2.0), lanczosSinc(f - 3.0)),
+                    3, normalize = true)
+                  if (java.lang.Double.isNaN(r)) 0.0 else r
+              }
+              outs(ki)(pidx) = v
+              pi2 += 1
+            }
+            if (areaIdxs.nonEmpty) {
+              // area footprint rect (GWKAverageOrModeComputeSourceCoords,
+              // gdalwarpkernel.cpp:6990: edge transform e·s+t,
+              // EPSILON=1e-10 floor/ceil, degenerate rects widened by one)
+              val xMin = gxD * aff.sx + aff.tx; val xMax = (gxD + 1) * aff.sx + aff.tx
+              val yMin = gyD * aff.sy + aff.ty; val yMax = (gyD + 1) * aff.sy + aff.ty
+              val (dfXMin, dfXMax) = if (xMin <= xMax) (xMin, xMax) else (xMax, xMin)
+              val (dfYMin, dfYMax) = if (yMin <= yMax) (yMin, yMax) else (yMax, yMin)
+              if (!(dfXMax > -eps && dfXMin < srcW + eps) ||
+                  !(dfYMax > -eps && dfYMin < srcH + eps)) {
+                var ai = 0
+                while (ai < areaIdxs.length) { outs(areaIdxs(ai))(pidx) = 0.0; ai += 1 }
+              } else {
+                var iXMin = math.max(math.floor(dfXMin + eps), 0.0).toInt
+                var iXMax = math.min(math.ceil(dfXMax - eps), srcW.toDouble).toInt
+                if (iXMin == iXMax && iXMax < srcW) iXMax += 1
+                var iYMin = math.max(math.floor(dfYMin + eps), 0.0).toInt
+                var iYMax = math.min(math.ceil(dfYMax - eps), srcH.toDouble).toInt
+                if (iYMin == iYMax && iYMax < srcH) iYMax += 1
+                def weightY(iy: Int): Double =
+                  if (iy == iYMin) { if (iYMin + 1 == iYMax) 1.0 else 1.0 - (dfYMin - iYMin) }
+                  else if (iy + 1 == iYMax) 1.0 - (iYMax - dfYMax)
+                  else 1.0
+                def weightX(ix: Int, wy: Double): Double =
+                  if (ix == iXMin) { if (iXMin + 1 == iXMax) wy else wy * (1.0 - (dfXMin - iXMin)) }
+                  else if (ix + 1 == iXMax) wy * (1.0 - (iXMax - dfXMax))
+                  else wy
+                var totP = 0.0; var totS = 0.0; var totW = 0.0
+                var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+                var any = false
+                vbuf.clear()
+                var nBins = 0; var iMode = -1
+                if (needMode && modeVals == null) {
+                  modeVals = new Array[Double](64); modeCounts = new Array[Double](64)
+                }
+                var iy = iYMin
+                while (iy < iYMax) {
+                  val wy0 = weightY(iy)
+                  var ix = iXMin
+                  while (ix < iXMax) {
+                    val pv = pix(ix.toLong, iy.toLong)
+                    if (!java.lang.Double.isNaN(pv)) {
+                      any = true
+                      val w = weightX(ix, wy0)
+                      totP += w * pv
+                      totS += w * (pv * pv)
+                      totW += w
+                      if (pv < mn) mn = pv
+                      if (pv > mx) mx = pv
+                      if (needSorted) vbuf += pv
+                      if (needMode) {
+                        var i = 0; var found = false
+                        while (i < nBins && !found) {
+                          if (modeVals(i) == pv) {
+                            modeCounts(i) += w
+                            if (modeCounts(i) > modeCounts(iMode)) iMode = i
+                            found = true
                           }
-                          if (!found) {
-                            if (nBins == modeVals.length) {
-                              modeVals = java.util.Arrays.copyOf(modeVals, nBins * 2)
-                              modeCounts = java.util.Arrays.copyOf(modeCounts, nBins * 2)
-                            }
-                            modeVals(nBins) = pv; modeCounts(nBins) = w
-                            if (iMode < 0 || modeCounts(nBins) > modeCounts(iMode)) iMode = nBins
-                            nBins += 1
+                          i += 1
+                        }
+                        if (!found) {
+                          if (nBins == modeVals.length) {
+                            modeVals = java.util.Arrays.copyOf(modeVals, nBins * 2)
+                            modeCounts = java.util.Arrays.copyOf(modeCounts, nBins * 2)
                           }
+                          modeVals(nBins) = pv; modeCounts(nBins) = w
+                          if (iMode < 0 || modeCounts(nBins) > modeCounts(iMode)) iMode = nBins
+                          nBins += 1
                         }
                       }
-                      ix += 1
                     }
-                    iy += 1
+                    ix += 1
                   }
-                  if (!any) 0.0
-                  else kernel match {
-                    case "average" => tot / totW
-                    case "sum"     => tot
-                    case "rms"     => math.sqrt(tot / totW)
-                    case "min"     => mn
-                    case "max"     => mx
-                    case "mode"    => modeVals(iMode)
-                    case q =>
-                      val quant = if (q == "med") 0.5 else if (q == "q1") 0.25 else 0.75
-                      val arr = vbuf.toArray
-                      java.util.Arrays.sort(arr)
-                      arr(math.ceil(quant * arr.length - 1).toInt)
-                  }
+                  iy += 1
                 }
+                var sortedArr: Array[Double] = null
+                if (needSorted && any) {
+                  sortedArr = vbuf.toArray
+                  java.util.Arrays.sort(sortedArr)
+                }
+                var ai = 0
+                while (ai < areaIdxs.length) {
+                  val ki = areaIdxs(ai)
+                  outs(ki)(pidx) =
+                    if (!any) 0.0
+                    else kernels(ki) match {
+                      case "average" => totP / totW
+                      case "sum"     => totP
+                      case "rms"     => math.sqrt(totS / totW)
+                      case "min"     => mn
+                      case "max"     => mx
+                      case "mode"    => modeVals(iMode)
+                      case q =>
+                        val quant = if (q == "med") 0.5 else if (q == "q1") 0.25 else 0.75
+                        sortedArr(math.ceil(quant * sortedArr.length - 1).toInt)
+                    }
+                  ai += 1
+                }
+              }
             }
-            out(yy * ts + xx) = v
             xx += 1
           }
           yy += 1
-        }
-        ki += 1
         }
         outs.iterator.zipWithIndex.map { case (o, i) =>
           (i, Tile(dstZ, dx, dy, band, ts, ts, o))
