@@ -811,7 +811,53 @@ object Queries2 {
                    ${latOf("event_id")} AS lat FROM events)
       SELECT event_id FROM pts
       WHERE lon >= -20.0 AND lon <= 40.0 AND lat >= -30.0 AND lat <= 35.0
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+
+    // -- GNM shortest-path tree (GNMGraph::DijkstraShortestPath) as
+    // synchronous parallel relaxation: DAG with hop sizes {1, 9, 81} and
+    // integer weights; the DuckDB twin is a recursive CTE whose UNION
+    // dedups (node, dist) states, so it terminates on the DAG
+    ("g25_shortest_path", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val n = 300
+      val edges = (0 until n).flatMap { i =>
+        Seq((i.toLong, (i + 1).toLong, (i % 5 + 1).toDouble),
+          (i.toLong, (i + 9).toLong, 4.0),
+          (i.toLong, (i + 81).toLong, 20.0)).filter(_._2 < n)
+      }.toDF("src", "dst", "w")
+      engine.GraphOps.shortestPaths(edges, 0L)
+        .select(col("node"), col("dist").cast("long").as("dist"))
+        .orderBy("node")
+    }, Some(s"""
+      WITH RECURSIVE edges AS (
+        SELECT i AS src, i + 1 AS dst, CAST(i % 5 + 1 AS DOUBLE) AS w
+          FROM (SELECT unnest(generate_series(0, 299)) AS i) WHERE i + 1 < 300
+        UNION ALL
+        SELECT i, i + 9, 4.0 FROM (SELECT unnest(generate_series(0, 299)) AS i) WHERE i + 9 < 300
+        UNION ALL
+        SELECT i, i + 81, 20.0 FROM (SELECT unnest(generate_series(0, 299)) AS i) WHERE i + 81 < 300),
+      sp(node, dist) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+        UNION
+        SELECT e.dst, sp.dist + e.w FROM sp JOIN edges e ON sp.node = e.src)
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist
+      FROM sp GROUP BY node ORDER BY node""")),
+
+    // -- GNM connected components (hash-min label propagation): chains
+    // linked by node % 17, so the component id is the residue in closed form
+    ("g26_connected_components", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val n = 500
+      val edges = (0 until n).flatMap { i =>
+        if (i + 17 < n) Some((i.toLong, (i + 17).toLong)) else None
+      }.toDF("src", "dst")
+      engine.GraphOps.connectedComponents(edges)
+        .orderBy("node")
+    }, Some("""
+      SELECT CAST(i AS BIGINT) AS node, CAST(i % 17 AS BIGINT) AS comp
+      FROM (SELECT unnest(generate_series(0, 499)) AS i) ORDER BY node"""))
   )
 
   /** WKT for an axis-aligned rect from SQL sub-expressions (CCW closed). */
