@@ -857,7 +857,32 @@ object Queries2 {
         .orderBy("node")
     }, Some("""
       SELECT CAST(i AS BIGINT) AS node, CAST(i % 17 AS BIGINT) AS comp
-      FROM (SELECT unnest(generate_series(0, 499)) AS i) ORDER BY node"""))
+      FROM (SELECT unnest(generate_series(0, 499)) AS i) ORDER BY node""")),
+
+    // -- concave hull at ratio 1.0 == convex hull (exercises the full
+    // Delaunay + border-erosion pipeline; the heavily-eroded behavior is
+    // property-tested in ConcaveHullSpec): square corners + interior
+    // points -> hull area s² exactly
+    ("g27_concavehull", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = t(s, dir, "documents").where(col("doc_id") < 5000)
+        .withColumn("sc", expr("1.0 + CAST(doc_id % 11 AS DOUBLE) * 0.25"))
+        .withColumn("wkt", expr(
+          "concat('MULTIPOINT ((0 0), (', CAST(sc AS STRING), ' 0), (', " +
+            "CAST(sc AS STRING), ' ', CAST(sc AS STRING), '), (0 ', CAST(sc AS STRING), '), " +
+            "(', CAST(sc * 0.5 AS STRING), ' ', CAST(sc * 0.25 AS STRING), '), " +
+            "(', CAST(sc * 0.3 AS STRING), ' ', CAST(sc * 0.7 AS STRING), '))')"))
+        .withColumn("hull", gf.st_concavehull(gf.st_geomfromtext(col("wkt")), lit(1.0)))
+      base.select(col("doc_id"),
+          expr("CAST(floor(st_area(hull) * 1000000000.0 + 0.5) AS BIGINT)").as("area_n"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH b AS (SELECT doc_id, 1.0 + CAST(doc_id % 11 AS DOUBLE) * 0.25 AS sc
+                 FROM documents WHERE doc_id < 5000)
+      SELECT doc_id,
+        CAST(floor(sc * sc * 1000000000.0 + 0.5) AS BIGINT) AS area_n
+      FROM b ORDER BY doc_id"""))
   )
 
   /** WKT for an axis-aligned rect from SQL sub-expressions (CCW closed). */

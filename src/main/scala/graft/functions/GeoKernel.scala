@@ -142,6 +142,9 @@ object GeoKernel {
   def makeValid(wkb: Array[Byte]): Array[Byte] =
     Wkb.write(BoolOps.makeValid(decode(wkb)))
 
+  def concaveHull(wkb: Array[Byte], ratio: Double): Array[Byte] =
+    Wkb.write(ConcaveHullOp.concaveHull(decode(wkb), ratio))
+
   // ---- cells & tiles
   def cell(lon: Double, lat: Double, z: Int): Long = CellId.fromLonLat(lon, lat, z)
 

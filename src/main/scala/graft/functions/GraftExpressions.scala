@@ -415,6 +415,21 @@ case class StBuffer(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_concavehull(wkb, ratio) — Delaunay + border erosion by edge-length
+  * ratio. Ref: OGRGeometry::ConcaveHull (ogrgeometry.cpp → GEOS). */
+case class StConcaveHull(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_concavehull"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.concaveHull(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.concaveHull($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StConcaveHull =
+    copy(left = l, right = r)
+}
+
 /** st_makevalid(wkb) — even-odd re-noding of self-intersecting polygons.
   * Ref: OGRGeometry::MakeValid (ogrgeometry.cpp:4183). */
 case class StMakeValid(child: Expression) extends GeoUnary {
