@@ -882,7 +882,52 @@ object Queries2 {
                  FROM documents WHERE doc_id < 5000)
       SELECT doc_id,
         CAST(floor(sc * sc * 1000000000.0 + 0.5) AS BIGINT) AS area_n
-      FROM b ORDER BY doc_id"""))
+      FROM b ORDER BY doc_id""")),
+
+    // -- rgb-to-palette (GDALComputeMedianCutPCT + nearest-color mapping):
+    // an 8-color raster cut to nColors=8 must converge to exactly those
+    // colors (single-color boxes; count-weighted integer means are exact),
+    // so palette-reconstructed channels equal the originals bit-for-bit
+    ("r23_median_cut", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def kOf(gx: Long, gy: Long): Long = ((gx >> 5) + (gy >> 5)) % 8
+      val rT = engine.Raster.syntheticTiles(s, 1)((gx, gy) => (10 + 28 * kOf(gx, gy)).toDouble)
+      val gT = engine.Raster.syntheticTiles(s, 1)((gx, gy) => (240 - 25 * kOf(gx, gy)).toDouble)
+      val bT = engine.Raster.syntheticTiles(s, 1)((gx, gy) => (20 + 30 * kOf(gx, gy)).toDouble)
+      val pal = engine.Palette.medianCut(rT, gT, bT, nColors = 8)
+      val palB = s.sparkContext.broadcast(pal)
+      engine.Palette.applyPalette(rT, gT, bT, pal)
+        .map { t =>
+          val p = palB.value
+          val n = t.pixels.length
+          val rr = new Array[Double](n); val gg = new Array[Double](n); val bb = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            val c = p(t.pixels(i).toInt)
+            rr(i) = c._1; gg(i) = c._2; bb(i) = c._3
+            i += 1
+          }
+          (t.x.toLong, t.y.toLong,
+            engine.Raster.checksum(rr, t.w, t.h).toLong,
+            engine.Raster.checksum(gg, t.w, t.h).toLong,
+            engine.Raster.checksum(bb, t.w, t.h).toLong)
+        }
+        .toDF("x", "y", "cks_r", "cks_g", "cks_b")
+        .orderBy("x", "y")
+    }, Some {
+      val k = "(((gx // 32) + (gy // 32)) % 8)"
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 511)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS gy) ys),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            CAST(10 + 28 * $k AS BIGINT) AS ivr,
+            CAST(240 - 25 * $k AS BIGINT) AS ivg,
+            CAST(20 + 30 * $k AS BIGINT) AS ivb FROM px)
+          SELECT tx AS x, ty AS y,
+            ${cksCol("ivr")} AS cks_r, ${cksCol("ivg")} AS cks_g, ${cksCol("ivb")} AS cks_b
+          FROM cells GROUP BY 1, 2 ORDER BY x, y"""
+    })
   )
 
   /** WKT for an axis-aligned rect from SQL sub-expressions (CCW closed). */
