@@ -927,6 +927,62 @@ object Queries2 {
           SELECT tx AS x, ty AS y,
             ${cksCol("ivr")} AS cks_r, ${cksCol("ivg")} AS cks_g, ${cksCol("ivb")} AS cks_b
           FROM cells GROUP BY 1, 2 ORDER BY x, y"""
+    }),
+
+    // -- UTM reprojection (ellipsoidal transverse Mercator, Snyder series —
+    // the native projection set grows beyond 3857): zone 31 points, easting/
+    // northing at 0.1 mm ints; the oracle writes the identical series with
+    // identical literals and operation order
+    ("g28_utm", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = Queries.eventPoints(s, dir).where(col("event_id") < 5000)
+        .withColumn("lonz", expr("0.5 + (lon + 180.0) / 360.0 * 5.0"))
+        .withColumn("latz", expr("greatest(-80.0, least(80.0, lat))"))
+        .withColumn("g", gf.st_transform_utm(
+          gf.st_point(col("lonz"), col("latz")), lit(31)))
+      base.select(col("event_id"),
+          expr("CAST(floor(st_x(g) * 10000.0 + 0.5) AS BIGINT)").as("e_01mm"),
+          expr("CAST(floor(st_y(g) * 10000.0 + 0.5) AS BIGINT)").as("n_01mm"))
+        .orderBy("event_id")
+    }, Some {
+      import graft.geom.Utm
+      val aC = dlit(Utm.A); val k0 = dlit(Utm.K0)
+      val f = 1.0 / 298.257223563
+      val e2v = f * (2.0 - f); val e4v = e2v * e2v; val e6v = e4v * e2v
+      val ep2v = e2v / (1.0 - e2v)
+      val (e2l, ep2l) = (dlit(e2v), dlit(ep2v))
+      val d2r = dlit(math.Pi / 180.0)
+      val mc1 = dlit(1.0 - e2v / 4.0 - 3.0 * e4v / 64.0 - 5.0 * e6v / 256.0)
+      val mc2 = dlit(3.0 * e2v / 8.0 + 3.0 * e4v / 32.0 + 45.0 * e6v / 1024.0)
+      val mc3 = dlit(15.0 * e4v / 256.0 + 45.0 * e6v / 1024.0)
+      val mc4 = dlit(35.0 * e6v / 3072.0)
+      s"""WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events WHERE event_id < 5000),
+      zz AS (SELECT event_id,
+          (0.5 + (lon + 180.0) / 360.0 * 5.0) * $d2r AS lam,
+          greatest(-80.0, least(80.0, lat)) * $d2r AS phi FROM pts),
+      tr AS (SELECT event_id, lam, phi, sin(phi) AS sinp, cos(phi) AS cosp,
+          tan(phi) AS tanp, 3.0 * $d2r AS lam0 FROM zz),
+      st AS (SELECT event_id, tanp,
+          $aC / sqrt(1.0 - $e2l * sinp * sinp) AS nn,
+          tanp * tanp AS t, $ep2l * cosp * cosp AS c,
+          (lam - lam0) * cosp AS aa,
+          $aC * ($mc1 * phi - $mc2 * sin(2.0 * phi) +
+                 $mc3 * sin(4.0 * phi) - $mc4 * sin(6.0 * phi)) AS m
+        FROM tr),
+      xy AS (SELECT event_id,
+          $k0 * nn * (aa + (1.0 - t + c) * (aa * aa * aa) / 6.0 +
+            (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * $ep2l) *
+              (aa * aa * aa * aa * aa) / 120.0) + 500000.0 AS x,
+          $k0 * (m + nn * tanp * ((aa * aa) / 2.0 +
+            (5.0 - t + 9.0 * c + 4.0 * c * c) * (aa * aa * aa * aa) / 24.0 +
+            (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * $ep2l) *
+              (aa * aa * aa * aa * aa * aa) / 720.0)) AS y
+        FROM st)
+      SELECT event_id, CAST(floor(x * 10000.0 + 0.5) AS BIGINT) AS e_01mm,
+             CAST(floor(y * 10000.0 + 0.5) AS BIGINT) AS n_01mm
+      FROM xy ORDER BY event_id"""
     })
   )
 

@@ -145,6 +145,11 @@ object GeoKernel {
   def concaveHull(wkb: Array[Byte], ratio: Double): Array[Byte] =
     Wkb.write(ConcaveHullOp.concaveHull(decode(wkb), ratio))
 
+  def toUtm(wkb: Array[Byte], zone: Int): Array[Byte] =
+    Wkb.write(Utm.transformGeom(decode(wkb), zone))
+  def fromUtm(wkb: Array[Byte], zone: Int): Array[Byte] =
+    Wkb.write(Utm.inverseGeom(decode(wkb), zone))
+
   // ---- cells & tiles
   def cell(lon: Double, lat: Double, z: Int): Long = CellId.fromLonLat(lon, lat, z)
 

@@ -430,6 +430,34 @@ case class StConcaveHull(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_transform_utm(wkb, zone) / st_transform_utm_inv — WGS84 ↔ UTM
+  * (Snyder series; ref ogrct.cpp delegates to PROJ tmerc). */
+case class StTransformUtm(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_transform_utm"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.toUtm(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.toUtm($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StTransformUtm =
+    copy(left = l, right = r)
+}
+
+case class StTransformUtmInv(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_transform_utm_inv"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.fromUtm(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Int])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.N}.fromUtm($a, $b)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StTransformUtmInv =
+    copy(left = l, right = r)
+}
+
 /** st_makevalid(wkb) — even-odd re-noding of self-intersecting polygons.
   * Ref: OGRGeometry::MakeValid (ogrgeometry.cpp:4183). */
 case class StMakeValid(child: Expression) extends GeoUnary {

@@ -57,6 +57,8 @@ object GraftFunctions {
     arity("st_disjoint", 2)(a => StDisjoint(a(0), a(1))),
     arity("st_makevalid", 1)(a => StMakeValid(a(0))),
     arity("st_concavehull", 2)(a => StConcaveHull(a(0), a(1))),
+    arity("st_transform_utm", 2)(a => StTransformUtm(a(0), a(1))),
+    arity("st_transform_utm_inv", 2)(a => StTransformUtmInv(a(0), a(1))),
     arity("st_simplify", 2)(a => StSimplify(a(0), a(1))),
     arity("st_segmentize", 2)(a => StSegmentize(a(0), a(1))),
     arity("st_cover", 2)(a => StCover(a(0), a(1))),
@@ -152,6 +154,8 @@ object gf {
   def st_disjoint(a: Column, b: Column): Column = call_function("st_disjoint", a, b)
   def st_makevalid(wkb: Column): Column = call_function("st_makevalid", wkb)
   def st_concavehull(wkb: Column, ratio: Column): Column = call_function("st_concavehull", wkb, ratio)
+  def st_transform_utm(wkb: Column, zone: Column): Column = call_function("st_transform_utm", wkb, zone)
+  def st_transform_utm_inv(wkb: Column, zone: Column): Column = call_function("st_transform_utm_inv", wkb, zone)
   def st_simplify(wkb: Column, tol: Column): Column = call_function("st_simplify", wkb, tol)
   def st_segmentize(wkb: Column, maxLen: Column): Column = call_function("st_segmentize", wkb, maxLen)
   def st_cover(wkb: Column, z: Column): Column = call_function("st_cover", wkb, z)
