@@ -983,7 +983,32 @@ object Queries2 {
       SELECT event_id, CAST(floor(x * 10000.0 + 0.5) AS BIGINT) AS e_01mm,
              CAST(floor(y * 10000.0 + 0.5) AS BIGINT) AS n_01mm
       FROM xy ORDER BY event_id"""
-    })
+    }),
+
+    // -- CURVEPOLYGON/COMPOUNDCURVE linearized at parse: half-disc ring
+    // (semicircular arc + diameter) -> area = (1/2)·r²·45·sin(π/45) for
+    // the 45-chord OGR-default stroking, in closed form
+    ("g29_curvepolygon", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = t(s, dir, "documents").where(col("doc_id") < 5000)
+        .withColumn("r", expr("1.0 + CAST(doc_id % 6 AS DOUBLE) * 0.5"))
+        .withColumn("wkt", expr(
+          "concat('CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (', CAST(-r AS STRING), " +
+            "' 0, 0 ', CAST(r AS STRING), ', ', CAST(r AS STRING), ' 0), (', " +
+            "CAST(r AS STRING), ' 0, ', CAST(-r AS STRING), ' 0)))')"))
+        .withColumn("g", gf.st_geomfromtext(col("wkt")))
+      base.select(col("doc_id"),
+          expr("CAST(floor(st_area(g) * 1000000.0 + 0.5) AS BIGINT)").as("area_u"),
+          gf.st_geometrytype(col("g")).as("gtype"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH b AS (SELECT doc_id, 1.0 + CAST(doc_id % 6 AS DOUBLE) * 0.5 AS r
+                 FROM documents WHERE doc_id < 5000)
+      SELECT doc_id,
+        CAST(floor(0.5 * r * r * 45.0 * sin(${dlit(math.Pi)} / 45.0) * 1000000.0 + 0.5) AS BIGINT) AS area_u,
+        'POLYGON' AS gtype
+      FROM b ORDER BY doc_id"""))
   )
 
   /** WKT for an axis-aligned rect from SQL sub-expressions (CCW closed). */

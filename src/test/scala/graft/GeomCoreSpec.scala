@@ -35,7 +35,16 @@ class GeomCoreSpec extends AnyFunSuite {
     val g = Wkt.parse("CIRCULARSTRING (0 0,1 1,2 0)").asInstanceOf[LineString]
     assert(g.numPoints == 46)
     assert(math.abs(GeoOps.length(g) - 90.0 * math.sin(math.Pi / 90.0)) < 1e-9)
-    val e = intercept[IllegalArgumentException](Wkt.parse("COMPOUNDCURVE ((0 0,1 1))"))
+    // COMPOUNDCURVE concatenates segments, deduping the shared joint
+    val cc = Wkt.parse("COMPOUNDCURVE ((0 0,1 0), CIRCULARSTRING (1 0,2 1,3 0))")
+      .asInstanceOf[LineString]
+    assert(cc.numPoints == 2 + 45) // 2 straight + 45 arc chords (joint deduped)
+    // CURVEPOLYGON with a compound ring closes into a polygon
+    val cp = Wkt.parse("CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (-1 0,0 1,1 0), (1 0,-1 0)))")
+      .asInstanceOf[Polygon]
+    assert(math.abs(GeoOps.area(cp) - 0.5 * 45.0 * math.sin(math.Pi / 45.0)) < 1e-9)
+    // genuinely unsupported types still reject
+    val e = intercept[IllegalArgumentException](Wkt.parse("TIN (((0 0,1 0,0 1,0 0)))"))
     assert(e.getMessage.contains("unexpected") || e.getMessage.contains("not supported"))
   }
 
