@@ -1008,7 +1008,58 @@ object Queries2 {
       SELECT doc_id,
         CAST(floor(0.5 * r * r * 45.0 * sin(${dlit(math.Pi)} / 45.0) * 1000000.0 + 0.5) AS BIGINT) AS area_u,
         'POLYGON' AS gtype
-      FROM b ORDER BY doc_id"""))
+      FROM b ORDER BY doc_id""")),
+
+    // -- raster blend src-over (BlendSrcOverRGBA_Generic): exact integer
+    // Porter-Duff over with (x*y+255)/256 products and the inverse-alpha
+    // table — every step is integer division/shift, so the oracle is
+    // bit-exact
+    ("r24_blend", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def ch(m1: Long, m2: Long, mod: Int) =
+        engine.Raster.syntheticTiles(s, 1) { (gx, gy) => ((gx * m1 + gy * m2) % mod).toDouble }
+      val base = Seq(ch(7, 13, 256), ch(11, 3, 256), ch(5, 17, 256), ch(2, 9, 256))
+      val over = Seq(ch(19, 23, 256), ch(29, 31, 256), ch(37, 41, 256), ch(43, 47, 256))
+      engine.Blend.srcOver(base, over, opacity = 179)
+        .map(t => (t.x.toLong, t.y.toLong, t.band,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "b", "cks")
+        .groupBy("x", "y")
+        .agg(max(when(col("b") === 1, col("cks"))).as("cks_r"),
+          max(when(col("b") === 2, col("cks"))).as("cks_g"),
+          max(when(col("b") === 3, col("cks"))).as("cks_b"),
+          max(when(col("b") === 4, col("cks"))).as("cks_a"))
+        .orderBy("x", "y")
+    }, Some {
+      def ch(m1: Int, m2: Int) = s"((gx * $m1 + gy * $m2) % 256)"
+      val (r, g, b, a) = (ch(7, 13), ch(11, 3), ch(5, 17), ch(2, 9))
+      val (or0, og, ob, oaRaw) = (ch(19, 23), ch(29, 31), ch(37, 41), ch(43, 47))
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 511)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS gy) ys),
+          s1 AS (SELECT gx, gy, ($oaRaw * 179 + 255) // 256 AS oa,
+            $r AS r, $g AS g, $b AS b, $a AS a,
+            $or0 AS orr, $og AS ogg, $ob AS obb FROM px),
+          s2 AS (SELECT *, (a * (255 - oa) + 255) // 256 AS sam FROM s1),
+          s3 AS (SELECT gx, gy, oa + sam AS dsta,
+            (orr * oa + r * sam + 255) // 256 AS dr0,
+            (ogg * oa + g * sam + 255) // 256 AS dg0,
+            (obb * oa + b * sam + 255) // 256 AS db0 FROM s2),
+          s4 AS (SELECT gx, gy, dsta,
+            CASE WHEN dsta = 0 THEN 0 ELSE (65280 + dsta // 2) // dsta END AS inva,
+            dr0, dg0, db0 FROM s3),
+          v AS (SELECT gx, gy,
+            (dr0 * inva + 255) // 256 AS vr, (dg0 * inva + 255) // 256 AS vg,
+            (db0 * inva + 255) // 256 AS vb, dsta AS va FROM s4),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            CAST(vr AS BIGINT) AS ivr, CAST(vg AS BIGINT) AS ivg,
+            CAST(vb AS BIGINT) AS ivb, CAST(va AS BIGINT) AS iva FROM v)
+          SELECT tx AS x, ty AS y,
+            ${cksCol("ivr")} AS cks_r, ${cksCol("ivg")} AS cks_g,
+            ${cksCol("ivb")} AS cks_b, ${cksCol("iva")} AS cks_a
+          FROM cells GROUP BY 1, 2 ORDER BY x, y"""
+    })
   )
 
   /** WKT for an axis-aligned rect from SQL sub-expressions (CCW closed). */
