@@ -1059,7 +1059,34 @@ object Queries2 {
             ${cksCol("ivr")} AS cks_r, ${cksCol("ivg")} AS cks_g,
             ${cksCol("ivb")} AS cks_b, ${cksCol("iva")} AS cks_a
           FROM cells GROUP BY 1, 2 ORDER BY x, y"""
-    })
+    }),
+
+    // -- declarative spatial join: the NAIVE predicate-join formulation,
+    // rewritten by CellJoinRule into the cell-cover equi-join (the rewrite
+    // is asserted plan-level in CellJoinRuleSpec; here the rows are gated
+    // against the closed-form band-membership oracle)
+    ("g30_rule_join", (s, dir) => {
+      prep(s)
+      import s.implicits._
+      import graft.functions.gf
+      val pts = Queries.eventPoints(s, dir).where(col("event_id") < 3000)
+      val polys = (0 until 20).map { i =>
+        val x0 = -180.0 + 18.0 * i
+        (i.toLong, s"POLYGON (($x0 -50, ${x0 + 10} -50, ${x0 + 10} 50, $x0 50, $x0 -50))")
+      }.toDF("poly_id", "wkt")
+        .withColumn("wkb", gf.st_geomfromtext(col("wkt"))).drop("wkt")
+      pts.join(polys, gf.st_contains_point(polys("wkb"), pts("lon"), pts("lat")))
+        .select(col("event_id"), col("poly_id"))
+        .orderBy("event_id", "poly_id")
+    }, Some(s"""
+      WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events WHERE event_id < 3000),
+      polys AS (SELECT i AS poly_id, -180.0 + 18.0 * i AS x0
+                FROM (SELECT unnest(generate_series(0, 19)) AS i))
+      SELECT event_id, CAST(poly_id AS BIGINT) AS poly_id
+      FROM pts JOIN polys
+        ON lon > x0 AND lon < x0 + 10.0 AND lat > -50.0 AND lat < 50.0
+      ORDER BY event_id, poly_id"""))
   )
 
   /** WKT for an axis-aligned rect from SQL sub-expressions (CCW closed). */

@@ -99,6 +99,11 @@ object GraftFunctions {
     if (registered.add(spark)) {
       val reg = spark.sessionState.functionRegistry
       builders.foreach { case (name, b) => reg.createOrReplaceTempFunction(name, b, "scala_udf") }
+      // runtime-attachable optimizer rule (extraOptimizations accepts
+      // post-build registration, unlike injectOptimizerRule)
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.CellJoinRule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.CellJoinRule
     }
   }
 
@@ -114,7 +119,10 @@ object GraftFunctions {
 
 /** Usage: spark.builder.config("spark.sql.extensions", "graft.functions.GraftExtensions") */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.inject(ext)
+    ext.injectOptimizerRule(_ => graft.plans.CellJoinRule)
+  }
 }
 
 /** Typed Column API over the registered functions (requires
