@@ -1086,7 +1086,58 @@ object Queries2 {
       SELECT event_id, CAST(poly_id AS BIGINT) AS poly_id
       FROM pts JOIN polys
         ON lon > x0 AND lon < x0 + 10.0 AND lat > -50.0 AND lat < 50.0
-      ORDER BY event_id, poly_id"""))
+      ORDER BY event_id, poly_id""")),
+
+    // -- blend multiply + screen operators (BlendMultiply/Screen_Generic):
+    // premultiplied integer composition, bit-exact integer oracle
+    ("r25_blend_modes", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def ch(m1: Long, m2: Long) =
+        engine.Raster.syntheticTiles(s, 1) { (gx, gy) => ((gx * m1 + gy * m2) % 256).toDouble }
+      val base = Seq(ch(7, 13), ch(11, 3), ch(5, 17), ch(2, 9))
+      val over = Seq(ch(19, 23), ch(29, 31), ch(37, 41), ch(43, 47))
+      val mult = engine.Blend.compose(base, over, opacity = 200, mode = "multiply")
+        .map(t => (t.x.toLong, t.y.toLong, t.band,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "b", "cksm")
+      val scr = engine.Blend.compose(base, over, opacity = 200, mode = "screen")
+        .map(t => (t.x.toLong, t.y.toLong, t.band,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "b", "ckss")
+      mult.join(scr, Seq("x", "y", "b"))
+        .groupBy("x", "y")
+        .agg(max(when(col("b") === 1, col("cksm"))).as("cks_mr"),
+          max(when(col("b") === 4, col("cksm"))).as("cks_ma"),
+          max(when(col("b") === 1, col("ckss"))).as("cks_sr"),
+          max(when(col("b") === 2, col("ckss"))).as("cks_sg"))
+        .orderBy("x", "y")
+    }, Some {
+      def ch(m1: Int, m2: Int) = s"((gx * $m1 + gy * $m2) % 256)"
+      val mul = (a: String, b: String) => s"(($a * $b + 255) // 256)"
+      val div = (a: String, b: String) =>
+        s"(CASE WHEN ($a) = 0 THEN 0 WHEN ($b) = 0 THEN 255 ELSE (($a) * 255) // ($b) END)"
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 511)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS gy) ys),
+          s1 AS (SELECT gx, gy, ${ch(2, 9)} AS a, ${mul(ch(43, 47), "200")} AS oa,
+            ${ch(7, 13)} AS cr, ${ch(11, 3)} AS cg, ${ch(19, 23)} AS ocr, ${ch(29, 31)} AS ocg
+            FROM px),
+          s2 AS (SELECT gx, gy, a, oa, oa + a - ${mul("oa", "a")} AS fa,
+            ${mul("cr", "a")} AS dr, ${mul("cg", "a")} AS dg,
+            ${mul("ocr", "oa")} AS sr, ${mul("ocg", "oa")} AS sg FROM s1),
+          v AS (SELECT gx, gy, fa AS va,
+            ${div(s"${mul("dr", "sr")} + ${mul("dr", "(255 - oa)")} + ${mul("sr", "(255 - a)")}", "fa")} AS vmr,
+            ${div(s"sr + dr - ${mul("sr", "dr")}", "fa")} AS vsr,
+            ${div(s"sg + dg - ${mul("sg", "dg")}", "fa")} AS vsg FROM s2),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            CAST(vmr AS BIGINT) AS ivmr, CAST(va AS BIGINT) AS ivma,
+            CAST(vsr AS BIGINT) AS ivsr, CAST(vsg AS BIGINT) AS ivsg FROM v)
+          SELECT tx AS x, ty AS y,
+            ${cksCol("ivmr")} AS cks_mr, ${cksCol("ivma")} AS cks_ma,
+            ${cksCol("ivsr")} AS cks_sr, ${cksCol("ivsg")} AS cks_sg
+          FROM cells GROUP BY 1, 2 ORDER BY x, y"""
+    })
   )
 
   /** WKT for an axis-aligned rect from SQL sub-expressions (CCW closed). */
