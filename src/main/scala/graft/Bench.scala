@@ -199,6 +199,14 @@ object Bench {
       if (skipScaling) f"$total%.3f"
       else scaling.split("join_docs_per_sec_hi\":")(1).split(",")(0)
     val metric = if (skipScaling) "total" else "spatial-join docs/sec (broadcast cell join, hi parallelism probe)"
-    println(s"""{"metric":"$metric","value":$value,"unit":"${if (skipScaling) "sec" else "docs/sec"}","queries":$qs,"sf":"$sfDir","total_sec":$total,"scaling":$scaling}""")
+    val json = s"""{"metric":"$metric","value":$value,"unit":"${if (skipScaling) "sec" else "docs/sec"}","queries":$qs,"sf":"$sfDir","total_sec":$total,"scaling":$scaling}"""
+    println(json)
+    // sbt wraps stdout in [info] prefixes that defeat line-oriented JSON
+    // parsing (BENCH_r0*.json "parsed": null) — persist the line to a file
+    // as the machine-readable channel
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"bench_out write failed: $e") }
   }
 }

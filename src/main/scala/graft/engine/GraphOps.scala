@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** GNM-style network analysis (reference: GNMGraph::DijkstraShortestPath /
@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * at 100 TB the edge table is the big side and each round is a bounded
   * pair of shuffles — no driver-side graph state. */
 object GraphOps {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def warnNoConverge(what: String, it: Int): Unit =
+    log.warn(s"$what stopped at maxIter=$it with changes still pending; " +
+      "results may be partially relaxed — raise maxIter")
 
   /** Single-source shortest distances. `edges` needs (src, dst, w). */
   def shortestPaths(edges: DataFrame, source: Long, maxIter: Int = 64): DataFrame = {
@@ -36,6 +42,7 @@ object GraphOps {
       dist = next
       it += 1
     }
+    if (changed > 0) warnNoConverge("shortestPaths", it)
     dist
   }
 
@@ -67,6 +74,51 @@ object GraphOps {
       comp = next
       it += 1
     }
+    if (changed > 0) warnNoConverge("connectedComponents", it)
     comp
+  }
+
+  /** Connected components over typed Long edges with an automatic
+    * small-graph fast path: when the (deduped) edge list fits the driver
+    * budget it is collected and union-found in memory; above the budget the
+    * distributed hash-min propagation above runs instead, so nothing
+    * O(edges) ever reaches the driver. Both paths return every node that
+    * appears in an edge, labeled with the MIN node id reachable from it —
+    * identical, deterministic output. Used by the polygonize / sieve /
+    * nearblack cross-tile merges (their label graphs are perimeter-
+    * proportional: usually tiny, unbounded in adversarial stripe rasters).
+    * Budget conf: spark.graft.cc.driverLimit (edges; default 2,000,000). */
+  def connectedComponentsAuto(edges: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val limit =
+      try spark.conf.get("spark.graft.cc.driverLimit", "2000000").toLong
+      catch { case _: Exception => 2000000L }
+    val e = edges.cache()
+    val n = e.limit((limit + 1).min(Int.MaxValue.toLong).toInt).count()
+    if (n <= limit) {
+      val arr = e.collect()
+      val root = new java.util.HashMap[Long, Long]()
+      def find(a: Long): Long = {
+        var r = a
+        while (root.getOrDefault(r, r) != r) r = root.get(r)
+        var c = a
+        while (root.getOrDefault(c, c) != c) { val nx = root.get(c); root.put(c, r); c = nx }
+        r
+      }
+      arr.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) root.put(rb, ra) else root.put(ra, rb) }
+      }
+      val nodes = arr.iterator.flatMap(t => Iterator(t._1, t._2)).toArray.distinct
+      val out = nodes.map(x => (x, find(x))).toSeq
+      e.unpersist()
+      out.toDS()
+    } else {
+      val out = connectedComponents(e.toDF("src", "dst"))
+        .select(col("node").cast("long"), col("comp").cast("long"))
+        .as[(Long, Long)]
+      out
+    }
   }
 }

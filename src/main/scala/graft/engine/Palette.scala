@@ -122,18 +122,21 @@ object Palette {
     val spark = r.sparkSession
     import spark.implicits._
     val pal = palette
-    zipRGB(r, g, b).mapGroups { (key, it) =>
+    zipRGB(r, g, b).flatMapGroups { (key, it) =>
       val (z, x, y) = key
       val bands = new Array[Array[Double]](3)
       var tw = 0; var th = 0
       it.foreach { t => bands(t.band) = t.pixels; tw = t.w; th = t.h }
-      val out = new Array[Double](tw * th)
-      var i = 0
-      while (i < out.length) {
-        out(i) = nearest(pal, bands(0)(i).toInt, bands(1)(i).toInt, bands(2)(i).toInt)
-        i += 1
+      if (bands.exists(_ == null)) Iterator.empty // incomplete (z,x,y): skip, like medianCut
+      else {
+        val out = new Array[Double](tw * th)
+        var i = 0
+        while (i < out.length) {
+          out(i) = nearest(pal, bands(0)(i).toInt, bands(1)(i).toInt, bands(2)(i).toInt)
+          i += 1
+        }
+        Iterator.single(Tile(z, x, y, 1, tw, th, out))
       }
-      Tile(z, x, y, 1, tw, th, out)
     }
   }
 
@@ -144,11 +147,12 @@ object Palette {
     val spark = r.sparkSession
     import spark.implicits._
     val pal = palette
-    zipRGB(r, g, b).mapGroups { (key, it) =>
+    zipRGB(r, g, b).flatMapGroups { (key, it) =>
       val (z, x, y) = key
       val bands = new Array[Array[Double]](3)
       var tw = 0; var th = 0
       it.foreach { t => bands(t.band) = t.pixels; tw = t.w; th = t.h }
+      if (bands.exists(_ == null)) Iterator.empty else { // incomplete (z,x,y): skip
       val err = Array.fill(3)(new Array[Double](tw * th))
       val out = new Array[Double](tw * th)
       var yy = 0
@@ -179,7 +183,8 @@ object Palette {
         }
         yy += 1
       }
-      Tile(z, x, y, 1, tw, th, out)
+      Iterator.single(Tile(z, x, y, 1, tw, th, out))
+      }
     }
   }
 }

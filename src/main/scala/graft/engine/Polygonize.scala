@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   *   2. tiles emit their border strips keyed by the shared edge; one
   *      shuffle pairs facing strips → adjacency edges between labels
   *   3. the label adjacency graph (O(total tile perimeter) — orders of
-  *      magnitude smaller than the raster) is union-found on the driver
-  *      and broadcast back
-  *   4. per-tile component aggregates re-key to their root and merge
+  *      magnitude smaller than the raster, but unbounded in adversarial
+  *      stripe rasters) is resolved by GraphOps.connectedComponentsAuto:
+  *      union-find on the driver while it fits the driver budget,
+  *      distributed hash-min label propagation beyond it — nothing
+  *      O(edges) is ever forced through the driver
+  *   4. per-tile component aggregates re-key to their root (join against
+  *      the label→root mapping; Catalyst broadcasts it while small) and merge
   * Labels are min-global-pixel-index, so output is invariant to tiling.
   */
 case class PolyTileOut(comps: Array[(Long, Double, Long)],
@@ -152,32 +156,21 @@ object Polygonize {
               .map(j => (math.min(l1(i), l2(j)), math.max(l1(i), l2(j))))
           }
         }
-      }.distinct().collect()
+      }.distinct()
 
-    // ---- pass 3: driver union-find over the (small) label graph
-    val root = new java.util.HashMap[Long, Long]()
-    def find(a: Long): Long = {
-      var r = a
-      while (root.getOrDefault(r, r) != r) r = root.get(r)
-      var c = a
-      while (root.getOrDefault(c, c) != c) { val n = root.get(c); root.put(c, r); c = n }
-      r
-    }
-    edges.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) { if (ra < rb) root.put(rb, ra) else root.put(ra, rb) }
-    }
-    val mapping = {
-      val m = scala.collection.mutable.HashMap.empty[Long, Long]
-      root.keySet().forEach(k => m(k) = find(k))
-      m.toMap
-    }
-    val bc = spark.sparkContext.broadcast(mapping)
+    // ---- pass 3: components of the label graph (driver fast path under
+    // spark.graft.cc.driverLimit edges, distributed hash-min beyond)
+    val mapping = GraphOps.connectedComponentsAuto(edges)
+      .toDF("lbl", "root")
 
-    // ---- pass 4: merge component aggregates under root labels
+    // ---- pass 4: merge component aggregates under root labels. The
+    // mapping is perimeter-sized: Catalyst broadcasts it while it is small,
+    // shuffles when it is not — either way no driver materialization.
     val out = perTile.flatMap(_.comps)
-      .map { case (l, v, n) => (bc.value.getOrElse(l, l), v, n) }
       .toDF("label", "value", "size")
+      .join(mapping, col("label") === col("lbl"), "left")
+      .select(coalesce(col("root"), col("label")).as("label"),
+        col("value"), col("size"))
       .groupBy("label", "value").agg(sum("size").as("size"))
     out
   }

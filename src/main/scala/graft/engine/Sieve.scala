@@ -16,10 +16,11 @@ import org.apache.spark.sql.Dataset
   *
   * Distribution: reuses the Polygonize shape — per-tile CCL, cross-tile
   * same-value union + cross-value adjacency from border strips, in-tile
-  * cross-value adjacency from the CCL pass; the component graph
-  * (O(boundary), not O(pixels)) is merged on the driver with the pure
-  * `mergePolicy`, and a broadcast label→value map rewrites the tiles in a
-  * final narrow pass. Output raster is invariant to the tiling.
+  * cross-value adjacency from the CCL pass; the component graph resolves
+  * via GraphOps.connectedComponentsAuto and the sequential `mergePolicy`
+  * runs per independent cluster of the merge subgraph, in parallel on
+  * executors (exactly equivalent to the global sequential order — see
+  * `sieve`). Output raster is invariant to the tiling.
   */
 object Sieve {
 
@@ -102,33 +103,39 @@ object Sieve {
   /** Sieve a tiled raster; returns the rewritten tiles. `width` = global
     * raster width in pixels.
     *
-    * Scale shape: nothing O(pixels) or O(components) ever reaches the
-    * driver. The driver sees only (a) cross-tile border adjacency
-    * (perimeter-proportional, same budget Polygonize already spends) and
-    * (b) the merge subgraph — components under the size threshold, their
-    * incident edges, and the stats of their neighbors. Everything else
-    * (per-tile CCL, global size aggregation, edge semi-joins) is
-    * distributed. Only absorbed components change value, so the rewrite
-    * broadcast carries just those labels. */
+    * Scale shape: fully distributed — nothing O(pixels), O(perimeter), or
+    * O(components) is forced through the driver. Cross-tile same-value
+    * merges resolve via GraphOps.connectedComponentsAuto (driver union-find
+    * only while the edge list fits the budget). The absorb policy itself is
+    * inherently sequential, but it only interacts within a connected
+    * cluster of the merge subgraph (sub-threshold components + their
+    * incident edges + their neighbors' stats): merges in one cluster never
+    * change sizes or adjacency in another, so the global smallest-first
+    * order restricted to a cluster equals running the policy on that
+    * cluster alone. Clusters are therefore computed distributively and the
+    * EXACT sequential `mergePolicy` runs per cluster in parallel on
+    * executors (cogroup). The rewrite routes changed labels back to their
+    * owning tiles with a cogroup — no global broadcast. */
   def sieve(tiles: Dataset[Tile], width: Long, threshold: Long,
             conn: Int = 4): Dataset[Tile] = {
     require(conn == 4 || conn == 8, s"connectivity must be 4 or 8, got $conn")
     val spark = tiles.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.functions._
     val t0 = tiles.cache()
 
     val per = t0.map { t =>
       val (_, comps, adjB, borders) = localCcl(t, width, conn)
-      (comps, adjB, borders)
+      (t.x, t.y, comps, adjB, borders)
     }.cache()
-    per.count() // materialize once; three downstream consumers
+    per.count() // materialize once; several downstream consumers
 
     // cross-tile edges from border strips: perimeter-proportional.
     // 8-conn additionally pairs each strip pixel with its diagonal
     // neighbors (offset ±1 on the facing strip) and the corner points of
     // diagonally-adjacent tiles (kind 2/3 single-pixel strips).
     val connB = conn
-    val crossEdges = per.flatMap(_._3)
+    val crossEdges = per.flatMap(_._5)
       .groupByKey(b => (b._1, b._2, b._3, b._4))
       .flatMapGroups { (_, it) =>
         val sides = it.toArray
@@ -146,87 +153,92 @@ object Sieve {
         }
       }.distinct().cache()
 
-    // same-value cross-tile union-find on the driver: the edge list is
-    // O(tile perimeter), not O(pixels) — the acceptable driver budget
-    val sameEdges = crossEdges.filter(_._1).map(e => (e._2, e._3)).collect()
-    val root = scala.collection.mutable.HashMap[Long, Long]()
-    def find(a: Long): Long = {
-      var r = a
-      while (root.getOrElse(r, r) != r) r = root(r)
-      var c = a
-      while (root.getOrElse(c, c) != c) { val n = root(c); root(c) = r; c = n }
-      r
-    }
-    sameEdges.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) { if (ra < rb) root(rb) = ra else root(ra) = rb }
-    }
-    // path-compress into an immutable broadcastable map (touched labels
-    // only). Snapshot the key set BEFORE calling find(): find's path
-    // compression writes into `root` and mutable-HashMap iteration is not
-    // safe under concurrent value writes (it silently drops entries).
-    val rootMap: Map[Long, Long] = {
-      val ks = root.keys.toList
-      ks.map(l => l -> find(l)).filter(kv => kv._1 != kv._2).toMap
-    }
-    val bcRoot = spark.sparkContext.broadcast(rootMap)
+    // same-value cross-tile merge → label→root mapping (Dataset; driver
+    // fast path under spark.graft.cc.driverLimit, hash-min beyond)
+    val rootDs = GraphOps.connectedComponentsAuto(
+        crossEdges.filter(_._1).map(e => (e._2, e._3)))
+      .toDF("lbl", "rt").cache()
+
+    // raw per-tile components with their owning tile (for the rewrite)
+    val rawComps = per.flatMap(p => p._3.iterator.map(c => (p._1, p._2, c._1, c._2, c._3)))
+      .toDF("tx", "ty", "label", "value", "size").cache()
 
     // global component stats, aggregated distributively on root labels
-    val compStats = per.flatMap(_._1.iterator.map { case (l, v, s) =>
-        (bcRoot.value.getOrElse(l, l), v, s)
-      })
-      .groupByKey(_._1)
-      .mapGroups { (l, it) =>
-        var v = 0.0; var s = 0L; var first = true
-        it.foreach { c => if (first) { v = c._2; first = false }; s += c._3 }
-        (l, v, s)
-      }.cache()
+    val rooted = rawComps
+      .join(rootDs, rawComps("label") === rootDs("lbl"), "left")
+      .select(coalesce(col("rt"), col("label")).as("label"),
+        col("value"), col("size"))
+    val compStats = rooted.groupBy("label")
+      .agg(min("value").as("value"), sum("size").as("size")).cache()
 
     // diff-value adjacency on roots, deduped distributively
-    val diffEdges = per.flatMap(_._2.iterator)
+    val diffEdges = per.flatMap(_._4.iterator)
       .union(crossEdges.filter(!_._1).map(e => (e._2, e._3)))
-      .map { e =>
-        val ra = bcRoot.value.getOrElse(e._1, e._1)
-        val rb = bcRoot.value.getOrElse(e._2, e._2)
-        (math.min(ra, rb), math.max(ra, rb))
-      }.filter(e => e._1 != e._2).distinct().cache()
+      .toDF("a0", "b0")
+      .join(rootDs.select(col("lbl").as("a0"), col("rt").as("ra")), Seq("a0"), "left")
+      .join(rootDs.select(col("lbl").as("b0"), col("rt").as("rb")), Seq("b0"), "left")
+      .select(coalesce(col("ra"), col("a0")).as("x"), coalesce(col("rb"), col("b0")).as("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .where(col("a") =!= col("b")).distinct().cache()
 
-    // merge subgraph: components below threshold + incident edges + the
-    // stats of every node those edges touch
-    val smallIds = compStats.filter(_._3 < threshold).map(_._1).cache()
-    val eDf = diffEdges.toDF("a", "b").cache()
-    val sA = smallIds.toDF("a"); val sB = smallIds.toDF("b")
-    val touchingDf = eDf.join(sA, Seq("a"), "left_semi")
-      .unionByName(eDf.join(sB, Seq("b"), "left_semi")).distinct()
-    val touching = touchingDf.as[(Long, Long)].collect()
-    val nodeIds = (touching.iterator.flatMap(e => Iterator(e._1, e._2)) ++
-      smallIds.collect().iterator).toSet
-    val bcNodes = spark.sparkContext.broadcast(nodeIds)
-    val nodes = compStats.filter(c => bcNodes.value.contains(c._1)).collect()
+    // merge subgraph: edges with at least one sub-threshold endpoint
+    val smallIds = compStats.where(col("size") < threshold).select("label").cache()
+    val touching = diffEdges
+        .join(smallIds.withColumnRenamed("label", "a"), Seq("a"), "left_semi")
+        .select("a", "b")
+      .unionByName(diffEdges
+        .join(smallIds.withColumnRenamed("label", "b"), Seq("b"), "left_semi")
+        .select("a", "b"))
+      .distinct().as[(Long, Long)].cache()
 
-    val finalValue = mergePolicy(
-      nodes.map { case (l, v, s) => l -> (v, s) }.toMap,
-      touching.toSet, threshold)
-    // only absorbed components change value; broadcast just those
-    val origValue = nodes.map { case (l, v, _) => l -> v }.toMap
-    val changed: Map[Long, Double] = finalValue.filter { case (l, v) => origValue(l) != v }
-    val bcChanged = spark.sparkContext.broadcast(changed)
+    // independent clusters of the merge subgraph; the exact sequential
+    // policy runs per cluster, in parallel (see scale note above)
+    val clusters = GraphOps.connectedComponentsAuto(touching)
+      .toDF("label", "cluster").cache()
+    val nodeStats = compStats.join(clusters, Seq("label"))
+      .select(col("cluster"), col("label"), col("value"), col("size"))
+      .as[(Long, Long, Double, Long)]
+    val edgeC = touching.toDF("a", "b")
+      .join(clusters.select(col("label").as("a"), col("cluster")), Seq("a"))
+      .select(col("cluster"), col("a"), col("b")).as[(Long, Long, Long)]
+    val thr = threshold
+    val changedDs = nodeStats.groupByKey(_._1).cogroup(edgeC.groupByKey(_._1)) { (_, ns, es) =>
+      val comps0 = ns.map(n => n._2 -> (n._3, n._4)).toMap
+      val edges0 = es.map(e => (e._2, e._3)).toSet
+      val fv = mergePolicy(comps0, edges0, thr)
+      fv.iterator.filter { case (l, v) => comps0(l)._1 != v }
+    }.toDF("rlabel", "newval").cache()
 
-    per.unpersist(); crossEdges.unpersist(); compStats.unpersist()
-    smallIds.unpersist(); eDf.unpersist()
+    // rewrite: route changed root labels back to the tiles that hold a
+    // member component, cogroup, and rewrite pixels locally
+    val tileChanges = rawComps.select("tx", "ty", "label")
+      .join(rootDs, rawComps("label") === rootDs("lbl"), "left")
+      .select(col("tx"), col("ty"), col("label"),
+        coalesce(col("rt"), col("label")).as("rlabel"))
+      .join(changedDs, Seq("rlabel"))
+      .select(col("tx"), col("ty"), col("label"), col("newval"))
+      .as[(Int, Int, Long, Double)]
 
-    // final pass: recompute local CCL per tile, rewrite absorbed pixels
-    t0.map { t =>
-      val (lbl, _, _, _) = localCcl(t, width, connB)
-      val out = new Array[Double](t.pixels.length)
-      var i = 0
-      while (i < out.length) {
-        val r = bcRoot.value.getOrElse(lbl(i), lbl(i))
-        out(i) = bcChanged.value.getOrElse(r, t.pixels(i))
-        i += 1
+    val out = t0.groupByKey(t => (t.x, t.y))
+      .cogroup(tileChanges.groupByKey(r => (r._1, r._2))) { (_, ts, cs) =>
+        val m = new java.util.HashMap[Long, java.lang.Double]()
+        cs.foreach(c => m.put(c._3, c._4))
+        ts.map { t =>
+          if (m.isEmpty) t
+          else {
+            val (lbl, _, _, _) = localCcl(t, width, connB)
+            val px = t.pixels.clone()
+            var i = 0
+            while (i < px.length) {
+              val nv = m.get(lbl(i))
+              if (nv != null) px(i) = nv
+              i += 1
+            }
+            Tile(t.z, t.x, t.y, t.band, t.w, t.h, px)
+          }
+        }
       }
-      Tile(t.z, t.x, t.y, t.band, t.w, t.h, out)
-    }
+    out
   }
 
   /** Per-tile CCL: (per-pixel global label, comps (label,value,size),

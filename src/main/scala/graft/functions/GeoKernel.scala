@@ -161,6 +161,18 @@ object GeoKernel {
 
   def cover(wkb: Array[Byte], z: Int): Array[Long] = CellId.cover(decode(wkb), z)
 
+  /** Number of cells st_cover would materialize — envelope tile-range math
+    * only, never throws. Lets CellJoinRule route oversized geometries to a
+    * fallback join instead of crashing mid-query on the 4096-cell cap. */
+  def coverCount(wkb: Array[Byte], z: Int): Long = {
+    val e = decode(wkb).envelope
+    if (e.isEmpty) 0L
+    else {
+      val (minX, minY, maxX, maxY) = Mercator.tileRangeLonLat(e, z)
+      (maxX - minX + 1).toLong * (maxY - minY + 1).toLong
+    }
+  }
+
   def cellRing(c: Long, r: Int): Array[Long] = CellId.ring(c, r)
   def cellDisk(c: Long, r: Int): Array[Long] = CellId.disk(c, r)
 

@@ -529,6 +529,23 @@ case class StCover(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_cover_count(wkb, z) → number of cells st_cover(wkb, z) would produce
+  * (envelope tile-range math only; never throws). CellJoinRule's oversize
+  * guard: geometries above the cover cap fall back to the naive join branch
+  * instead of crashing on CellId.cover's maxCells limit. */
+case class StCoverCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "st_cover_count"
+  protected override def nullSafeEval(w: Any, z: Any): Any =
+    GeoKernel.coverCount(w.asInstanceOf[Array[Byte]], z.asInstanceOf[Int])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, z) => s"${K.N}.coverCount($w, $z)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StCoverCount =
+    copy(left = l, right = r)
+}
+
 /** cell_ring(cell, r) → array<long> of cells at Chebyshev distance r
   * (kNN ring expansion, SURVEY.md §2.H). */
 case class CellRing(left: Expression, right: Expression)

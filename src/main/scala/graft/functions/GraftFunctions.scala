@@ -62,6 +62,7 @@ object GraftFunctions {
     arity("st_simplify", 2)(a => StSimplify(a(0), a(1))),
     arity("st_segmentize", 2)(a => StSegmentize(a(0), a(1))),
     arity("st_cover", 2)(a => StCover(a(0), a(1))),
+    arity("st_cover_count", 2)(a => StCoverCount(a(0), a(1))),
     arity("cell_ring", 2)(a => CellRing(a(0), a(1))),
     arity("cell_disk", 2)(a => CellDisk(a(0), a(1))),
     arity("cell_parent", 2)(a => CellParent(a(0), a(1))),
@@ -167,6 +168,7 @@ object gf {
   def st_simplify(wkb: Column, tol: Column): Column = call_function("st_simplify", wkb, tol)
   def st_segmentize(wkb: Column, maxLen: Column): Column = call_function("st_segmentize", wkb, maxLen)
   def st_cover(wkb: Column, z: Column): Column = call_function("st_cover", wkb, z)
+  def st_cover_count(wkb: Column, z: Column): Column = call_function("st_cover_count", wkb, z)
   def cell_ring(cell: Column, r: Column): Column = call_function("cell_ring", cell, r)
   def cell_disk(cell: Column, r: Column): Column = call_function("cell_disk", cell, r)
   def cell_parent(cell: Column, z: Column): Column = call_function("cell_parent", cell, z)
