@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sql.OgrSql
+import graft.sql.OgrSql.Layer
+import QueryFixtures._
+
+/** Round-3 gate queries. Same conventions as [[Queries]]: identical output
+  * column names/types on both sides, deterministic ORDER BY, BIGINT/STRING
+  * outputs where possible. */
+object Queries3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def prep(s: SparkSession): Unit = functions.GraftFunctions.register(s)
+
+  /** poly/idlink fixture layers for the OGR SQL text entry point
+    * (FIXTURES.md §2-3; rows from autotest/ogr/data/poly.dbf, idlink.dbf). */
+  private def ogrLayers(s: SparkSession): Map[String, Layer] = {
+    import s.implicits._
+    val poly = polyRows.toDF("fid", "area", "eas_id", "prfedea")
+    val idlink = idlinkRows.zipWithIndex.map { case ((e, n), i) => (i.toLong, e, n) }
+      .toDF("rid", "eas_id", "name")
+    Map("poly" -> Layer(poly, fid = Some("fid")),
+        "idlink" -> Layer(idlink, fid = Some("rid")))
+  }
+
+  val defs5: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // -- OGR SQL text entry point (reference: GDALDataset::ExecuteSQL with
+    // the OGRSQL dialect, gcore/gdaldataset.cpp:7411-7455 → ogr/swq_parser.y).
+    // All three gates parse the *string* form — the round-2 verdict's #2 ask.
+
+    // SELECT list exprs + IN + LIKE/ESCAPE + SUBSTR(-2) + CAST + UNION ALL,
+    // replaying ogr_sql_rfc28.py:522-547 literals through the parser
+    ("q21_ogrsql_text", (s, _) => {
+      prep(s)
+      OgrSql.execute(s,
+        "SELECT eas_id, SUBSTR(prfedea, -2) AS sub2, CAST(area AS integer64) AS area_i " +
+          "FROM poly WHERE eas_id IN (168,179) " +
+        "UNION ALL " +
+        "SELECT eas_id, prfedea AS sub2, CAST(0 AS integer64) AS area_i " +
+          "FROM poly WHERE prfedea LIKE 'x35043408' ESCAPE 'x'",
+        ogrLayers(s)).orderBy("eas_id")
+    }, Some(s"""
+      WITH poly AS ($polyValuesSql)
+      SELECT eas_id, substr(prfedea, length(prfedea) - 1, 2) AS sub2,
+             CAST(floor(area) AS BIGINT) AS area_i
+      FROM poly WHERE eas_id IN (168, 179)
+      UNION ALL
+      SELECT eas_id, prfedea AS sub2, CAST(0 AS BIGINT) AS area_i
+      FROM poly WHERE prfedea = '35043408'
+      ORDER BY eas_id""")),
+
+    // first-match LEFT JOIN through the text path (ogr_join_test.py:39;
+    // ogr_gensql.cpp:1516-1546 first-match semantics — idlink keys are
+    // unique so the DuckDB plain LEFT JOIN is the exact oracle)
+    ("q22_ogrsql_join", (s, _) => {
+      prep(s)
+      OgrSql.execute(s,
+        "SELECT poly.eas_id AS e, poly.prfedea AS pp, idlink.name AS n " +
+          "FROM poly LEFT JOIN idlink ON poly.eas_id = idlink.eas_id",
+        ogrLayers(s)).orderBy("e")
+    }, Some(s"""
+      WITH poly AS ($polyValuesSql), idlink AS ($idlinkValuesSql)
+      SELECT p.eas_id AS e, p.prfedea AS pp, i.name AS n
+      FROM poly p LEFT JOIN idlink i ON p.eas_id = i.eas_id
+      ORDER BY e""")),
+
+    // summary aggregates through the text path (ogr_sql_test.py:256-280
+    // naming `<func>_<col>` / `count_*`, aliased for the gate)
+    ("q23_ogrsql_summary", (s, _) => {
+      prep(s)
+      OgrSql.execute(s,
+        "select max(eas_id) AS max_e, min(eas_id) AS min_e, avg(eas_id) AS avg_e, " +
+          "sum(eas_id) AS sum_e, count(eas_id) AS cnt_e, count(*) AS cnt_all, " +
+          "count(distinct name) AS cnt_dn from idlink",
+        ogrLayers(s))
+    }, Some(s"""
+      WITH idlink AS ($idlinkValuesSql)
+      SELECT CAST(max(eas_id) AS BIGINT) AS max_e, CAST(min(eas_id) AS BIGINT) AS min_e,
+             avg(eas_id) AS avg_e, CAST(sum(eas_id) AS BIGINT) AS sum_e,
+             count(eas_id) AS cnt_e, count(*) AS cnt_all,
+             count(DISTINCT name) AS cnt_dn
+      FROM idlink""")),
+
+    // -- gdal_grid invdist + invdistnn — gdal_grid's DEFAULT algorithm
+    // (GDALGridInverseDistanceToAPower, alg/gdalgrid.cpp:110-189; NN variant
+    // :242-345). power=2 → weights are exactly 1/r², so the only engine
+    // divergence is double-sum order; values gated at micro precision.
+    ("g31_grid_invdist", (s, dir) => {
+      val pts = t(s, dir, "events").select(
+        col("event_id").as("pid"), col("value"),
+        expr(lonOf("event_id")).as("lon"), expr(latOf("event_id")).as("lat"))
+      val nodes = engine.GridInterp.gridNodes(s, 64, 64, -180.0, 180.0, -85.0, 85.0)
+      val full = engine.GridInterp.invdist(nodes, pts, 5.0, power = 2.0,
+        smoothing = 0.0, minPoints = 2)
+      val nn = engine.GridInterp.invdist(nodes, pts, 5.0, power = 2.0,
+        smoothing = 0.0, minPoints = 0, maxPoints = 8)
+        .select(col("i"), col("j"), col("n").as("nn_n"), col("value").as("nn_value"))
+      full.join(nn, Seq("i", "j"))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("val_micro"),
+          col("nn_n"),
+          expr("CAST(floor(nn_value * 1000000.0 + 0.5) AS BIGINT)").as("nn_micro"))
+        .orderBy("i", "j")
+    }, Some(s"""
+      WITH nodes AS (SELECT xs.i AS i, ys.j AS j,
+            -180.0 + (CAST(xs.i AS DOUBLE) + 0.5) * 5.625 AS nlon,
+            -85.0 + (CAST(ys.j AS DOUBLE) + 0.5) * 2.65625 AS nlat
+          FROM (SELECT unnest(generate_series(0, 63)) AS i) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) ys),
+      pts AS (SELECT event_id AS pid, value, ${lonOf("event_id")} AS lon,
+              ${latOf("event_id")} AS lat FROM events),
+      c AS (SELECT i, j, pid, value,
+            (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) AS r2
+          FROM nodes JOIN pts
+          ON (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) <= 25.0),
+      inv AS (SELECT i, j, count(*) AS n,
+            sum(value / r2) / sum(1.0 / r2) AS value
+          FROM c GROUP BY i, j),
+      nn8 AS (SELECT * FROM c
+          QUALIFY row_number() OVER (PARTITION BY i, j ORDER BY r2, pid) <= 8),
+      nn AS (SELECT i, j, count(*) AS nn_n,
+            sum(value / r2) / sum(1.0 / r2) AS nn_value
+          FROM nn8 GROUP BY i, j)
+      SELECT CAST(n.i AS BIGINT) AS i, CAST(n.j AS BIGINT) AS j,
+        COALESCE(inv.n, 0) AS n,
+        CASE WHEN COALESCE(inv.n, 0) >= 2
+             THEN CAST(floor(inv.value * 1000000.0 + 0.5) AS BIGINT) END AS val_micro,
+        COALESCE(nn.nn_n, 0) AS nn_n,
+        CAST(floor(nn.nn_value * 1000000.0 + 0.5) AS BIGINT) AS nn_micro
+      FROM nodes n LEFT JOIN inv ON n.i = inv.i AND n.j = inv.j
+                   LEFT JOIN nn ON n.i = nn.i AND n.j = nn.j
+      ORDER BY i, j"""))
+  )
+}

@@ -210,6 +210,43 @@ object QueryFixtures {
     s"$mn($xf($codes, x -> (CAST(${minhashA(j)} AS BIGINT) * x + ${minhashB(j)}) % $MinhashP))"
   }
 
+  // ---- `poly` / `idlink` canonical OGR-SQL fixtures -------------------
+  // Attribute rows extracted from the reference's own canonical test data
+  // (autotest/ogr/data/poly.dbf, idlink.dbf) — see FIXTURES.md §2-3. These
+  // back the OGR SQL text-entry-point gates (OgrSql.execute), replaying the
+  // inlined literals of autotest/ogr/ogr_sql_test.py and ogr_sql_rfc28.py.
+  /** (fid, area, eas_id, prfedea) in FID order. */
+  val polyRows: Seq[(Long, Double, Long, String)] = Seq(
+    (0L, 215229.266, 168L, "35043411"),
+    (1L, 247328.172, 179L, "35043423"),
+    (2L, 261752.781, 171L, "35043414"),
+    (3L, 547597.188, 173L, "35043416"),
+    (4L, 15775.758, 172L, "35043415"),
+    (5L, 101429.977, 169L, "35043412"),
+    (6L, 268597.625, 166L, "35043409"),
+    (7L, 1634833.375, 158L, "35043369"),
+    (8L, -596610.313, 165L, "35043408"),
+    (9L, 5268.813, 170L, "35043413"))
+
+  /** (eas_id, name) in scan order (idlink.dbf row order). */
+  val idlinkRows: Seq[(Long, String)] = Seq(
+    (168L, "_168_"), (179L, "_179_"), (171L, "_171_"), (170L, "_170_"),
+    (165L, "_165_"), (158L, "_158_"), (166L, "_166_"))
+
+  /** DuckDB CTE body mirroring the poly fixture (same literals; types pinned
+    * to BIGINT/DOUBLE — DuckDB would otherwise type decimal literals as
+    * DECIMAL and small ints as INTEGER, breaking schema compare). */
+  def polyValuesSql: String =
+    polyRows.map { case (f, a, e, p) =>
+      s"(CAST($f AS BIGINT), CAST(${dlit(a)} AS DOUBLE), CAST($e AS BIGINT), '$p')" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(fid, area, eas_id, prfedea)")
+
+  /** DuckDB CTE body mirroring the idlink fixture (adds scan-order rid). */
+  def idlinkValuesSql: String =
+    idlinkRows.zipWithIndex.map { case ((e, n), i) =>
+      s"(CAST($i AS BIGINT), CAST($e AS BIGINT), '$n')" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS t(rid, eas_id, name)")
+
   /** SimHash over a precomputed codes-array column: h(x)=(A*x+B)%P; bit k
     * set iff sum over codes of (2*((h div 2^k)%2)-1) is positive. Uses
     * integer division instead of `>>` (Spark SQL has no shift operator). */

@@ -34,18 +34,17 @@ object GridInterp {
       .withColumn("nlat", lit(minLat) + (col("j") + lit(0.5)) * lit(dLat))
   }
 
-  /** Radius-search interpolation. pts needs (pid, lon, lat, value).
-    * Returns one row per grid node (gdal_grid nodata semantics: nodes with
-    * no point in radius are kept with n=0 and null sum/nearest): n (count
-    * in radius), sum_cents (exact integer sum of values), nearest_pid
-    * (null if empty). Average = sum_cents / n downstream. */
-  def radiusMetrics(nodes: DataFrame, pts: DataFrame, radius: Double): DataFrame = {
+  /** Candidate (node, point) pairs within `radius`: both sides bucketed
+    * into radius-sized cells, nodes explode a 3x3 window, one equi-join,
+    * circle-test refine — the distributed twin of the reference's quadtree
+    * AOI walk (alg/gdalgrid.cpp:261-277). Adds `dist2`. */
+  private def radiusCandidates(nodes: DataFrame, pts: DataFrame, radius: Double): DataFrame = {
     val cell = (lon: Column, lat: Column) =>
       struct(floor(lon / radius).cast("long").as("cx"),
         floor(lat / radius).cast("long").as("cy"))
     val p = pts.withColumn("c", cell(col("lon"), col("lat")))
       .withColumn("pcx", col("c.cx")).withColumn("pcy", col("c.cy")).drop("c")
-    val candidates = nodes
+    nodes
       .withColumn("c", cell(col("nlon"), col("nlat")))
       .withColumn("pcx", explode(array((-1 to 1).map(d => col("c.cx") + d): _*)))
       .withColumn("pcy", explode(array((-1 to 1).map(d => col("c.cy") + d): _*)))
@@ -55,6 +54,62 @@ object GridInterp {
         (col("lon") - col("nlon")) * (col("lon") - col("nlon")) +
           (col("lat") - col("nlat")) * (col("lat") - col("nlat")))
       .where(col("dist2") <= lit(radius * radius))
+  }
+
+  /** Inverse-distance-to-a-power gridding — gdal_grid's DEFAULT algorithm
+    * (GDALGridInverseDistanceToAPower, alg/gdalgrid.cpp:110-189):
+    * Z = Σ(Zi/ri^p) / Σ(1/ri^p) over points in the search circle, with
+    * r² = dx² + dy² + smoothing² ; a point with r² < 1e-13 short-circuits
+    * to its own value (singularity guard, :163-167); fewer than minPoints
+    * neighbors → nodata (null value, :179-183).
+    *
+    * With maxPoints > 0 this is the NearestNeighbor variant
+    * (GDALGridInverseDistanceToAPowerNearestNeighbor, :242-345): only the
+    * maxPoints nearest candidates (by smoothed distance, scan-order pid
+    * tie-break mirroring the multimap insertion order) contribute.
+    *
+    * Returns (i, j, n, value) with n = contributing points, value nullable.
+    */
+  def invdist(nodes: DataFrame, pts: DataFrame, radius: Double,
+              power: Double = 2.0, smoothing: Double = 0.0,
+              minPoints: Int = 0, maxPoints: Int = 0): DataFrame = {
+    val cand0 = radiusCandidates(nodes, pts, radius)
+      .withColumn("r2s", col("dist2") + lit(smoothing * smoothing))
+    val cand =
+      if (maxPoints > 0) {
+        val w = Window.partitionBy("i", "j").orderBy(col("r2s"), col("pid"))
+        cand0.withColumn("rk", row_number().over(w)).where(col("rk") <= maxPoints)
+      } else cand0
+    // w = 1/r^p computed as pow(r2, p/2) like the reference (dfPowerDiv2);
+    // p=2 stays pow-free in codegen via the exact 1/r2 fast path
+    val invw =
+      if (power == 2.0) lit(1.0) / col("r2s")
+      else lit(1.0) / pow(col("r2s"), lit(power / 2.0))
+    val metrics = cand
+      .withColumn("invw", invw)
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("invw") * col("value")).as("nom"),
+        sum(col("invw")).as("den"),
+        // singularity: any point closer than 1e-13 supplies its value
+        // directly (first by pid, deterministic twin of scan order)
+        min(when(col("r2s") < 1e-13, struct(col("pid"), col("value")))).as("sing"))
+      .withColumn("value",
+        when(col("sing").isNotNull, col("sing.value"))
+          .when(col("n") < minPoints || col("den") === 0.0, lit(null))
+          .otherwise(col("nom") / col("den")))
+      .select("i", "j", "n", "value")
+    nodes.select("i", "j").join(metrics, Seq("i", "j"), "left")
+      .na.fill(0L, Seq("n"))
+  }
+
+  /** Radius-search interpolation. pts needs (pid, lon, lat, value).
+    * Returns one row per grid node (gdal_grid nodata semantics: nodes with
+    * no point in radius are kept with n=0 and null sum/nearest): n (count
+    * in radius), sum_cents (exact integer sum of values), nearest_pid
+    * (null if empty). Average = sum_cents / n downstream. */
+  def radiusMetrics(nodes: DataFrame, pts: DataFrame, radius: Double): DataFrame = {
+    val candidates = radiusCandidates(nodes, pts, radius)
     val w = Window.partitionBy("i", "j").orderBy(col("dist2"), col("pid"))
     val metrics = candidates
       .withColumn("rk", row_number().over(w))
