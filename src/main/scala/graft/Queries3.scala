@@ -135,6 +135,19 @@ object Queries3 {
         CAST(floor(nn.nn_value * 1000000.0 + 0.5) AS BIGINT) AS nn_micro
       FROM nodes n LEFT JOIN inv ON n.i = inv.i AND n.j = inv.j
                    LEFT JOIN nn ON n.i = nn.i AND n.j = nn.j
-      ORDER BY i, j"""))
+      ORDER BY i, j""")),
+
+    // -- Structured Streaming E2E with checkpoint resume: two-phase file
+    // stream (terminate + restart from checkpoint, exactly-once sink) must
+    // reproduce the batch q13 aggregation byte-identically. Streaming twin
+    // of the batch --resume manifest (apps/gdalalg_raster_tile.cpp:289).
+    ("s01_stream_resume", (s, dir) => {
+      streaming.StreamJobs.resumeDemo(s, s"$dir/events.parquet",
+        "/tmp/graft_s01_work")
+    }, Some(s"""
+      SELECT CAST(floor(floor(epoch(ts)) / 300) * 300 AS BIGINT) AS wstart,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"""))
   )
 }

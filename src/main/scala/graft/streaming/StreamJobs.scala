@@ -38,9 +38,14 @@ object StreamJobs {
   /** File-source ingest of an append-only events directory → windowed
     * counts → parquet sink with checkpointing (exactly-once). */
   def runFileStream(spark: SparkSession, inDir: String, outDir: String,
-                    checkpointDir: String, schemaFrom: String): StreamingQuery = {
+                    checkpointDir: String, schemaFrom: String,
+                    maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val schema = spark.read.parquet(schemaFrom).schema
-    val in = spark.readStream.schema(schema).parquet(inDir)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // watermarks require TIMESTAMP; events.ts arrives TIMESTAMP_NTZ (cast is
+    // value-preserving under the pinned UTC session timezone)
+    val in = reader.parquet(inDir).withColumn("ts", col("ts").cast("timestamp"))
     windowedCounts(in).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -48,5 +53,70 @@ object StreamJobs {
       .format("parquet")
       .option("path", outDir)
       .start()
+  }
+
+  private def rmr(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Stage the events table into `inDir` as 4 event-time slices plus a
+    * watermark-flushing sentinel (ts = max + 1h, event_type
+    * 'sentinel_flush'), so a file stream consuming them in arrival order
+    * sees monotonically-advancing event time (no late-drop) and the
+    * sentinel closes every real window under the 10-minute watermark.
+    * Returns the slice writers so callers control arrival phasing. */
+  def stageTimeSlices(spark: SparkSession, eventsParquet: String,
+                      inDir: String): Seq[() => Unit] = {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(eventsParquet)
+    // events.ts is TIMESTAMP_NTZ: route via session-UTC TIMESTAMP for epoch
+    val tsSec = col("ts").cast("timestamp").cast("long")
+    val b = ev.agg(min(tsSec), max(tsSec)).head()
+    val t0 = b.getLong(0); val t1 = b.getLong(1)
+    val span = math.max(1L, t1 - t0 + 1)
+    val sliced = ev.withColumn("__slice",
+      least(lit(3), floor((tsSec - lit(t0)) * 4.0 / lit(span.toDouble))).cast("int"))
+    val sentinel = ev.limit(1)
+      .withColumn("ts", lit(t1 + 3600L).cast("timestamp").cast("timestamp_ntz"))
+      .withColumn("event_type", lit("sentinel_flush"))
+      .withColumn("value", lit(0.0))
+    // ONE file per slice: the file source orders batches by mod-time, so a
+    // slice split across files processed in separate micro-batches would
+    // advance the watermark past its sibling's early rows (late-drop).
+    (0 until 4).map { i => () =>
+      sliced.where(col("__slice") === i).drop("__slice")
+        .repartition(1).write.mode("append").parquet(inDir)
+    } :+ { () => sentinel.repartition(1).write.mode("append").parquet(inDir) }
+  }
+
+  /** End-to-end resumable streaming job (the streaming twin of the batch
+    * `--resume` manifest path, reference apps/gdalalg_raster_tile.cpp:289):
+    * phase 1 streams the first half of the event-time range to a
+    * checkpointed parquet sink and terminates; phase 2 restarts FROM THE
+    * CHECKPOINT with the rest of the data appended and must not reprocess
+    * phase-1 files (file-source offset log) nor duplicate sink output
+    * (parquet sink commit log); a final no-new-data restart flushes
+    * watermark-closed windows. Returns the final windowed counts minus the
+    * sentinel — byte-identical to the batch twin q13_time_window. */
+  def resumeDemo(spark: SparkSession, eventsParquet: String, work: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rmr(spark, work)
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    val writers = stageTimeSlices(spark, eventsParquet, inDir)
+    // phase 1: first two time slices arrive, stream runs to completion
+    writers(0)(); writers(1)()
+    runFileStream(spark, inDir, outDir, ck, eventsParquet).awaitTermination()
+    // phase 2: rest arrives (+ sentinel), RESTART from checkpoint
+    writers(2)(); writers(3)(); writers(4)()
+    runFileStream(spark, inDir, outDir, ck, eventsParquet).awaitTermination()
+    // phase 3: no new data — flush-only restart (no-data micro-batch emits
+    // windows the advanced watermark closed at the end of phase 2)
+    runFileStream(spark, inDir, outDir, ck, eventsParquet).awaitTermination()
+    spark.read.parquet(outDir)
+      .where(col("event_type") =!= "sentinel_flush")
+      .select(col("wstart"), col("event_type"), col("n"), col("sum_cents"))
+      .orderBy("wstart", "event_type")
   }
 }
