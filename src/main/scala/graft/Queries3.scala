@@ -27,6 +27,55 @@ object Queries3 {
         "idlink" -> Layer(idlink, fid = Some("rid")))
   }
 
+  private val IVF_K = 8; private val IVF_ITERS = 2
+  private val IVF_NPROBE = 4; private val IVF_TOPK = 3
+
+  /** DuckDB replay of [[graft.engine.Ann.ivfTopK]]: the fixed-iteration
+    * Lloyd's loop is unrolled into CTEs (c0 → a0 → c1 → a1 → c2 → a2).
+    * Centroid coordinates are rounded to 1e-6 after every mean update —
+    * that swamps aggregation-order float noise, so both engines produce
+    * bit-identical centroids, inverted lists, and top-k. */
+  private def ivfKmeansOracle: String = {
+    def dotD(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+    def ccD(c: String) = s"list_sum(list_transform($c, x -> x * x))"
+    def score(v: String, c: String) = s"${ccD(c)} - 2.0 * ${dotD(v, c)}"
+    def assignCte(i: Int) = s"""
+      a$i AS (SELECT vec_id, emb, nm, cid FROM (
+          SELECT e.vec_id, e.emb, e.nm, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${score("e.emb", "c.ce")}, c.cid) AS rk
+          FROM e CROSS JOIN c$i c) WHERE rk = 1)"""
+    def updateCte(i: Int) = s"""
+      c${i + 1} AS (SELECT cid, list(m ORDER BY pos) AS ce FROM (
+          SELECT cid, pos, floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS m FROM (
+            SELECT cid, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM a$i)
+          GROUP BY cid, pos) GROUP BY cid)"""
+    val loop = (0 until IVF_ITERS).map(i => assignCte(i) + "," + updateCte(i)).mkString(",")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+            sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x))) AS nm FROM embeddings),
+      c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS ce
+          FROM e WHERE vec_id % (SELECT greatest(1, count(*) // $IVF_K) FROM e) = 0
+          ORDER BY vec_id LIMIT $IVF_K),
+      $loop,
+      ${assignCte(IVF_ITERS).trim},
+      probes AS (SELECT qid, qe, qn, cid FROM (
+          SELECT q.vec_id AS qid, q.emb AS qe, q.nm AS qn, c.cid,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${score("q.emb", "c.ce")}, c.cid) AS rk
+          FROM e q CROSS JOIN c$IVF_ITERS c
+          WHERE q.vec_id >= 20 AND q.vec_id < 60) WHERE rk <= $IVF_NPROBE),
+      cand AS (SELECT p.qid, a.vec_id AS pid,
+            ${dotD("p.qe", "a.emb")} / (p.qn * a.nm) AS cos
+          FROM probes p JOIN a$IVF_ITERS a USING (cid) WHERE p.qid <> a.vec_id),
+      rk AS (SELECT qid, pid, cos, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, pid) AS BIGINT) AS rank FROM cand)
+      SELECT qid, pid, rank, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+      FROM rk WHERE rank <= $IVF_TOPK ORDER BY qid, rank"""
+  }
+
   val defs5: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // -- OGR SQL text entry point (reference: GDALDataset::ExecuteSQL with
@@ -136,6 +185,19 @@ object Queries3 {
       FROM nodes n LEFT JOIN inv ON n.i = inv.i AND n.j = inv.j
                    LEFT JOIN nn ON n.i = nn.i AND n.j = nn.j
       ORDER BY i, j""")),
+
+    // -- IVF ANN with a TRAINED coarse quantizer (deterministic Lloyd's
+    // k-means) — upgrades e03's placeholder "first 16 vectors" centroids.
+    // The DuckDB oracle replays the identical recipe: stride-by-id init,
+    // `IVF_ITERS` unrolled assign/update iterations with centroids rounded
+    // to 1e-6 per coordinate, then probe-nprobe + exact-cosine refine.
+    ("e04_ivf_kmeans", (s, dir) => {
+      prep(s)
+      engine.Ann.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          isQuery = id => id >= 20 && id < 60,
+          k = IVF_K, iters = IVF_ITERS, nprobe = IVF_NPROBE, topK = IVF_TOPK)
+        .orderBy("qid", "rank")
+    }, Some(ivfKmeansOracle)),
 
     // -- Structured Streaming E2E with checkpoint resume: two-phase file
     // stream (terminate + restart from checkpoint, exactly-once sink) must
