@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// raw stdout for forked runs: the driver line-parses Bench's JSON from
+// process output, and sbt's default logger prefixes every line with
+// "[info] ", defeating that (BENCH_r0*.json "parsed": null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
