@@ -27,6 +27,31 @@ object Queries3 {
         "idlink" -> Layer(idlink, fid = Some("rid")))
   }
 
+  /** Generating quadratic for the r26 GCPs (mild curvature; keeps every
+    * dst pixel's source inside the 2048² raster). */
+  private def quadMapX(x: Double, y: Double): Double =
+    120.7133 + 1.731707 * x + 0.0310971 * y + 1.90023e-5 * x * y + 2.70131e-6 * x * x + 1.30117e-6 * y * y
+  private def quadMapY(x: Double, y: Double): Double =
+    57.3177 + 0.0290137 * x + 1.810391 * y + 1.10071e-5 * x * y + 1.70033e-6 * y * y + 3.10057e-6 * x * x
+
+  /** Near-kernel warp oracle over the synthetic (7919·x+104729·y)%9973
+    * raster: evaluate the closed-form dst→src map per dst pixel, sample
+    * nearest, checksum per 256-px tile (same scheme as r16). */
+  private def warpOracle(sx: String, sy: String): String = s"""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+          FROM (SELECT unnest(generate_series(0, 1023)) AS gx) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS gy) ys),
+      sm AS (SELECT gx, gy,
+          CAST(floor(($sx) + 0.5) AS BIGINT) AS nx,
+          CAST(floor(($sy) + 0.5) AS BIGINT) AS ny FROM px),
+      v AS (SELECT gx, gy, CASE WHEN nx BETWEEN 0 AND 2047 AND ny BETWEEN 0 AND 2047
+          THEN (nx * 7919 + ny * 104729) % 9973 ELSE 0 END AS iv FROM sm),
+      cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy, iv
+          FROM v)
+      SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y,
+        CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks
+      FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+
   private val IVF_K = 8; private val IVF_ITERS = 2
   private val IVF_NPROBE = 4; private val IVF_TOPK = 3
 
@@ -185,6 +210,65 @@ object Queries3 {
       FROM nodes n LEFT JOIN inv ON n.i = inv.i AND n.j = inv.j
                    LEFT JOIN nn ON n.i = nn.i AND n.j = nn.j
       ORDER BY i, j""")),
+
+    // -- warp under a fitted GCP POLYNOMIAL transformer (order 2) — the
+    // non-affine transformer stack of gdalwarp (GDALCreateGCPTransformer,
+    // alg/gdal_crs.c; dispatch alg/gdaltransformer.cpp:96-160). 16 GCPs
+    // sampled from an exact quadratic map; the least-squares fit recovers
+    // it to ~1e-12 px (measured), so the DuckDB oracle can evaluate the
+    // generating closed form directly. near kernel; GDALChecksumImage per
+    // 256-px dst tile.
+    ("r26_warp_gcp", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      import engine.GcpTransform
+      val base = engine.Raster.syntheticTiles(s, 3) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val gcps = for (i <- 0 until 4; j <- 0 until 4) yield {
+        val x = i * 341.0; val y = j * 341.0
+        GcpTransform.Gcp(x, y, quadMapX(x, y), quadMapY(x, y))
+      }
+      val m = GcpTransform.fitPoly(gcps, order = 2)
+      engine.Raster.warpTransformed(base, 2, 4, 4, (x, y) => m(x, y),
+          "near", 2048, 2048)
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks")
+        .withColumn("z", lit(2).cast("long"))
+        .select("z", "x", "y", "cks").orderBy("x", "y")
+    }, Some(warpOracle(
+      sx = "120.7133 + 1.731707*gx + 0.0310971*gy + 1.90023e-5*gx*gy + 2.70131e-6*gx*gx + 1.30117e-6*gy*gy",
+      sy = "57.3177 + 0.0290137*gx + 1.810391*gy + 1.10071e-5*gx*gy + 1.70033e-6*gy*gy + 3.10057e-6*gx*gx"))),
+
+    // -- warp under a THIN-PLATE-SPLINE transformer
+    // (GDALCreateTPSTransformer, alg/thinplatespline.cpp:175-181, radial
+    // basis U(d²)=d²·ln(d²)). GCPs sampled from an affine map: the TPS
+    // solve drives every RBF weight to ~0 (measured residual ~1e-12 px),
+    // so the oracle is the generating affine — while the engine path
+    // exercises the full (n+3)×(n+3) solve + RBF evaluation per pixel.
+    ("r27_warp_tps", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      import engine.GcpTransform
+      val base = engine.Raster.syntheticTiles(s, 3) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val gcps = for (i <- 0 until 3; j <- 0 until 3) yield {
+        val x = i * 500.0; val y = j * 500.0
+        GcpTransform.Gcp(x, y, 80.31517 + 1.7712893 * x + 0.021371 * y, 44.90719 + 0.0171233 * x + 1.8310917 * y)
+      }
+      val m = GcpTransform.fitTps(gcps)
+      engine.Raster.warpTransformed(base, 2, 4, 4, (x, y) => m(x, y),
+          "near", 2048, 2048)
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks")
+        .withColumn("z", lit(2).cast("long"))
+        .select("z", "x", "y", "cks").orderBy("x", "y")
+    }, Some(warpOracle(
+      sx = "80.31517 + 1.7712893*gx + 0.021371*gy",
+      sy = "44.90719 + 0.0171233*gx + 1.8310917*gy"))),
 
     // -- IVF ANN with a TRAINED coarse quantizer (deterministic Lloyd's
     // k-means) — upgrades e03's placeholder "first 16 vectors" centroids.

@@ -502,6 +502,142 @@ object Raster {
       }
   }
 
+  /** Warp under an ARBITRARY dst→src pixel transform (GCP polynomial, TPS,
+    * or any smooth mapping) — the non-affine half of gdalwarp's transformer
+    * stack (GDALCreateGCPTransformer / GDALCreateTPSTransformer,
+    * /root/reference/alg/gdaltransformer.cpp:96-160).
+    *
+    * `toSrc` maps dst pixel-index coords (integer = pixel center) to src
+    * pixel-index coords; it must be a pure serializable function of small
+    * driver-fitted state (a PolyModel / TpsModel closure).
+    *
+    * Spark shape: with no closed-form inverse, the source window of each
+    * dst tile is found by SAMPLING the transform on a 9×9 grid over the
+    * tile (the GDALSuggestedWarpOutput2 edge-walk idea,
+    * gdaltransformer.cpp:96-160) padded by the kernel radius + a safety
+    * margin. Each dst tile emits (srcTile → dstTile) need-rows computed
+    * distributively — nothing driver-side, replication ∝ window area in
+    * tiles — then one shuffle joins src tiles to the dst tiles that need
+    * them and a per-dst-tile pixel loop applies the kernel. Same
+    * out-of-source → 0 convention as warpAffine. */
+  def warpTransformed(src: Dataset[Tile], dstZ: Int, nDstX: Int, nDstY: Int,
+                      toSrc: (Double, Double) => (Double, Double),
+                      kernel: String, srcW: Long, srcH: Long,
+                      tileSize: Int = TileSize): Dataset[Tile] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val ts = tileSize
+    require(Set("near", "bilinear", "cubic").contains(kernel), s"kernel $kernel")
+    val rad = if (kernel == "cubic") 2 else 1
+    val margin = rad + 4.0 // sampling slack: curvature between grid samples
+    val nSrcTX = ((srcW + ts - 1) / ts).toInt
+    val nSrcTY = ((srcH + ts - 1) / ts).toInt
+
+    // (srcTileX, srcTileY, dstTileX, dstTileY) need-rows, executor-side
+    val needs = spark.range(0, nDstX.toLong * nDstY, 1, math.min(nDstX * nDstY, 64))
+      .flatMap { id =>
+        val dx = (id % nDstX).toInt; val dy = (id / nDstX).toInt
+        var xMin = Double.MaxValue; var xMax = Double.MinValue
+        var yMin = Double.MaxValue; var yMax = Double.MinValue
+        var j = 0
+        while (j <= 8) {
+          var i = 0
+          while (i <= 8) {
+            val (sx, sy) = toSrc(dx.toLong * ts + i * (ts - 1) / 8.0,
+                                 dy.toLong * ts + j * (ts - 1) / 8.0)
+            if (sx < xMin) xMin = sx; if (sx > xMax) xMax = sx
+            if (sy < yMin) yMin = sy; if (sy > yMax) yMax = sy
+            i += 1
+          }
+          j += 1
+        }
+        val tx0 = math.max(0, (math.floor(xMin - margin) / ts).toInt)
+        val tx1 = math.min(nSrcTX - 1, (math.floor(xMax + margin) / ts).toInt)
+        val ty0 = math.max(0, (math.floor(yMin - margin) / ts).toInt)
+        val ty1 = math.min(nSrcTY - 1, (math.floor(yMax + margin) / ts).toInt)
+        for (sty <- ty0 to ty1; stx <- tx0 to tx1) yield (stx, sty, dx, dy)
+      }
+
+    val contrib = needs
+      .joinWith(src, needs("_1") === src("x") && needs("_2") === src("y"))
+      .map { case ((_, _, dx, dy), t) => (dx, dy, t) }
+    val marker = spark.range(0, nDstX.toLong * nDstY, 1, math.min(nDstX * nDstY, 64))
+      .map { id =>
+        ((id % nDstX).toInt, (id / nDstX).toInt,
+          Tile(0, 0, 0, -1, 0, 0, Array.emptyDoubleArray))
+      }
+    contrib.union(marker)
+      .groupByKey(c => (c._1, c._2))
+      .mapGroups { (key, it) =>
+        val (dx, dy) = key
+        val tileList = new scala.collection.mutable.ArrayBuffer[Tile]()
+        var band = 1
+        it.foreach { case (_, _, t) => if (t.band != -1) { tileList += t; band = t.band } }
+        val (tx0, ty0, tx1, ty1) =
+          if (tileList.isEmpty) (0, 0, -1, -1)
+          else (tileList.map(_.x).min, tileList.map(_.y).min,
+                tileList.map(_.x).max, tileList.map(_.y).max)
+        val gw = tx1 - tx0 + 1
+        val grid: Array[Array[Double]] =
+          if (tileList.isEmpty) Array.empty
+          else {
+            val g = new Array[Array[Double]](gw * (ty1 - ty0 + 1))
+            tileList.foreach(t => g((t.y - ty0) * gw + (t.x - tx0)) = t.pixels)
+            g
+          }
+        def pix(gx: Long, gy: Long): Double = {
+          if (gx < 0 || gy < 0 || gx >= srcW || gy >= srcH) return Double.NaN
+          val tx = (gx / ts).toInt - tx0; val ty = (gy / ts).toInt - ty0
+          if (tx < 0 || ty < 0 || tx >= gw || ty >= ty1 - ty0 + 1) return Double.NaN
+          val p = grid(ty * gw + tx)
+          if (p == null) Double.NaN
+          else p(((gy % ts) * ts + (gx % ts)).toInt)
+        }
+        val out = new Array[Double](ts * ts)
+        var yy = 0
+        while (yy < ts) {
+          var xx = 0
+          while (xx < ts) {
+            val (sxp, syp) = toSrc(dx.toLong * ts + xx, dy.toLong * ts + yy)
+            val v: Double = kernel match {
+              case "near" =>
+                val v0 = pix(math.floor(sxp + 0.5).toLong, math.floor(syp + 0.5).toLong)
+                if (java.lang.Double.isNaN(v0)) 0.0 else v0
+              case "bilinear" =>
+                val x0 = math.floor(sxp); val y0 = math.floor(syp)
+                val wx = sxp - x0; val wy = syp - y0
+                val v00 = pix(x0.toLong, y0.toLong); val v10 = pix(x0.toLong + 1, y0.toLong)
+                val v01 = pix(x0.toLong, y0.toLong + 1); val v11 = pix(x0.toLong + 1, y0.toLong + 1)
+                if (java.lang.Double.isNaN(v00) || java.lang.Double.isNaN(v10) ||
+                    java.lang.Double.isNaN(v01) || java.lang.Double.isNaN(v11)) 0.0
+                else (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) +
+                  wy * ((1.0 - wx) * v01 + wx * v11)
+              case _ => // cubic (Keys), same CONVOL4 order as warpAffine
+                val bx = math.floor(sxp); val by = math.floor(syp)
+                val wxs = cubicWeights(sxp - bx); val wys = cubicWeights(syp - by)
+                var acc = 0.0; var j2 = 0; var bad = false
+                while (j2 < 4 && !bad) {
+                  var rowAcc = 0.0; var i2 = 0
+                  while (i2 < 4 && !bad) {
+                    val pv = pix(bx.toLong + i2 - 1, by.toLong + j2 - 1)
+                    if (java.lang.Double.isNaN(pv)) bad = true
+                    else rowAcc += wxs(i2) * pv
+                    i2 += 1
+                  }
+                  acc += wys(j2) * rowAcc
+                  j2 += 1
+                }
+                if (bad) 0.0 else acc
+            }
+            out(yy * ts + xx) = v
+            xx += 1
+          }
+          yy += 1
+        }
+        Tile(dstZ, dx, dy, band, ts, ts, out)
+      }
+  }
+
   /** gdaldem color-relief (reference: GDALColorReliefGetRGBA,
     * /root/reference/apps/gdaldem_lib.cpp:1740-1800, interpolation mode):
     * per-pixel linear interpolation between sorted (value → r,g,b) stops,
