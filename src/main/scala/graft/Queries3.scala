@@ -283,6 +283,51 @@ object Queries3 {
         .orderBy("qid", "rank")
     }, Some(ivfKmeansOracle)),
 
+    // -- GNM K-shortest paths (Yen's algorithm over the distributed SSSP
+    // primitive; GNMGraph::KShortestPaths, gnm/gnmgraph.cpp:247-420).
+    // DAG with skip edges {+1,+2,+5} and DYADIC weights (k/1024 — exact in
+    // both engines, so path-cost sums are order-independent and exact);
+    // the weight hash was chosen so the top-5 costs are strictly distinct
+    // (no tie-order ambiguity between Yen's candidate heap and the
+    // oracle's all-paths sort). Oracle enumerates every path via recursive
+    // CTE and takes the top 3 by (cost, path).
+    ("g32_k_shortest", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val n = 16
+      val edges = (0 until n).flatMap { i =>
+        Seq(i + 1, i + 2, i + 5).filter(_ < n).map { j =>
+          (i.toLong, j.toLong,
+            1.0 + ((i * 73 + j * 151 + i * j * 11) % 997) / 1024.0)
+        }
+      }.toDF("src", "dst", "w")
+      val paths = engine.GraphOps.kShortestPaths(edges, 0L, 15L, 3)
+      paths.zipWithIndex.map { case ((nodes, cost), idx) =>
+        ((idx + 1).toLong, nodes.mkString("-"),
+          math.floor(cost * 1000000.0 + 0.5).toLong)
+      }.toDF("rank", "path", "cost_u").orderBy("rank")
+    }, Some("""
+      WITH RECURSIVE edges AS (
+        SELECT i AS src, i + 1 AS dst,
+               1.0 + ((i*73 + (i+1)*151 + i*(i+1)*11) % 997) / CAST(1024 AS DOUBLE) AS w
+          FROM (SELECT unnest(generate_series(0, 15)) AS i) WHERE i + 1 < 16
+        UNION ALL
+        SELECT i, i + 2, 1.0 + ((i*73 + (i+2)*151 + i*(i+2)*11) % 997) / CAST(1024 AS DOUBLE)
+          FROM (SELECT unnest(generate_series(0, 15)) AS i) WHERE i + 2 < 16
+        UNION ALL
+        SELECT i, i + 5, 1.0 + ((i*73 + (i+5)*151 + i*(i+5)*11) % 997) / CAST(1024 AS DOUBLE)
+          FROM (SELECT unnest(generate_series(0, 15)) AS i) WHERE i + 5 < 16),
+      paths(node, path, cost) AS (
+        SELECT 0, '0', CAST(0.0 AS DOUBLE)
+        UNION ALL
+        SELECT e.dst, p.path || '-' || CAST(e.dst AS VARCHAR), p.cost + e.w
+        FROM paths p JOIN edges e ON p.node = e.src),
+      ranked AS (SELECT path, cost,
+            CAST(row_number() OVER (ORDER BY cost, path) AS BIGINT) AS rank
+          FROM paths WHERE node = 15)
+      SELECT rank, path, CAST(floor(cost * 1000000.0 + 0.5) AS BIGINT) AS cost_u
+      FROM ranked WHERE rank <= 3 ORDER BY rank""")),
+
     // -- Structured Streaming E2E with checkpoint resume: two-phase file
     // stream (terminate + restart from checkpoint, exactly-once sink) must
     // reproduce the batch q13 aggregation byte-identically. Streaming twin

@@ -121,4 +121,122 @@ object GraphOps {
       out
     }
   }
+
+  /** SSSP with parent pointers under node/edge masks — the spur-path
+    * primitive for Yen's. Returns the source→target path (node list with
+    * the cumulative distance at each node), or None if unreachable.
+    * Relaxation is the same diameter-round join+min shape as
+    * [[shortestPaths]]; ties pick the lowest parent id so the tree is
+    * deterministic. Backtracking is one tiny (single-node filter) job per
+    * hop — O(path length), never O(nodes), on the driver. */
+  private def ssspPath(e: DataFrame, source: Long, target: Long,
+                       removedNodes: Set[Long], removedEdges: Set[(Long, Long)],
+                       maxIter: Int): Option[List[(Long, Double)]] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    var g = e
+    if (removedNodes.nonEmpty) {
+      val rn = removedNodes.toSeq
+      g = g.where(!col("src").isin(rn: _*) && !col("dst").isin(rn: _*))
+    }
+    if (removedEdges.nonEmpty) {
+      val keys = removedEdges.map { case (a, b) => s"${a}_$b" }.toSeq
+      g = g.where(!concat_ws("_", col("src"), col("dst")).isin(keys: _*))
+    }
+    g = g.cache()
+    var dist = Seq((source, 0.0, -1L)).toDF("node", "dist", "parent").cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val relaxed = dist.join(g, dist("node") === g("src"))
+        .select(g("dst").as("node"), (dist("dist") + g("w")).as("dist"),
+          dist("node").as("parent"))
+      val w = Window.partitionBy("node").orderBy(col("dist"), col("parent"))
+      val next = dist.unionByName(relaxed)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1).drop("rk")
+        .localCheckpoint(true)
+      changed = next.as("n").join(dist.as("o"), Seq("node"), "left")
+        .where(col("o.dist").isNull || col("n.dist") < col("o.dist")).count() +
+        (next.count() - dist.count())
+      dist.unpersist()
+      dist = next
+      it += 1
+    }
+    if (changed > 0) warnNoConverge("ssspPath", it)
+    val cached = dist
+    def lookup(n: Long): Option[(Double, Long)] =
+      cached.where(col("node") === n).collect()
+        .headOption.map(r => (r.getDouble(1), r.getLong(2)))
+    val out = lookup(target).map { case (tc, tp) =>
+      var path = List((target, tc))
+      var cur = target; var par = tp
+      while (cur != source) {
+        val (d, p2) = lookup(par).get
+        path = (par, d) :: path
+        cur = par; par = p2
+      }
+      path
+    }
+    cached.unpersist(); g.unpersist()
+    out
+  }
+
+  /** Yen's K shortest loopless paths (GNMGraph::KShortestPaths,
+    * /root/reference/gnm/gnmgraph.cpp:247-420): k−1 rounds of spur-node
+    * deviation search over the distributed SSSP primitive. Driver state is
+    * O(k · path-length) — the found paths and candidate heap only; every
+    * shortest-path computation is the cluster-side relaxation above (the
+    * reference masks edges by infinity-cost assignment; we mask by
+    * broadcastable filter sets, same effect). Candidate ties break on
+    * (cost, path) so results are deterministic. Returns up to k
+    * (path-nodes, total-cost) tuples, cost ascending. */
+  def kShortestPaths(edges: DataFrame, source: Long, target: Long, k: Int,
+                     maxIter: Int = 64): Seq[(Seq[Long], Double)] = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("double")).cache()
+    val a = scala.collection.mutable.ArrayBuffer[List[(Long, Double)]]()
+    ssspPath(e, source, target, Set.empty, Set.empty, maxIter) match {
+      case Some(p) => a += p
+      case None => e.unpersist(); return Seq.empty
+    }
+    // candidates: (cost, node list with cum dists), deduped by node list
+    val b = scala.collection.mutable.Map[List[Long], List[(Long, Double)]]()
+    var ki = 1
+    while (ki < k && (b.nonEmpty || ki == a.length)) {
+      val prev = a(ki - 1)
+      var i = 0
+      while (i < prev.length - 1) {
+        val root = prev.take(i + 1)
+        val rootNodes = root.map(_._1)
+        val spur = rootNodes.last
+        val rootCost = root.last._2
+        // remove the edge that follows the spur node in every found path
+        // sharing this root (ensures a different continuation) …
+        val removedEdges = a.iterator
+          .filter(p => p.length > i + 1 && p.take(i + 1).map(_._1) == rootNodes)
+          .map(p => (p(i)._1, p(i + 1)._1)).toSet
+        // … and the root nodes except the spur (ensures looplessness)
+        val removedNodes = rootNodes.dropRight(1).toSet
+        ssspPath(e, spur, target, removedNodes, removedEdges, maxIter).foreach { sp =>
+          val shifted = sp.map { case (n, d) => (n, d + rootCost) }
+          val cand = root.dropRight(1) ++ shifted
+          val nodesOnly = cand.map(_._1)
+          if (!a.exists(_.map(_._1) == nodesOnly)) b.getOrElseUpdate(nodesOnly, cand)
+        }
+        i += 1
+      }
+      if (b.isEmpty) { ki = k } // no more deviations: stop
+      else {
+        val best = b.minBy { case (nodes, path) =>
+          (path.last._2, nodes.mkString("-")) }
+        b.remove(best._1)
+        a += best._2
+        ki += 1
+      }
+    }
+    e.unpersist()
+    a.toSeq.map(p => (p.map(_._1), p.last._2))
+  }
 }
