@@ -52,6 +52,76 @@ object Queries3 {
         CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks
       FROM cells GROUP BY 2, 3 ORDER BY x, y"""
 
+  /** DuckDB twin of the r28 cubicspline+lanczos warp: the separable
+    * convolution written term-by-term in the ENGINE's float-op order
+    * (same arg construction f±c, same left-assoc sums, normalize by
+    * (Σwx)·(Σwy)) so results are bit-identical modulo libm sin() ulps —
+    * which the checksum's integer rounding absorbs (values ~1e3, noise
+    * ~1e-12). Signs of the B-spline branch conditions are static because
+    * fx,fy ∈ {0.05, 0.55}. */
+  private def splineLanczosOracle: String = {
+    val maxG = 2047
+    def cube(e: String) = s"(($e) * ($e) * ($e))"
+    // bspline evaluated at (f + c) with the engine's nested-branch forms
+    def wB(f: String, c: Int): String = {
+      val a = c match {
+        case 1 => s"($f + 1.0)"
+        case 0 => f
+        case -1 => s"($f - 1.0)"
+        case _ => s"($f - 2.0)"
+      }
+      c match {
+        case 1 => s"(${cube(s"($a + 2.0)")} + (-4.0) * ${cube(s"($a + 1.0)")}" +
+          s" + 6.0 * ${cube(a)} + (-4.0) * ${cube(s"($a - 1.0)")})"
+        case 0 => s"(${cube(s"($a + 2.0)")} + (-4.0) * ${cube(s"($a + 1.0)")} + 6.0 * ${cube(a)})"
+        case -1 => s"(${cube(s"($a + 2.0)")} + (-4.0) * ${cube(s"($a + 1.0)")})"
+        case _ => s"${cube(s"($a + 2.0)")}"
+      }
+    }
+    // lanczosSinc evaluated at (f + c), c in [-3, 2]; |f+c| in (0, 3) always
+    def wL(f: String, c: Int): String = {
+      val a = if (c == 0) f else if (c > 0) s"($f + $c.0)" else s"($f - ${-c}.0)"
+      s"((sin(pi() * $a) / (pi() * $a)) * " +
+        s"(sin((pi() * $a) / 3.0) / ((pi() * $a) / 3.0)))"
+    }
+    def fAt(xe: String, ye: String) =
+      s"CAST((CAST($xe AS BIGINT) * 7919 + CAST($ye AS BIGINT) * 104729) % 9973 AS DOUBLE)"
+    def conv(k: Int, wOf: (String, Int) => String, off: Seq[Int], hw: Int): String = {
+      val wxs = off.map(c => wOf("fx", c))
+      val wys = off.map(c => wOf("fy", c))
+      val acc = wys.zipWithIndex.map { case (wy, j) =>
+        val row = wxs.zipWithIndex.map { case (wx, i) =>
+          s"$wx * ${fAt(s"bx + ${i - (hw - 1)}", s"by + ${j - (hw - 1)}")}"
+        }.mkString(" + ")
+        s"$wy * ($row)"
+      }.mkString(" + ")
+      val norm = s"(${wxs.mkString(" + ")}) * (${wys.mkString(" + ")})"
+      s"""CASE WHEN bx - ${hw - 1} < 0 OR bx + $hw > $maxG
+            OR by - ${hw - 1} < 0 OR by + $hw > $maxG
+          THEN 0.0 ELSE ($acc) / ($norm) END"""
+    }
+    val vSpline = conv(0, wB, Seq(1, 0, -1, -2), 2)
+    val vLanczos = conv(1, wL, Seq(2, 1, 0, -1, -2, -3), 3)
+    def half(k: Int, v: String) = s"""
+      SELECT CAST($k AS BIGINT) AS k, CAST(2 AS BIGINT) AS z,
+             gx >> 8 AS x, gy >> 8 AS y,
+        CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST(((gy % 256) * 256 + (gx % 256)) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks
+      FROM (SELECT gx, gy, CAST(floor(($v) + 0.5) AS BIGINT) AS iv FROM fr)
+      GROUP BY 1, 2, 3, 4"""
+    s"""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+          FROM (SELECT unnest(generate_series(0, 1023)) AS gx) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS gy) ys),
+      sm AS (SELECT gx, gy,
+          (CAST(gx AS DOUBLE) + 0.5) * 0.5 + 1500.3 - 0.5 AS sxp,
+          (CAST(gy AS DOUBLE) + 0.5) * 0.5 + 57.7 - 0.5 AS syp FROM px),
+      fr AS (SELECT gx, gy, CAST(floor(sxp) AS BIGINT) AS bx,
+          CAST(floor(syp) AS BIGINT) AS by,
+          sxp - floor(sxp) AS fx, syp - floor(syp) AS fy FROM sm)
+      ${half(0, vSpline)} UNION ALL ${half(1, vLanczos)}
+      ORDER BY k, x, y"""
+  }
+
   private val IVF_K = 8; private val IVF_ITERS = 2
   private val IVF_NPROBE = 4; private val IVF_TOPK = 3
 
@@ -282,6 +352,83 @@ object Queries3 {
           k = IVF_K, iters = IVF_ITERS, nprobe = IVF_NPROBE, topK = IVF_TOPK)
         .orderBy("qid", "rank")
     }, Some(ivfKmeansOracle)),
+
+    // -- OGR dialect AND/OR/NOT null semantics, oracle-gated (was
+    // spec-only): OGR AND returns the non-null side when one side is null
+    // (so null AND true = true, unlike ANSI); OR is null if EITHER side is
+    // null (unlike ANSI's null OR true = true). swq_op_general.cpp:545-562.
+    ("q24_ogr_null_logic", (s, dir) => {
+      import graft.sql.OgrCompat
+      val base = t(s, dir, "events").select(col("event_id"),
+        when(col("event_id") % 3 === 0, lit(null).cast("boolean"))
+          .otherwise(col("event_id") % 2 === 0).as("a"),
+        when(col("event_id") % 5 === 0, lit(null).cast("boolean"))
+          .otherwise(col("event_id") % 7 < 3).as("b"))
+      base.select(col("event_id"),
+          OgrCompat.andOgr(col("a"), col("b")).cast("long").as("and_q"),
+          OgrCompat.orOgr(col("a"), col("b")).cast("long").as("or_q"),
+          (!col("a")).cast("long").as("not_q"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH base AS (SELECT event_id,
+          CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_id % 2 = 0 END AS a,
+          CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_id % 7 < 3 END AS b
+        FROM events)
+      SELECT event_id,
+        CAST(CASE WHEN a IS NULL AND b IS NULL THEN NULL
+                  WHEN a IS NULL THEN b
+                  WHEN b IS NULL THEN a
+                  ELSE a AND b END AS BIGINT) AS and_q,
+        CAST(CASE WHEN a IS NULL OR b IS NULL THEN NULL
+                  ELSE a OR b END AS BIGINT) AS or_q,
+        CAST(NOT a AS BIGINT) AS not_q
+      FROM base ORDER BY event_id""")),
+
+    // -- Douglas-Peucker simplify, oracle-gated (was spec-only): 3-point
+    // peaked lines where the peak survives iff its perpendicular deviation
+    // h exceeds the tolerance (strict >, ogrgeometry.cpp:6526 semantics);
+    // h/tol lattices are offset so no row sits on the boundary. Output is
+    // micro-rounded length: 4 (peak dropped) or 2·√(4+h²).
+    ("g33_simplify", (s, dir) => {
+      prep(s)
+      t(s, dir, "documents").where(col("doc_id") < 2000)
+        .withColumn("h", expr("CAST(doc_id % 20 AS DOUBLE) * 0.01 + 0.0031"))
+        .withColumn("tol", expr("0.03 + CAST(doc_id % 7 AS DOUBLE) * 0.013"))
+        .withColumn("wkt", expr(
+          "concat('LINESTRING (0 0, 2 ', CAST(h AS STRING), ', 4 0)')"))
+        .select(col("doc_id"),
+          expr("CAST(floor(st_length(st_simplify(st_geomfromtext(wkt), tol)) " +
+            "* 1000000.0 + 0.5) AS BIGINT)").as("len_u"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH base AS (SELECT doc_id,
+          CAST(doc_id % 20 AS DOUBLE) * 0.01 + 0.0031 AS h,
+          0.03 + CAST(doc_id % 7 AS DOUBLE) * 0.013 AS tol
+        FROM documents WHERE doc_id < 2000)
+      SELECT doc_id, CAST(floor(
+          (CASE WHEN h <= tol THEN 4.0 ELSE 2.0 * sqrt(4.0 + h * h) END)
+          * 1000000.0 + 0.5) AS BIGINT) AS len_u
+      FROM base ORDER BY doc_id""")),
+
+    // -- cubicspline + lanczos warp kernels, oracle-gated (was spec-only):
+    // same synthetic-raster scheme as r16, both kernels over ONE shared
+    // source shuffle (GWKBSpline / lanczos sinc·sinc/3 with weight-sum
+    // normalization, alg/gdalwarpkernel.cpp:3677).
+    ("r28_warp_spline", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = engine.Raster.syntheticTiles(s, 3) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val aff = engine.Raster.WarpAffine(0.5, 0.5, 1500.3, 57.7)
+      engine.Raster.warpAffineMulti(base, 2, 4, 4, aff,
+          Seq("cubicspline", "lanczos"), 2048, 2048)
+        .map { case (ki, ti) => (ki.toLong, ti.x.toLong, ti.y.toLong,
+          engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong) }
+        .toDF("k", "x", "y", "cks")
+        .withColumn("z", lit(2).cast("long"))
+        .select("k", "z", "x", "y", "cks").orderBy("k", "x", "y")
+    }, Some(splineLanczosOracle)),
 
     // -- GNM K-shortest paths (Yen's algorithm over the distributed SSSP
     // primitive; GNMGraph::KShortestPaths, gnm/gnmgraph.cpp:247-420).
