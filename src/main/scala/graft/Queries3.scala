@@ -486,6 +486,73 @@ object Queries3 {
       SELECT CAST(floor(floor(epoch(ts)) / 300) * 300 AS BIGINT) AS wstart,
              event_type, count(*) AS n,
              CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
-      FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"""))
+      FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""")),
+
+    // -- Lambert Conformal Conic + Albers Equal-Area (Snyder 2SP
+    // ellipsoidal, geom/Conic.scala; reference ogr/ogrct.cpp delegates the
+    // same projections to PROJ lcc/aea). CONUS parameter sets; forward at
+    // mm ints; the LCC inverse is exercised by a µdeg roundtrip column.
+    // The oracle writes Snyder 15-1..15-4 / 14-1..14-4 with the 2SP
+    // constants precomputed HERE via Conic.*Params and emitted as shared
+    // literals, identical operation order → equal to ~ulp, absorbed by
+    // the mm/µdeg rounding.
+    ("g34_conic", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = Queries.eventPoints(s, dir).where(col("event_id") < 5000)
+        .withColumn("lonc", expr("-120.0 + (lon + 180.0) / 360.0 * 50.0"))
+        .withColumn("latc", expr("20.0 + (lat + 85.0) / 170.0 * 40.0"))
+        .withColumn("p", gf.st_point(col("lonc"), col("latc")))
+        .withColumn("gl", expr("st_transform_lcc(p, 33.0, 45.0, 23.0, -96.0)"))
+        .withColumn("ga", expr("st_transform_albers(p, 29.5, 45.5, 23.0, -96.0)"))
+        .withColumn("rt", expr(
+          "st_transform_lcc_inv(st_transform_lcc(p, 33.0, 45.0, 23.0, -96.0), " +
+            "33.0, 45.0, 23.0, -96.0)"))
+      base.select(col("event_id"),
+          expr("CAST(floor(st_x(gl) * 1000.0 + 0.5) AS BIGINT)").as("lx_mm"),
+          expr("CAST(floor(st_y(gl) * 1000.0 + 0.5) AS BIGINT)").as("ly_mm"),
+          expr("CAST(floor(st_x(ga) * 1000.0 + 0.5) AS BIGINT)").as("ax_mm"),
+          expr("CAST(floor(st_y(ga) * 1000.0 + 0.5) AS BIGINT)").as("ay_mm"),
+          expr("CAST(floor((st_x(rt) - lonc) * 1000000.0 + 0.5) AS BIGINT)").as("rlon_u"),
+          expr("CAST(floor((st_y(rt) - latc) * 1000000.0 + 0.5) AS BIGINT)").as("rlat_u"))
+        .orderBy("event_id")
+    }, Some {
+      import graft.geom.Conic
+      val lp = Conic.lccParams(33.0, 45.0, 23.0, -96.0)
+      val ap = Conic.albersParams(29.5, 45.5, 23.0, -96.0)
+      val f = 1.0 / 298.257223563
+      val e2v = f * (2.0 - f); val ev = math.sqrt(e2v)
+      val (e2l, el) = (dlit(e2v), dlit(ev))
+      val eHalf = dlit(ev / 2.0)
+      val halfInvE = dlit(1.0 / (2.0 * ev))
+      val oneMe2 = dlit(1.0 - e2v)
+      val aLccF = dlit(Conic.A * lp.f)  // A·F precombined, same double as runtime A*f
+      val (lnN, lnRho0, lnLam0) = (dlit(lp.n), dlit(lp.rho0), dlit(lp.lam0))
+      val (abN, abC, abRho0, abLam0) = (dlit(ap.n), dlit(ap.c), dlit(ap.rho0), dlit(ap.lam0))
+      val aL = dlit(Conic.A)
+      val d2rl = dlit(math.Pi / 180.0)
+      val piL = dlit(math.Pi)
+      s"""WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events WHERE event_id < 5000),
+      cc AS (SELECT event_id,
+          (-120.0 + (lon + 180.0) / 360.0 * 50.0) * $d2rl AS lam,
+          (20.0 + (lat + 85.0) / 170.0 * 40.0) * $d2rl AS phi FROM pts),
+      tr AS (SELECT event_id, lam, phi, sin(phi) AS sinp FROM cc),
+      lcc AS (SELECT event_id,
+          $aLccF * power(tan($piL / 4.0 - phi / 2.0) /
+            power((1.0 - $el * sinp) / (1.0 + $el * sinp), $eHalf), $lnN) AS rho,
+          $lnN * (lam - $lnLam0) AS th FROM tr),
+      alb AS (SELECT event_id,
+          ($aL * sqrt($abC - $abN * ($oneMe2 * (sinp / (1.0 - $e2l * sinp * sinp) -
+            $halfInvE * ln((1.0 - $el * sinp) / (1.0 + $el * sinp)))))) / $abN AS rho,
+          $abN * (lam - $abLam0) AS th FROM tr)
+      SELECT l.event_id,
+        CAST(floor((l.rho * sin(l.th)) * 1000.0 + 0.5) AS BIGINT) AS lx_mm,
+        CAST(floor(($lnRho0 - l.rho * cos(l.th)) * 1000.0 + 0.5) AS BIGINT) AS ly_mm,
+        CAST(floor((a.rho * sin(a.th)) * 1000.0 + 0.5) AS BIGINT) AS ax_mm,
+        CAST(floor(($abRho0 - a.rho * cos(a.th)) * 1000.0 + 0.5) AS BIGINT) AS ay_mm,
+        CAST(0 AS BIGINT) AS rlon_u, CAST(0 AS BIGINT) AS rlat_u
+      FROM lcc l JOIN alb a USING (event_id) ORDER BY event_id"""
+    })
   )
 }

@@ -150,6 +150,15 @@ object GeoKernel {
   def fromUtm(wkb: Array[Byte], zone: Int): Array[Byte] =
     Wkb.write(Utm.inverseGeom(decode(wkb), zone))
 
+  def toLcc(wkb: Array[Byte], lat1: Double, lat2: Double, lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.lccGeom(decode(wkb), lat1, lat2, lat0, lon0))
+  def fromLcc(wkb: Array[Byte], lat1: Double, lat2: Double, lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.lccInvGeom(decode(wkb), lat1, lat2, lat0, lon0))
+  def toAlbers(wkb: Array[Byte], lat1: Double, lat2: Double, lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.albersGeom(decode(wkb), lat1, lat2, lat0, lon0))
+  def fromAlbers(wkb: Array[Byte], lat1: Double, lat2: Double, lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.albersInvGeom(decode(wkb), lat1, lat2, lat0, lon0))
+
   // ---- cells & tiles
   def cell(lon: Double, lat: Double, z: Int): Long = CellId.fromLonLat(lon, lat, z)
 

@@ -743,6 +743,48 @@ case class StClipBBox(first: Expression, second: Expression, third: Expression,
     copy(first = ns(0), second = ns(1), third = ns(2), fourth = ns(3), fifth = ns(4))
 }
 
+/** st_transform_conic(wkb, lat1, lat2, lat0, lon0) family — native
+  * Lambert Conformal Conic / Albers Equal-Area (Snyder 2SP ellipsoidal,
+  * geom/Conic.scala; /root/reference/ogr/ogrct.cpp delegates the same
+  * math to PROJ lcc/aea). `which`: 0=LCC fwd, 1=LCC inv, 2=Albers fwd,
+  * 3=Albers inv. Reprojection of bulk geometry is batch-shaped, not
+  * row-hot → CodegenFallback like HilbertCode. */
+case class StTransformConic(children: Seq[Expression], which: Int)
+    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+  require(children.length == 5, "st_transform_*(wkb, lat1, lat2, lat0, lon0)")
+  override def inputTypes: Seq[AbstractDataType] =
+    BinaryType +: Seq.fill(4)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = which match {
+    case 0 => "st_transform_lcc"
+    case 1 => "st_transform_lcc_inv"
+    case 2 => "st_transform_albers"
+    case _ => "st_transform_albers_inv"
+  }
+  override def eval(input: InternalRow): Any = {
+    val w = children(0).eval(input)
+    if (w == null) return null
+    val ps = new Array[Double](4)
+    var i = 0
+    while (i < 4) {
+      val v = children(i + 1).eval(input)
+      if (v == null) return null
+      ps(i) = v.asInstanceOf[Double]
+      i += 1
+    }
+    val wkb = w.asInstanceOf[Array[Byte]]
+    which match {
+      case 0 => GeoKernel.toLcc(wkb, ps(0), ps(1), ps(2), ps(3))
+      case 1 => GeoKernel.fromLcc(wkb, ps(0), ps(1), ps(2), ps(3))
+      case 2 => GeoKernel.toAlbers(wkb, ps(0), ps(1), ps(2), ps(3))
+      case _ => GeoKernel.fromAlbers(wkb, ps(0), ps(1), ps(2), ps(3))
+    }
+  }
+  protected override def withNewChildrenInternal(ns: IndexedSeq[Expression]): StTransformConic =
+    copy(children = ns)
+}
+
 /** hilbert_code(x, y, minx, miny, maxx, maxy) — spatial sort key
   * (/root/reference/alg/hilbert.cpp:19-92; vector sort step
   * gdalalg_vector_sort.cpp:351-375). Rare in hot paths → CodegenFallback. */

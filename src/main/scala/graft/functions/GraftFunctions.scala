@@ -59,6 +59,10 @@ object GraftFunctions {
     arity("st_concavehull", 2)(a => StConcaveHull(a(0), a(1))),
     arity("st_transform_utm", 2)(a => StTransformUtm(a(0), a(1))),
     arity("st_transform_utm_inv", 2)(a => StTransformUtmInv(a(0), a(1))),
+    arity("st_transform_lcc", 5)(a => StTransformConic(a, 0)),
+    arity("st_transform_lcc_inv", 5)(a => StTransformConic(a, 1)),
+    arity("st_transform_albers", 5)(a => StTransformConic(a, 2)),
+    arity("st_transform_albers_inv", 5)(a => StTransformConic(a, 3)),
     arity("st_simplify", 2)(a => StSimplify(a(0), a(1))),
     arity("st_segmentize", 2)(a => StSegmentize(a(0), a(1))),
     arity("st_cover", 2)(a => StCover(a(0), a(1))),
