@@ -16,6 +16,12 @@ object Queries3 {
 
   private def prep(s: SparkSession): Unit = functions.GraftFunctions.register(s)
 
+  /** GDALChecksumImage twin over a 256-px cell (same as Queries2.cksCol). */
+  private def cksCol(iv: String): String =
+    s"CAST(((sum($iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT)"
+
+  private def toInt(col: String): String = s"CAST(floor($col + 0.5) AS BIGINT)"
+
   /** poly/idlink fixture layers for the OGR SQL text entry point
     * (FIXTURES.md §2-3; rows from autotest/ogr/data/poly.dbf, idlink.dbf). */
   private def ogrLayers(s: SparkSession): Map[String, Layer] = {
@@ -553,6 +559,213 @@ object Queries3 {
         CAST(floor(($abRho0 - a.rho * cos(a.th)) * 1000.0 + 0.5) AS BIGINT) AS ay_mm,
         CAST(0 AS BIGINT) AS rlon_u, CAST(0 AS BIGINT) AS rlat_u
       FROM lcc l JOIN alb a USING (event_id) ORDER BY event_id"""
+    }),
+
+    // -- VRT pixel-function tail + nodata-to-alpha (PixelFuncs.scala;
+    // frmts/vrt/pixelfunctions.cpp dB/interpolate_linear/mean/median/
+    // geometric_mean/scale/replace_nodata/argmax + gdalalg_raster_
+    // nodata_to_alpha.cpp). Per-tile checksums; oracle recomputes each
+    // closed form over the synthetic grid with identical literals.
+    ("r29_pixel_funcs", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val z = 2
+      def synth(m1: Long, m2: Long, md: Long) =
+        engine.Raster.syntheticTiles(s, z) { (gx, gy) => ((gx * m1 + gy * m2) % md).toDouble }
+      val b1 = synth(7919, 104729, 9973)
+      val b2 = synth(4561, 7127, 8191)
+      val b3 = synth(2741, 5939, 6997)
+      def p1(d: org.apache.spark.sql.Dataset[engine.Tile]) =
+        engine.Raster.mapPixels(d)(_ + 1.0)
+      def cks(d: org.apache.spark.sql.Dataset[engine.Tile], name: String) =
+        d.map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong)).toDF("x", "y", name)
+      val out = Seq(
+        cks(engine.PixelFuncs.dB(p1(b1)), "cks_db"),
+        cks(engine.PixelFuncs.interpolateLinear(Seq(b1, b2, b3), 0.0, 10.0, 13.7), "cks_itp"),
+        cks(engine.PixelFuncs.meanF(Seq(b1, b2, b3)), "cks_mean"),
+        cks(engine.PixelFuncs.medianF(Seq(b1, b2, b3)), "cks_med"),
+        cks(engine.PixelFuncs.geometricMeanF(Seq(p1(b1), p1(b2), p1(b3))), "cks_geo"),
+        cks(engine.PixelFuncs.scaleF(b1, 0.5, 17.25), "cks_scale"),
+        cks(engine.PixelFuncs.noDataToAlpha(b1, 42.0), "cks_nda"),
+        cks(engine.PixelFuncs.replaceNoData(b1, 42.0, -1.0), "cks_rnod"),
+        cks(engine.PixelFuncs.argmaxF(Seq(b1, b2, b3)), "cks_amax"))
+      out.reduce(_.join(_, Seq("x", "y")))
+        .withColumn("z", lit(z).cast("long"))
+        .select("z", "x", "y", "cks_db", "cks_itp", "cks_mean", "cks_med",
+          "cks_geo", "cks_scale", "cks_nda", "cks_rnod", "cks_amax")
+        .orderBy("x", "y")
+    }, Some {
+      val f1 = "CAST((gx * 7919 + gy * 104729) % 9973 AS DOUBLE)"
+      val f2 = "CAST((gx * 4561 + gy * 7127) % 8191 AS DOUBLE)"
+      val f3 = "CAST((gx * 2741 + gy * 5939) % 6997 AS DOUBLE)"
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 1023)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS gy) ys),
+          b AS (SELECT gx, gy, $f1 AS v1, $f2 AS v2, $f3 AS v3 FROM px),
+          v AS (SELECT gx, gy,
+            ${toInt("20.0 * log10(abs(v1 + 1.0))")} AS i_db,
+            ${toInt("v2 + (CAST(13.7 AS DOUBLE) - 10.0) * (v3 - v2) / (20.0 - 10.0)")} AS i_itp,
+            ${toInt("(0.0 + v1 + v2 + v3) / 3")} AS i_mean,
+            ${toInt("v1 + v2 + v3 - greatest(v1, v2, v3) - least(v1, v2, v3)")} AS i_med,
+            ${toInt("power(1.0 * (v1 + 1.0) * (v2 + 1.0) * (v3 + 1.0), 1.0 / 3)")} AS i_geo,
+            ${toInt("v1 * 0.5 + 17.25")} AS i_scale,
+            CAST(CASE WHEN v1 = 42.0 THEN 0 ELSE 255 END AS BIGINT) AS i_nda,
+            CAST(CASE WHEN v1 = 42.0 THEN -1 ELSE v1 END AS BIGINT) AS i_rnod,
+            CAST(CASE WHEN v1 >= v2 AND v1 >= v3 THEN 0
+                      WHEN v2 >= v3 THEN 1 ELSE 2 END AS BIGINT) AS i_amax
+            FROM b),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            i_db, i_itp, i_mean, i_med, i_geo, i_scale, i_nda, i_rnod, i_amax FROM v)
+          SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y,
+            ${cksCol("i_db")} AS cks_db, ${cksCol("i_itp")} AS cks_itp,
+            ${cksCol("i_mean")} AS cks_mean, ${cksCol("i_med")} AS cks_med,
+            ${cksCol("i_geo")} AS cks_geo, ${cksCol("i_scale")} AS cks_scale,
+            ${cksCol("i_nda")} AS cks_nda, ${cksCol("i_rnod")} AS cks_rnod,
+            ${cksCol("i_amax")} AS cks_amax
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
+    // -- blend composition tail: overlay / hard-light / darken / lighten /
+    // color-burn / color-dodge (Blend.composeExt; exact integer Mapserver
+    // formulas from gdalalg_raster_blend.cpp:1033-1590, GByte modulo-256
+    // narrowing included). r-channel checksum per mode.
+    ("r30_blend_ext", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def ch(m1: Long, m2: Long) =
+        engine.Raster.syntheticTiles(s, 1) { (gx, gy) => ((gx * m1 + gy * m2) % 256).toDouble }
+      val base = Seq(ch(7, 13), ch(11, 3), ch(5, 17), ch(2, 9))
+      val over = Seq(ch(19, 23), ch(29, 31), ch(37, 41), ch(43, 47))
+      def cks(mode: String, name: String) =
+        engine.Blend.composeExt(base, over, opacity = 180, mode = mode)
+          .filter(_.band == 1)
+          .map(t => (t.x.toLong, t.y.toLong,
+            engine.Raster.checksum(t.pixels, t.w, t.h).toLong)).toDF("x", "y", name)
+      Seq(cks("overlay", "cks_ov"), cks("hard-light", "cks_hl"),
+          cks("darken", "cks_dk"), cks("lighten", "cks_lt"),
+          cks("color-burn", "cks_cb"), cks("color-dodge", "cks_cd"))
+        .reduce(_.join(_, Seq("x", "y")))
+        .select("x", "y", "cks_ov", "cks_hl", "cks_dk", "cks_lt", "cks_cb", "cks_cd")
+        .orderBy("x", "y")
+    }, Some {
+      def ch(m1: Int, m2: Int) = s"((gx * $m1 + gy * $m2) % 256)"
+      // GByte-faithful helpers: & 255 at every C++ unsigned-char narrowing
+      def bwS(x: String) = s"(($x) & 255)"
+      def mw(a: String, b: String) = s"((${bwS(a)} * ${bwS(b)} + 255) // 256)"
+      def dw(a: String, b: String) =
+        s"((CASE WHEN ${bwS(a)} = 0 THEN 0 WHEN ($b) = 0 THEN 255 ELSE (${bwS(a)} * 255) // ($b) END) & 255)"
+      // per-mode r-channel formula over (C=dr, A=a, S=sr, OA=oa, fa, am)
+      def tail(c: String, a: String, sS: String, oa: String) =
+        s"${mw(c, s"(255 - $oa)")} + ${mw(sS, s"(255 - $a)")}"
+      def ov(c: String, a: String, sS: String, oa: String, fa: String, am: String) =
+        s"""CASE WHEN 2 * ($c) < ($a)
+             THEN ${dw(s"2 * ${mw(c, sS)} + ${tail(c, a, sS, oa)}", fa)}
+             ELSE ${dw(s"($am) - 2 * ${mw(s"(($a) - ($c))", s"(($oa) - ($sS))")} + ${tail(c, a, sS, oa)}", fa)} END"""
+      def dk(c: String, a: String, sS: String, oa: String, fa: String) =
+        dw(s"least(${mw(sS, a)}, ${mw(c, oa)}) + ${tail(c, a, sS, oa)}", fa)
+      def lt(c: String, a: String, sS: String, oa: String, fa: String) =
+        dw(s"greatest(${mw(sS, a)}, ${mw(c, oa)}) + ${tail(c, a, sS, oa)}", fa)
+      def cd(c: String, a: String, sS: String, oa: String, fa: String, am: String) =
+        s"""CASE WHEN ${mw(sS, a)} + ${mw(c, oa)} >= ($am)
+             THEN ${dw(s"($am) + ${tail(c, a, sS, oa)}", fa)}
+             ELSE ${dw(s"${dw(mw(c, oa), s"(255 - ${dw(sS, oa)})")} + ${tail(c, a, sS, oa)}", fa)} END"""
+      def cb(c: String, a: String, sS: String, oa: String, fa: String, am: String) =
+        s"""CASE WHEN ${mw(sS, a)} + ${mw(c, oa)} <= ($am)
+             THEN ${dw(tail(c, a, sS, oa), fa)}
+             ELSE ${dw(s"${mw(am, s"(${dw(c, a)} + ${dw(sS, oa)} - 255)")} + ${tail(c, a, sS, oa)}", fa)} END"""
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 511)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS gy) ys),
+          s1 AS (SELECT gx, gy, ${ch(2, 9)} AS ba, ${ch(43, 47)} AS ova,
+            ${ch(7, 13)} AS cr, ${ch(19, 23)} AS ocr FROM px),
+          s2 AS (SELECT gx, gy, cr, ocr, ba AS a, ${mw("ova", "180")} AS oa,
+            ${mw("ova", "180")} + ba - ${mw(mw("ova", "180"), "ba")} AS fa,
+            ${mw("ova", "180")} AS ah, ba AS oah FROM s1),
+          s3 AS (SELECT gx, gy, a, oa, fa, ${mw("oa", "a")} AS am,
+            ${mw("cr", "a")} AS dr, ${mw("ocr", "oa")} AS sr,
+            ah, oah, oah + ah - ${mw("oah", "ah")} AS fah, ${mw("oah", "ah")} AS amh,
+            ${mw("ocr", "ah")} AS drh, ${mw("cr", "oah")} AS srh FROM s2),
+          v AS (SELECT gx, gy,
+            CAST(${ov("dr", "a", "sr", "oa", "fa", "am")} AS BIGINT) AS i_ov,
+            CAST(${ov("drh", "ah", "srh", "oah", "fah", "amh")} AS BIGINT) AS i_hl,
+            CAST(${dk("dr", "a", "sr", "oa", "fa")} AS BIGINT) AS i_dk,
+            CAST(${lt("dr", "a", "sr", "oa", "fa")} AS BIGINT) AS i_lt,
+            CAST(${cb("dr", "a", "sr", "oa", "fa", "am")} AS BIGINT) AS i_cb,
+            CAST(${cd("dr", "a", "sr", "oa", "fa", "am")} AS BIGINT) AS i_cd
+            FROM s3),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            i_ov, i_hl, i_dk, i_lt, i_cb, i_cd FROM v)
+          SELECT tx AS x, ty AS y,
+            ${cksCol("i_ov")} AS cks_ov, ${cksCol("i_hl")} AS cks_hl,
+            ${cksCol("i_dk")} AS cks_dk, ${cksCol("i_lt")} AS cks_lt,
+            ${cksCol("i_cb")} AS cks_cb, ${cksCol("i_cd")} AS cks_cd
+          FROM cells GROUP BY 1, 2 ORDER BY x, y"""
+    }),
+
+    // -- hsv-value composition (Blend.hsvValue; gdalalg_raster_blend.cpp:
+    // 398-500 rgb_to_hs / hsv_to_rgb, float32 arithmetic). The oracle
+    // replays the float pipeline with REAL casts (DuckDB FLOAT arithmetic
+    // is IEEE single precision, so both sides are bit-identical).
+    ("r31_blend_hsv", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def ch(m1: Long, m2: Long) =
+        engine.Raster.syntheticTiles(s, 1) { (gx, gy) => ((gx * m1 + gy * m2) % 256).toDouble }
+      val rgb = Seq(ch(7, 13), ch(11, 3), ch(5, 17))
+      val gray = ch(19, 23)
+      engine.Blend.hsvValue(rgb, gray)
+        .map(t => (t.band.toLong, t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("b", "x", "y", "cks")
+        .orderBy("b", "x", "y")
+    }, Some {
+      def ch(m1: Int, m2: Int) = s"((gx * $m1 + gy * $m2) % 256)"
+      def rl(d: Double) = s"CAST(CAST(${dlit(d)} AS DOUBLE) AS REAL)"
+      val c46 = rl((4.0f / 6.0f).toDouble)
+      val c26 = rl((2.0f / 6.0f).toDouble)
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 511)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS gy) ys),
+          c AS (SELECT gx, gy, ${ch(7, 13)} AS r, ${ch(11, 3)} AS g,
+            ${ch(5, 17)} AS b, ${ch(19, 23)} AS v FROM px),
+          mm AS (SELECT gx, gy, r, g, b, v,
+            greatest(r, g, b) AS maxc, greatest(r, g, b) - least(r, g, b) AS d FROM c),
+          hs AS (SELECT gx, gy, v,
+            CAST(d AS REAL) / CAST(greatest(1, maxc) AS REAL) AS s,
+            CASE WHEN maxc = b THEN $c46 + CAST(r - g AS REAL) /
+                (CASE WHEN d = 0 THEN CAST(1 AS REAL) ELSE CAST(6 AS REAL) * CAST(d AS REAL) END)
+              WHEN maxc = g THEN $c26 + CAST(b - r AS REAL) /
+                (CASE WHEN d = 0 THEN CAST(1 AS REAL) ELSE CAST(6 AS REAL) * CAST(d AS REAL) END)
+              ELSE (CASE WHEN CAST(g - b AS REAL) /
+                  (CASE WHEN d = 0 THEN CAST(1 AS REAL) ELSE CAST(6 AS REAL) * CAST(d AS REAL) END) < CAST(0 AS REAL)
+                THEN CAST(g - b AS REAL) /
+                  (CASE WHEN d = 0 THEN CAST(1 AS REAL) ELSE CAST(6 AS REAL) * CAST(d AS REAL) END) + CAST(1 AS REAL)
+                ELSE CAST(g - b AS REAL) /
+                  (CASE WHEN d = 0 THEN CAST(1 AS REAL) ELSE CAST(6 AS REAL) * CAST(d AS REAL) END) END) END AS h
+            FROM mm),
+          fi AS (SELECT gx, gy, v, s,
+            CAST(floor(CAST(6 AS REAL) * h) AS INT) AS i6,
+            CAST(6 AS REAL) * h - CAST(CAST(floor(CAST(6 AS REAL) * h) AS INT) AS REAL) AS f
+            FROM hs),
+          pqt AS (SELECT gx, gy, v, i6,
+            CAST(floor(CAST(v AS REAL) * (CAST(1 AS REAL) - s) + CAST(0.5 AS REAL)) AS BIGINT) AS p,
+            CAST(floor(CAST(v AS REAL) * (CAST(1 AS REAL) - s * f) + CAST(0.5 AS REAL)) AS BIGINT) AS q,
+            CAST(floor(CAST(v AS REAL) * (CAST(1 AS REAL) - s * (CAST(1 AS REAL) - f)) + CAST(0.5 AS REAL)) AS BIGINT) AS t
+            FROM fi),
+          rgb AS (SELECT gx, gy,
+            CASE i6 WHEN 0 THEN v WHEN 1 THEN q WHEN 2 THEN p WHEN 3 THEN p WHEN 4 THEN t ELSE v END AS outr,
+            CASE i6 WHEN 0 THEN t WHEN 1 THEN v WHEN 2 THEN v WHEN 3 THEN q WHEN 4 THEN p ELSE p END AS outg,
+            CASE i6 WHEN 0 THEN p WHEN 1 THEN p WHEN 2 THEN t WHEN 3 THEN v WHEN 4 THEN v ELSE q END AS outb
+            FROM pqt),
+          long_ AS (
+            SELECT 1 AS b, gx, gy, CAST(outr AS BIGINT) AS iv FROM rgb
+            UNION ALL SELECT 2, gx, gy, CAST(outg AS BIGINT) FROM rgb
+            UNION ALL SELECT 3, gx, gy, CAST(outb AS BIGINT) FROM rgb),
+          cells AS (SELECT b, gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy, iv
+            FROM long_)
+          SELECT CAST(b AS BIGINT) AS b, tx AS x, ty AS y, ${cksCol("iv")} AS cks
+          FROM cells GROUP BY 1, 2, 3 ORDER BY b, x, y"""
     })
   )
 }

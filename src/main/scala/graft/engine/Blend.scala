@@ -70,6 +70,155 @@ object Blend {
       }
   }
 
+  // GByte conversion in the reference is modulo-256 (C++ unsigned-char
+  // narrowing); the Mapserver-derived formulas rely on it on rounding
+  // edges, so the faithful kernels wrap at every GByte boundary.
+  @inline private def bw(x: Int): Int = x & 0xff
+  @inline private def mW(a: Int, b: Int): Int = mul255(bw(a), bw(b))
+  @inline private def dW(a: Int, b: Int): Int = bw(div255(bw(a), b))
+
+  /** The six remaining `gdal raster blend` composition operators
+    * (gdalalg_raster_blend.cpp:1033-1590: BlendOverlay/HardLight/Darken/
+    * Lighten/ColorBurn/ColorDodge_Generic — exact integer Mapserver
+    * formulas over premultiplied channels). hard-light = overlay with the
+    * roles of base and overlay swapped and the opacity following the true
+    * overlay (bSwappedOpacity). Same Spark shape as [[compose]]: ONE
+    * shuffle on (z,x,y), per-tile integer loop, embarrassingly tile-
+    * parallel at any raster size. */
+  def composeExt(base: Seq[Dataset[Tile]], overlay: Seq[Dataset[Tile]],
+                 opacity: Int, mode: String): Dataset[Tile] = {
+    val modes = Set("overlay", "hard-light", "darken", "lighten",
+      "color-burn", "color-dodge")
+    require(modes(mode), s"mode $mode")
+    require(base.length == 4 && overlay.length == 4)
+    val hardLight = mode == "hard-light"
+    // hard-light: Overlay with src/overlay swapped; opacity swaps too
+    val (b0, o0) = if (hardLight) (overlay, base) else (base, overlay)
+    val effMode = if (hardLight) "overlay" else mode
+    val spark = b0.head.sparkSession
+    import spark.implicits._
+    val tagged = (b0 ++ o0).zipWithIndex
+      .map { case (ds, i) => ds.map(t => t.copy(band = i)) }
+      .reduce(_ union _)
+    tagged.groupByKey(t => (t.z, t.x, t.y))
+      .flatMapGroups { (key, it) =>
+        val (z, x, y) = key
+        val bands = new Array[Array[Double]](8)
+        var tw = 0; var th = 0
+        it.foreach { t => bands(t.band) = t.pixels; tw = t.w; th = t.h }
+        if (bands.exists(_ == null)) Iterator.empty
+        else {
+          val n = tw * th
+          val outs = Array.fill(4)(new Array[Double](n))
+          var i = 0
+          while (i < n) {
+            // ProcessAlphaChannels: opacity follows the true overlay
+            val a0 = bands(3)(i).toInt; val oa0 = bands(7)(i).toInt
+            val (a, oa) =
+              if (hardLight) (mul255(a0, opacity), oa0)
+              else (a0, mul255(oa0, opacity))
+            val finalA = oa + a - mul255(oa, a)
+            val alphaMul = mul255(oa, a)
+            var c = 0
+            while (c < 3) {
+              val dca = mul255(bands(c)(i).toInt, a)       // base premult (C)
+              val sca = mul255(bands(4 + c)(i).toInt, oa)  // overlay premult
+              val out = effMode match {
+                case "overlay" =>
+                  if (2 * dca < a)
+                    dW(2 * mW(dca, sca) + mW(dca, 255 - oa) + mW(sca, 255 - a), finalA)
+                  else
+                    dW(alphaMul - 2 * mW(a - dca, oa - sca) +
+                      mW(dca, 255 - oa) + mW(sca, 255 - a), finalA)
+                case "darken" =>
+                  dW(math.min(mW(sca, a), mW(dca, oa)) +
+                    mW(dca, 255 - oa) + mW(sca, 255 - a), finalA)
+                case "lighten" =>
+                  dW(math.max(mW(sca, a), mW(dca, oa)) +
+                    mW(dca, 255 - oa) + mW(sca, 255 - a), finalA)
+                case "color-dodge" =>
+                  if (mW(sca, a) + mW(dca, oa) >= alphaMul)
+                    dW(alphaMul + mW(dca, 255 - oa) + mW(sca, 255 - a), finalA)
+                  else
+                    dW(dW(mW(dca, oa), 255 - dW(sca, oa)) +
+                      mW(dca, 255 - oa) + mW(sca, 255 - a), finalA)
+                case _ => // color-burn
+                  if (mW(sca, a) + mW(dca, oa) <= alphaMul)
+                    dW(mW(dca, 255 - oa) + mW(sca, 255 - a), finalA)
+                  else {
+                    val cu = dW(dca, a); val ocu = dW(sca, oa)
+                    dW(mW(alphaMul, cu + ocu - 255) +
+                      mW(dca, 255 - oa) + mW(sca, 255 - a), finalA)
+                  }
+              }
+              outs(c)(i) = out
+              c += 1
+            }
+            outs(3)(i) = finalA
+            i += 1
+          }
+          outs.iterator.zipWithIndex.map { case (px, bi) =>
+            Tile(z, x, y, bi + 1, tw, th, px)
+          }
+        }
+      }
+  }
+
+  /** hsv-value composition (gdalalg_raster_blend.cpp:398-500 rgb_to_hs /
+    * hsv_to_rgb, derived from hsv_merge.py): base RGB → (h,s) in FLOAT,
+    * value replaced by the overlay's gray byte, back to RGB. All float
+    * arithmetic is single-precision to match the reference bit-for-bit.
+    * bands: base r,g,b = 0..2, overlay gray = 3; output bands 1..3. */
+  def hsvValue(base: Seq[Dataset[Tile]], gray: Dataset[Tile]): Dataset[Tile] = {
+    require(base.length == 3)
+    val spark = base.head.sparkSession
+    import spark.implicits._
+    val tagged = (base :+ gray).zipWithIndex
+      .map { case (ds, i) => ds.map(t => t.copy(band = i)) }
+      .reduce(_ union _)
+    tagged.groupByKey(t => (t.z, t.x, t.y))
+      .flatMapGroups { (key, it) =>
+        val (z, x, y) = key
+        val bands = new Array[Array[Double]](4)
+        var tw = 0; var th = 0
+        it.foreach { t => bands(t.band) = t.pixels; tw = t.w; th = t.h }
+        if (bands.exists(_ == null)) Iterator.empty
+        else {
+          val n = tw * th
+          val outs = Array.fill(3)(new Array[Double](n))
+          var i = 0
+          while (i < n) {
+            val r = bands(0)(i).toInt; val g = bands(1)(i).toInt
+            val b = bands(2)(i).toInt; val v = bands(3)(i).toInt
+            val minc = math.min(r, math.min(g, b))
+            val maxc = math.max(r, math.max(g, b))
+            val mm = maxc - minc
+            val s = mm / math.max(1, maxc).toFloat
+            val m6 = if (mm == 0) 1.0f else 6.0f * mm
+            val h =
+              if (maxc == b) 4.0f / 6.0f + (r - g) / m6
+              else if (maxc == g) 2.0f / 6.0f + (b - r) / m6
+              else { val tmp = (g - b) / m6; if (tmp < 0.0f) tmp + 1.0f else tmp }
+            val i6 = (6.0f * h).toInt
+            val f = 6.0f * h - i6
+            val p = (v * (1.0f - s) + 0.5f).toInt
+            val q = (v * (1.0f - s * f) + 0.5f).toInt
+            val t = (v * (1.0f - s * (1.0f - f)) + 0.5f).toInt
+            outs(0)(i) = i6 match {
+              case 0 | 5 => v; case 1 => q; case 2 | 3 => p; case _ => t }
+            outs(1)(i) = i6 match {
+              case 0 => t; case 1 | 2 => v; case 3 => q; case _ => p }
+            outs(2)(i) = i6 match {
+              case 0 | 1 => p; case 2 => t; case 3 | 4 => v; case _ => q }
+            i += 1
+          }
+          outs.iterator.zipWithIndex.map { case (px, bi) =>
+            Tile(z, x, y, bi + 1, tw, th, px)
+          }
+        }
+      }
+  }
+
   /** bands: base r,g,b,a = 0..3; overlay r,g,b,a = 4..7. Output bands
     * 1..4 = blended r,g,b,a. Opacity in [0,255]. */
   def srcOver(base: Seq[Dataset[Tile]], overlay: Seq[Dataset[Tile]],
