@@ -561,6 +561,65 @@ object Queries3 {
       FROM lcc l JOIN alb a USING (event_id) ORDER BY event_id"""
     }),
 
+    // -- gdal_grid linear mode (GridInterp.linear; GDALGridLinear,
+    // alg/gdalgrid.cpp:2594-2668): Delaunay facet barycentric interpolation
+    // inside the hull, nearest-neighbor-within-radius outside. The field is
+    // AFFINE (z = a + b·x + c·y) and the hull is a known rectangle (its 4
+    // corners are in the point set), so the oracle is closed-form: any
+    // valid triangulation reproduces an affine field exactly; outside the
+    // rect the oracle replays the nearest-within-radius pick.
+    ("g35_grid_linear", (s, dir) => {
+      prep(s)
+      val sp = s
+      import sp.implicits._
+      val zExpr = "3.2531 + 1.3717 * x - 2.1253 * y"
+      val base = Queries.eventPoints(s, dir).where(col("event_id") < 5000)
+        .select(col("event_id").as("pid"),
+          expr("(lon + 180.0) / 360.0 * 10.0").as("x"),
+          expr("(lat + 85.0) / 170.0 * 8.0").as("y"))
+      val corners = Seq((5000001L, 0.0, 0.0), (5000002L, 10.0, 0.0),
+        (5000003L, 0.0, 8.0), (5000004L, 10.0, 8.0)).toDF("pid", "x", "y")
+      val pts = base.unionByName(corners)
+        .withColumn("value", expr(zExpr))
+        .select(col("pid"), col("x").as("lon"), col("y").as("lat"), col("value"))
+      val nodes = engine.GridInterp.gridNodes(s, 32, 32, -2.0, 12.0, -2.0, 10.0)
+      engine.GridInterp.linear(nodes, pts, radius = 3.0, tileSize = 8.0, halo = 15.0)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("src").cast("long").as("src"),
+          expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("v_tm"))
+        .orderBy("i", "j")
+    }, Some {
+      val dLon = dlit(14.0 / 32); val dLat = dlit(12.0 / 32)
+      s"""WITH ev AS (SELECT event_id AS pid,
+            (${lonOf("event_id")} + 180.0) / 360.0 * 10.0 AS x,
+            (${latOf("event_id")} + 85.0) / 170.0 * 8.0 AS y
+          FROM events WHERE event_id < 5000),
+        pts AS (SELECT pid, x, y FROM ev
+          UNION ALL SELECT 5000001, 0.0, 0.0 UNION ALL SELECT 5000002, 10.0, 0.0
+          UNION ALL SELECT 5000003, 0.0, 8.0 UNION ALL SELECT 5000004, 10.0, 8.0),
+        pz AS (SELECT pid, x, y, 3.2531 + 1.3717 * x - 2.1253 * y AS z FROM pts),
+        nodes AS (SELECT ii.i AS i, jj.j AS j,
+            -2.0 + (ii.i + 0.5) * $dLon AS nx, -2.0 + (jj.j + 0.5) * $dLat AS ny
+          FROM (SELECT unnest(generate_series(0, 31)) AS i) ii
+          CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) jj),
+        cls AS (SELECT i, j, nx, ny,
+            (nx > 0.0 AND nx < 10.0 AND ny > 0.0 AND ny < 8.0) AS inh FROM nodes),
+        nn AS (SELECT i, j, z FROM (
+            SELECT n.i AS i, n.j AS j, p.z AS z,
+              row_number() OVER (PARTITION BY n.i, n.j ORDER BY
+                (p.x - n.nx) * (p.x - n.nx) + (p.y - n.ny) * (p.y - n.ny), p.pid) AS rk
+            FROM cls n CROSS JOIN pz p
+            WHERE NOT n.inh
+              AND (p.x - n.nx) * (p.x - n.nx) + (p.y - n.ny) * (p.y - n.ny) <= 9.0)
+          WHERE rk = 1)
+        SELECT CAST(c.i AS BIGINT) AS i, CAST(c.j AS BIGINT) AS j,
+          CAST(CASE WHEN c.inh THEN 2 WHEN nn.z IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS src,
+          CAST(floor((CASE WHEN c.inh THEN 3.2531 + 1.3717 * c.nx - 2.1253 * c.ny
+                           ELSE nn.z END) * 10000.0 + 0.5) AS BIGINT) AS v_tm
+        FROM cls c LEFT JOIN nn ON c.i = nn.i AND c.j = nn.j
+        ORDER BY i, j"""
+    }),
+
     // -- VRT pixel-function tail + nodata-to-alpha (PixelFuncs.scala;
     // frmts/vrt/pixelfunctions.cpp dB/interpolate_linear/mean/median/
     // geometric_mean/scale/replace_nodata/argmax + gdalalg_raster_

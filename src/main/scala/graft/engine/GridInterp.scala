@@ -122,4 +122,158 @@ object GridInterp {
     nodes.select("i", "j").join(metrics, Seq("i", "j"), "left")
       .na.fill(0L, Seq("n"))
   }
+
+  /** Linear (triangulation) gridding — GDALGridLinear
+    * (alg/gdalgrid.cpp:2594-2668 + alg/delaunay.c barycentric facets):
+    * a node inside the triangulation hull takes λ1·z1 + λ2·z2 + λ3·z3 of
+    * its containing Delaunay facet; outside the hull it falls back to
+    * nearest-neighbor within `radius` (radius 0 → nodata, the reference's
+    * GDALGridNearestNeighbor delegation).
+    *
+    * Spark shape: the reference triangulates the whole point set on one
+    * node; here grid tiles of `tileSize` degrees gather the points of
+    * their `halo`-expanded bbox (one equi-join after a bounded explode)
+    * and triangulate LOCALLY per tile — the halo trade every distributed
+    * stencil uses. Facets whose circumradius exceeds `halo` may differ
+    * from the single-node triangulation near tile borders; for any node
+    * that falls inside the local hull, piecewise-linear reproduction of
+    * affine fields is exact regardless of which valid triangulation the
+    * tile built. Per-tile facet lookup goes through a local uniform grid
+    * index (the distributed twin of the directed facet walk,
+    * GDALTriangulationFindFacetDirected).
+    *
+    * Returns (i, j, src, value): src = 2 facet interpolation, 1 nearest-
+    * neighbor fallback, 0 nodata. */
+  def linear(nodes: DataFrame, pts: DataFrame, radius: Double,
+             tileSize: Double, halo: Double): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    // (tx, ty, isNode, i, j, x, y, z)
+    val nodeTagged = nodes.select(
+      floor(col("nlon") / tileSize).cast("long").as("tx"),
+      floor(col("nlat") / tileSize).cast("long").as("ty"),
+      lit(true).as("isNode"), col("i"), col("j"),
+      col("nlon").as("x"), col("nlat").as("y"), lit(0.0).as("z"))
+    val ptTagged = pts.select(
+      explode(sequence(floor((col("lon") - halo) / tileSize).cast("long"),
+        floor((col("lon") + halo) / tileSize).cast("long"))).as("tx"),
+      col("lon"), col("lat"), col("value"))
+      .select(col("tx"),
+        explode(sequence(floor((col("lat") - halo) / tileSize).cast("long"),
+          floor((col("lat") + halo) / tileSize).cast("long"))).as("ty"),
+        col("lon"), col("lat"), col("value"))
+      .select(col("tx"), col("ty"), lit(false).as("isNode"),
+        lit(-1).cast("int").as("i"), lit(-1).cast("int").as("j"),
+        col("lon").as("x"), col("lat").as("y"), col("value").as("z"))
+    val eps = -1e-11
+    val triRes = nodeTagged.unionByName(ptTagged)
+      .as[(Long, Long, Boolean, Int, Int, Double, Double, Double)]
+      .groupByKey { case (tx, ty, _, _, _, _, _, _) => (tx, ty) }
+      .flatMapGroups { (_, it) =>
+        val nodeBuf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Double)]
+        val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val zs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        it.foreach { case (_, _, isNode, i, j, x, y, z) =>
+          if (isNode) nodeBuf += ((i, j, x, y))
+          else { xs += x; xs += y; zs += z }
+        }
+        if (nodeBuf.isEmpty) Iterator.empty
+        else {
+          val tris = graft.geom.Delaunay.triangulate(xs.toArray).toArray
+          val px = xs.toArray
+          // local uniform grid over triangle bboxes: facet lookup in O(1)
+          // per node instead of a scan over all facets
+          val nT = tris.length
+          val lookup: (Double, Double) => Int =
+            if (nT == 0) (_, _) => -1
+            else {
+              var minX = Double.MaxValue; var minY = Double.MaxValue
+              var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
+              var k = 0
+              while (k < px.length) {
+                if (px(k) < minX) minX = px(k); if (px(k) > maxX) maxX = px(k)
+                if (px(k + 1) < minY) minY = px(k + 1); if (px(k + 1) > maxY) maxY = px(k + 1)
+                k += 2
+              }
+              val gridN = math.max(1, math.min(256, math.sqrt(nT.toDouble).toInt))
+              val gw = math.max((maxX - minX) / gridN, 1e-300)
+              val gh = math.max((maxY - minY) / gridN, 1e-300)
+              val cells = Array.fill(gridN * gridN)(List.empty[Int])
+              var t = 0
+              while (t < nT) {
+                val tr = tris(t)
+                val txs = Array(px(2 * tr.a), px(2 * tr.b), px(2 * tr.c))
+                val tys = Array(px(2 * tr.a + 1), px(2 * tr.b + 1), px(2 * tr.c + 1))
+                val c0 = math.max(0, math.min(gridN - 1, ((txs.min - minX) / gw).toInt))
+                val c1 = math.max(0, math.min(gridN - 1, ((txs.max - minX) / gw).toInt))
+                val r0 = math.max(0, math.min(gridN - 1, ((tys.min - minY) / gh).toInt))
+                val r1 = math.max(0, math.min(gridN - 1, ((tys.max - minY) / gh).toInt))
+                var r = r0
+                while (r <= r1) {
+                  var c = c0
+                  while (c <= c1) { cells(r * gridN + c) ::= t; c += 1 }
+                  r += 1
+                }
+                t += 1
+              }
+              (qx: Double, qy: Double) => {
+                val c = math.max(0, math.min(gridN - 1, ((qx - minX) / gw).toInt))
+                val r = math.max(0, math.min(gridN - 1, ((qy - minY) / gh).toInt))
+                var found = -1
+                var lst = cells(r * gridN + c)
+                while (found < 0 && lst.nonEmpty) {
+                  val t0 = lst.head; lst = lst.tail
+                  val tr = tris(t0)
+                  val x1 = px(2 * tr.a); val y1 = px(2 * tr.a + 1)
+                  val x2 = px(2 * tr.b); val y2 = px(2 * tr.b + 1)
+                  val x3 = px(2 * tr.c); val y3 = px(2 * tr.c + 1)
+                  val det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+                  if (det != 0.0) {
+                    val l1 = ((y2 - y3) * (qx - x3) + (x3 - x2) * (qy - y3)) / det
+                    val l2 = ((y3 - y1) * (qx - x3) + (x1 - x3) * (qy - y3)) / det
+                    val l3 = 1.0 - l1 - l2
+                    if (l1 >= eps && l2 >= eps && l3 >= eps) found = t0
+                  }
+                }
+                found
+              }
+            }
+          nodeBuf.iterator.map { case (i, j, qx, qy) =>
+            val t = lookup(qx, qy)
+            if (t < 0) (i, j, 0, Option.empty[Double])
+            else {
+              val tr = tris(t)
+              val x1 = px(2 * tr.a); val y1 = px(2 * tr.a + 1)
+              val x2 = px(2 * tr.b); val y2 = px(2 * tr.b + 1)
+              val x3 = px(2 * tr.c); val y3 = px(2 * tr.c + 1)
+              val det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+              val l1 = ((y2 - y3) * (qx - x3) + (x3 - x2) * (qy - y3)) / det
+              val l2 = ((y3 - y1) * (qx - x3) + (x1 - x3) * (qy - y3)) / det
+              val l3 = 1.0 - l1 - l2
+              (i, j, 2, Some(l1 * zs(tr.a) + l2 * zs(tr.b) + l3 * zs(tr.c)))
+            }
+          }
+        }
+      }
+      .toDF("i", "j", "src", "value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (radius == 0.0) triRes
+    else {
+      // outside-hull fallback: nearest neighbor within radius
+      // (GDALGridNearestNeighbor delegation, alg/gdalgrid.cpp:2645-2664)
+      val misses = triRes.where(col("src") === 0).select("i", "j")
+        .join(nodes, Seq("i", "j"))
+      val w = Window.partitionBy("i", "j").orderBy(col("dist2"), col("pid"))
+      val nn = radiusCandidates(misses, pts, radius)
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("i"), col("j"), lit(1).as("src"), col("value"))
+      triRes.where(col("src") === 2)
+        .unionByName(nn)
+        .unionByName(
+          triRes.where(col("src") === 0).select("i", "j")
+            .join(nn.select("i", "j"), Seq("i", "j"), "left_anti")
+            .select(col("i"), col("j"), lit(0).as("src"),
+              lit(null).cast("double").as("value")))
+    }
+  }
 }
