@@ -561,6 +561,59 @@ object Queries3 {
       FROM lcc l JOIN alb a USING (event_id) ORDER BY event_id"""
     }),
 
+    // -- check-geometry (apps/gdalalg_vector_check_geometry.cpp `error` +
+    // `error_location`; geom/CheckGeometry.scala): five fixture families —
+    // valid, bowtie (ring self-intersection at the exact crossing), hole
+    // outside shell, too-few-points ring, nested holes. GEOS reason
+    // vocabulary; locations micro-rounded.
+    ("g36_check_geometry", (s, dir) => {
+      prep(s)
+      val base = t(s, dir, "documents").where(col("doc_id") < 5000)
+        .withColumn("sv", expr("1.0 + CAST(doc_id % 7 AS DOUBLE) * 0.5"))
+        .withColumn("k", expr("CAST(doc_id % 5 AS INT)"))
+        .withColumn("s1", expr("CAST(sv AS STRING)"))
+        .withColumn("s2", expr("CAST(2.0 * sv AS STRING)"))
+        .withColumn("s3", expr("CAST(3.0 * sv AS STRING)"))
+        .withColumn("s4", expr("CAST(4.0 * sv AS STRING)"))
+        .withColumn("s10", expr("CAST(10.0 * sv AS STRING)"))
+        .withColumn("wkt", expr("""CASE k
+          WHEN 0 THEN concat('POLYGON ((0 0, ', s1, ' 0, ', s1, ' ', s1, ', 0 ', s1, ', 0 0))')
+          WHEN 1 THEN concat('POLYGON ((0 0, ', s1, ' ', s1, ', ', s1, ' 0, 0 ', s1, ', 0 0))')
+          WHEN 2 THEN concat('POLYGON ((0 0, ', s1, ' 0, ', s1, ' ', s1, ', 0 ', s1, ', 0 0), (',
+            s2, ' ', s2, ', ', s3, ' ', s2, ', ', s3, ' ', s3, ', ', s2, ' ', s3, ', ', s2, ' ', s2, '))')
+          WHEN 3 THEN concat('POLYGON ((0 0, ', s1, ' 0, 0 0))')
+          ELSE concat('POLYGON ((0 0, ', s10, ' 0, ', s10, ' ', s10, ', 0 ', s10, ', 0 0), (',
+            s1, ' ', s1, ', ', s4, ' ', s1, ', ', s4, ' ', s4, ', ', s1, ' ', s4, ', ', s1, ' ', s1, '), (',
+            s2, ' ', s2, ', ', s3, ' ', s2, ', ', s3, ' ', s3, ', ', s2, ' ', s3, ', ', s2, ' ', s2, '))')
+          END"""))
+        .withColumn("g", expr("st_geomfromtext(wkt)"))
+      base.select(col("doc_id"),
+          expr("st_isvalid_reason(g)").as("reason"),
+          expr("CAST(floor(st_invalid_x(g) * 1000000.0 + 0.5) AS BIGINT)").as("lx_u"),
+          expr("CAST(floor(st_invalid_y(g) * 1000000.0 + 0.5) AS BIGINT)").as("ly_u"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH b AS (SELECT doc_id, 1.0 + CAST(doc_id % 7 AS DOUBLE) * 0.5 AS sv,
+          CAST(doc_id % 5 AS INT) AS k
+        FROM documents WHERE doc_id < 5000)
+      SELECT doc_id,
+        CASE k WHEN 0 THEN NULL
+          WHEN 1 THEN 'Ring Self-intersection'
+          WHEN 2 THEN 'Hole lies outside shell'
+          WHEN 3 THEN 'Too few points in geometry component'
+          ELSE 'Holes are nested' END AS reason,
+        CASE k WHEN 0 THEN NULL
+          WHEN 1 THEN CAST(floor(0.5 * sv * 1000000.0 + 0.5) AS BIGINT)
+          WHEN 2 THEN CAST(floor(2.0 * sv * 1000000.0 + 0.5) AS BIGINT)
+          WHEN 3 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(2.0 * sv * 1000000.0 + 0.5) AS BIGINT) END AS lx_u,
+        CASE k WHEN 0 THEN NULL
+          WHEN 1 THEN CAST(floor(0.5 * sv * 1000000.0 + 0.5) AS BIGINT)
+          WHEN 2 THEN CAST(floor(2.0 * sv * 1000000.0 + 0.5) AS BIGINT)
+          WHEN 3 THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(2.0 * sv * 1000000.0 + 0.5) AS BIGINT) END AS ly_u
+      FROM b ORDER BY doc_id""")),
+
     // -- gdal_grid linear mode (GridInterp.linear; GDALGridLinear,
     // alg/gdalgrid.cpp:2594-2668): Delaunay facet barycentric interpolation
     // inside the hull, nearest-neighbor-within-radius outside. The field is

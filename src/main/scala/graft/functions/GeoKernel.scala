@@ -150,6 +150,10 @@ object GeoKernel {
   def fromUtm(wkb: Array[Byte], zone: Int): Array[Byte] =
     Wkb.write(Utm.inverseGeom(decode(wkb), zone))
 
+  /** check-geometry kernel (geom/CheckGeometry.scala): null when valid. */
+  def validityDetail(wkb: Array[Byte]): (String, Double, Double) =
+    CheckGeometry.validityDetail(decode(wkb)).map { case (r, x, y) => (r, x, y) }.orNull
+
   def toLcc(wkb: Array[Byte], lat1: Double, lat2: Double, lat0: Double, lon0: Double): Array[Byte] =
     Wkb.write(Conic.lccGeom(decode(wkb), lat1, lat2, lat0, lon0))
   def fromLcc(wkb: Array[Byte], lat1: Double, lat2: Double, lat0: Double, lon0: Double): Array[Byte] =

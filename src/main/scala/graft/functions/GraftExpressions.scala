@@ -785,6 +785,33 @@ case class StTransformConic(children: Seq[Expression], which: Int)
     copy(children = ns)
 }
 
+/** st_isvalid_reason / st_invalid_x / st_invalid_y — the check-geometry
+  * detail surface (apps/gdalalg_vector_check_geometry.cpp `error` +
+  * `error_location` fields; geom/CheckGeometry.scala kernel). NULL for
+  * valid input, so nullable regardless of the child. Diagnostic path,
+  * not row-hot → CodegenFallback. `which`: 0=reason, 1=x, 2=y. */
+case class StValidityDetail(child: Expression, which: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = if (which == 0) StringType else DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = which match {
+    case 0 => "st_isvalid_reason"
+    case 1 => "st_invalid_x"
+    case _ => "st_invalid_y"
+  }
+  protected override def nullSafeEval(w: Any): Any = {
+    val d = GeoKernel.validityDetail(w.asInstanceOf[Array[Byte]])
+    if (d == null) null
+    else which match {
+      case 0 => UTF8String.fromString(d._1)
+      case 1 => d._2
+      case _ => d._3
+    }
+  }
+  protected override def withNewChildInternal(n: Expression): StValidityDetail = copy(child = n)
+}
+
 /** hilbert_code(x, y, minx, miny, maxx, maxy) — spatial sort key
   * (/root/reference/alg/hilbert.cpp:19-92; vector sort step
   * gdalalg_vector_sort.cpp:351-375). Rare in hot paths → CodegenFallback. */

@@ -59,6 +59,9 @@ object GraftFunctions {
     arity("st_concavehull", 2)(a => StConcaveHull(a(0), a(1))),
     arity("st_transform_utm", 2)(a => StTransformUtm(a(0), a(1))),
     arity("st_transform_utm_inv", 2)(a => StTransformUtmInv(a(0), a(1))),
+    arity("st_isvalid_reason", 1)(a => StValidityDetail(a(0), 0)),
+    arity("st_invalid_x", 1)(a => StValidityDetail(a(0), 1)),
+    arity("st_invalid_y", 1)(a => StValidityDetail(a(0), 2)),
     arity("st_transform_lcc", 5)(a => StTransformConic(a, 0)),
     arity("st_transform_lcc_inv", 5)(a => StTransformConic(a, 1)),
     arity("st_transform_albers", 5)(a => StTransformConic(a, 2)),
