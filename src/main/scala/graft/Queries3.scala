@@ -878,6 +878,64 @@ object Queries3 {
             FROM long_)
           SELECT CAST(b AS BIGINT) AS b, tx AS x, ty AS y, ${cksCol("iv")} AS cks
           FROM cells GROUP BY 1, 2, 3 ORDER BY b, x, y"""
-    })
+    }),
+
+    // -- layer-algebra Identity + Erase (SpatialJoin.identity/erase;
+    // OGRLayer::Identity / OGRLayer::Erase, ogr/ogrlayer.cpp — per input
+    // feature: pieces cut by each intersecting method feature + the
+    // remainder outside all of them). Fixture: left rects (1.8° side)
+    // nearly tile a 2°-pitch grid; right rects (1.4° side) straddle the
+    // grid corners, so interior left features are bitten by up to four
+    // method features and the remainder fold is a real multi-subtraction.
+    // All rects are axis-aligned, never touch edge-on (fractional offsets
+    // differ), and right rects are pairwise disjoint — so every output
+    // area has a closed form: intersection = rect overlap, remainder =
+    // left area minus the disjoint bites. op 1 = identity rows
+    // (rid = -1 marks the remainder piece), op 2 = erase rows.
+    ("g37_identity_erase", (s, dir) => {
+      prep(s)
+      def rects(n: Int, cols: Int, off: Double, size: Double, idName: String): DataFrame =
+        t(s, dir, "documents").where(col("doc_id") < n)
+          .select(col("doc_id").cast("long").as(idName),
+            expr(s"CAST(doc_id % $cols AS DOUBLE) * 2.0 + $off").as("x0"),
+            expr(s"CAST(doc_id DIV $cols AS DOUBLE) * 2.0 + $off").as("y0"))
+          .withColumn("wkb", expr(
+            s"""st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ',
+               x0 + $size, ' ', y0, ', ', x0 + $size, ' ', y0 + $size, ', ',
+               x0, ' ', y0 + $size, ', ', x0, ' ', y0, '))'))"""))
+          .drop("x0", "y0")
+      val left = rects(500, 25, 0.1, 1.8, "lid")
+      val right = rects(456, 24, 1.3, 1.4, "rid")
+      val aMm = expr("CAST(floor(st_area(wkb) * 1000.0 + 0.5) AS BIGINT)")
+      val ident = engine.SpatialJoin.identity(left, right, z = 8)
+        .select(lit(1L).as("op"), col("lid"),
+          coalesce(col("rid"), lit(-1L)).as("rid"), aMm.as("a_mm"))
+      val er = engine.SpatialJoin.erase(left, right, z = 8)
+        .select(lit(2L).as("op"), col("lid"), lit(-1L).as("rid"), aMm.as("a_mm"))
+      ident.unionByName(er).orderBy("op", "lid", "rid")
+    }, Some("""
+      WITH lr AS (SELECT doc_id AS lid,
+          CAST(doc_id % 25 AS DOUBLE) * 2.0 + 0.1 AS ax0,
+          CAST(doc_id // 25 AS DOUBLE) * 2.0 + 0.1 AS ay0
+        FROM documents WHERE doc_id < 500),
+      l2 AS (SELECT lid, ax0, ay0, ax0 + 1.8 AS ax1, ay0 + 1.8 AS ay1 FROM lr),
+      rr AS (SELECT doc_id AS rid,
+          CAST(doc_id % 24 AS DOUBLE) * 2.0 + 1.3 AS bx0,
+          CAST(doc_id // 24 AS DOUBLE) * 2.0 + 1.3 AS by0
+        FROM documents WHERE doc_id < 456),
+      r2 AS (SELECT rid, bx0, by0, bx0 + 1.4 AS bx1, by0 + 1.4 AS by1 FROM rr),
+      px AS (SELECT lid, rid,
+          (least(ax1, bx1) - greatest(ax0, bx0)) * (least(ay1, by1) - greatest(ay0, by0)) AS a
+        FROM l2 JOIN r2 ON ax0 < bx1 AND bx0 < ax1 AND ay0 < by1 AND by0 < ay1),
+      rem AS (SELECT l.lid AS lid, (l.ax1 - l.ax0) * (l.ay1 - l.ay0) - coalesce(sum(p.a), 0.0) AS a
+        FROM l2 l LEFT JOIN px p ON l.lid = p.lid GROUP BY 1, l.ax0, l.ax1, l.ay0, l.ay1),
+      ident AS (SELECT lid, rid, a FROM px
+        UNION ALL SELECT lid, -1 AS rid, a FROM rem)
+      SELECT CAST(1 AS BIGINT) AS op, CAST(lid AS BIGINT) AS lid,
+        CAST(rid AS BIGINT) AS rid, CAST(floor(a * 1000.0 + 0.5) AS BIGINT) AS a_mm FROM ident
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST(lid AS BIGINT), CAST(-1 AS BIGINT),
+        CAST(floor(a * 1000.0 + 0.5) AS BIGINT) FROM rem
+      ORDER BY op, lid, rid"""))
   )
 }

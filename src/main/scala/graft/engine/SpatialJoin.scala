@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
+import graft.geom.{BoolOps, Geom, Wkb}
 
 /** Cell-indexed spatial joins — the north-rule operator (SURVEY.md §2.E).
   *
@@ -88,4 +89,51 @@ object SpatialJoin {
       .where(gf.st_intersects(col("wkb"), col("wkb_r")))
       .drop("cell")
   }
+
+  /** Layer-algebra Identity (OGRLayer::Identity,
+    * /root/reference/ogr/ogrlayer.cpp — per input feature: the pieces cut
+    * by each intersecting method feature, plus the remainder outside every
+    * method feature). Input schemas: left (lid, wkb), right (rid, wkb).
+    * Output (lid, rid, wkb): one row per intersecting (lid, rid) with the
+    * A∩B piece, plus one row per lid with rid NULL carrying A −
+    * union(intersecting B) — always emitted, possibly EMPTY, so the row
+    * set is deterministic (the reference drops empty remainders; callers
+    * filter on st_isempty for that behavior — documented).
+    *
+    * Spark shape: ONE cell-cover equi-join (method side broadcast when
+    * small), pair pieces map-side, the remainder fold is one groupByKey
+    * on lid — the same distribution the reference's per-feature loop has,
+    * minus the single-node bottleneck. */
+  def identity(left: DataFrame, right: DataFrame, z: Int,
+               broadcastRight: Boolean = true): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val cand = intersectsJoin(left.select(col("lid"), col("wkb")), "lid",
+      right.select(col("rid"), col("wkb")), "rid", z, broadcastRight)
+      .select("lid", "rid", "wkb", "wkb_r")
+      .as[(Long, Long, Array[Byte], Array[Byte])]
+    val pairs = cand.map { case (lid, rid, a, b) =>
+      (lid, Option(rid), Wkb.write(BoolOps.intersection(Wkb.read(a), Wkb.read(b))))
+    }.toDF("lid", "rid", "wkb")
+    // remainder: progressive clip, the reference's per-method-feature loop
+    val diffs = cand.groupByKey(_._1).mapGroups { (lid, it) =>
+      var acc: Geom = null
+      it.foreach { case (_, _, a, b) =>
+        if (acc == null) acc = Wkb.read(a)
+        acc = BoolOps.difference(acc, Wkb.read(b))
+      }
+      (lid, Option.empty[Long], Wkb.write(acc))
+    }.toDF("lid", "rid", "wkb")
+    val untouched = left
+      .join(cand.select("lid").distinct(), Seq("lid"), "left_anti")
+      .select(col("lid"), lit(null).cast("long").as("rid"), col("wkb"))
+    pairs.unionByName(diffs).unionByName(untouched)
+  }
+
+  /** Layer-algebra Erase (OGRLayer::Erase): each left feature minus the
+    * union of intersecting right features — Identity's remainder rows. */
+  def erase(left: DataFrame, right: DataFrame, z: Int,
+            broadcastRight: Boolean = true): DataFrame =
+    identity(left, right, z, broadcastRight)
+      .where(col("rid").isNull).drop("rid")
 }
