@@ -936,6 +936,29 @@ object Queries3 {
       UNION ALL
       SELECT CAST(2 AS BIGINT), CAST(lid AS BIGINT), CAST(-1 AS BIGINT),
         CAST(floor(a * 1000.0 + 0.5) AS BIGINT) FROM rem
-      ORDER BY op, lid, rid"""))
+      ORDER BY op, lid, rid""")),
+
+    // -- multidim MDArray lazy views (MdArray.scala; GDALMDArray::GetView
+    // gcore/multidim/gdalmultidim_array_view.cpp:743-792 + ::Transpose
+    // gdalmultidim_array_transposed.cpp): strided slice with a REVERSED
+    // dim and an integer-pinned dim, lazily transposed, then a distributed
+    // axis reduction. Base is a closed-form 64×48×32 array in 16³ chunks;
+    // the whole view chain is affine, so DuckDB replays it exactly.
+    ("m02_mdarray_view", (s, dir) => {
+      val gen: Array[Long] => Double =
+        c => ((c(0) * 7919 + c(1) * 104729 + c(2) * 6151) % 9973).toDouble
+      val base = engine.MdArray.create(s, Array(64L, 48L, 32L), Array(16, 16, 16))(gen)
+      val out = base.getView("[5:37:2, ::-1, 7]") // (16, 48): i=5+2a, j=47-b, k=7
+        .transpose(Array(1, 0))                   // (48, 16)
+        .sumAxis(1)                               // (48): sum over a
+      out.toTable.select(col("d0").cast("long").as("d0"),
+          col("v").cast("long").as("s")).orderBy("d0")
+    }, Some("""
+      WITH aa AS (SELECT unnest(generate_series(0, 15)) AS a),
+      bb AS (SELECT unnest(generate_series(0, 47)) AS b),
+      v AS (SELECT b, ((5 + 2 * a) * 7919 + (47 - b) * 104729 + 7 * 6151) % 9973 AS val
+        FROM aa CROSS JOIN bb)
+      SELECT CAST(b AS BIGINT) AS d0, CAST(sum(val) AS BIGINT) AS s
+      FROM v GROUP BY 1 ORDER BY 1"""))
   )
 }
