@@ -959,6 +959,36 @@ object Queries3 {
       v AS (SELECT b, ((5 + 2 * a) * 7919 + (47 - b) * 104729 + 7 * 6151) % 9973 AS val
         FROM aa CROSS JOIN bb)
       SELECT CAST(b AS BIGINT) AS d0, CAST(sum(val) AS BIGINT) AS s
-      FROM v GROUP BY 1 ORDER BY 1"""))
+      FROM v GROUP BY 1 ORDER BY 1""")),
+
+    // -- SparkStrategy physical path (PipJoinExec.scala): the same naive
+    // st_contains_point join as g30, planned by BroadcastPipJoinExec
+    // (spark.graft.celljoin.strategy=exec on an isolated newSession —
+    // PipJoinStrategySpec asserts the plan shape; this gate asserts the
+    // results against the closed-form PIP oracle).
+    ("g38_strategy_join", (s0, dir) => {
+      val s = s0.newSession()
+      functions.GraftFunctions.register(s)
+      s.conf.set("spark.graft.celljoin.strategy", "exec")
+      import s.implicits._
+      import graft.functions.gf
+      val pts = Queries.eventPoints(s, dir).where(col("event_id") < 3000)
+      val polys = (0 until 12).map { i =>
+        val x0 = -180.0 + 30.0 * i
+        (i.toLong, s"POLYGON (($x0 -60, ${x0 + 20} -60, ${x0 + 20} 60, $x0 60, $x0 -60))")
+      }.toDF("poly_id", "wkt")
+        .withColumn("wkb", gf.st_geomfromtext(col("wkt"))).drop("wkt")
+      pts.join(polys, gf.st_contains_point(polys("wkb"), pts("lon"), pts("lat")))
+        .select(col("event_id"), col("poly_id"))
+        .orderBy("event_id", "poly_id")
+    }, Some(s"""
+      WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events WHERE event_id < 3000),
+      polys AS (SELECT i AS poly_id, -180.0 + 30.0 * i AS x0
+                FROM (SELECT unnest(generate_series(0, 11)) AS i))
+      SELECT event_id, CAST(poly_id AS BIGINT) AS poly_id
+      FROM pts JOIN polys
+        ON lon > x0 AND lon < x0 + 20.0 AND lat > -60.0 AND lat < 60.0
+      ORDER BY event_id, poly_id"""))
   )
 }

@@ -151,7 +151,11 @@ object CellJoinRule extends Rule[LogicalPlan] {
   private def matchPredicate(pred: Expression, left: LogicalPlan,
                              right: LogicalPlan): Option[SpatialMatch] = {
     val lSet = left.outputSet; val rSet = right.outputSet
+    // spark.graft.celljoin.strategy=exec hands point joins to
+    // PipJoinStrategy's physical operator instead (PipJoinExec.scala)
+    val execMode = PipJoinStrategy.mode == "exec"
     pred match {
+      case StContainsPoint(_, _, _) | StIntersectsPoint(_, _, _) if execMode => None
       case StContainsPoint(w, lo, la) => matchPoint(w, lo, la, lSet, rSet)
       case StIntersectsPoint(w, lo, la) => matchPoint(w, lo, la, lSet, rSet)
       case StIntersects(a, b)
