@@ -989,6 +989,47 @@ object Queries3 {
       SELECT event_id, CAST(poly_id AS BIGINT) AS poly_id
       FROM pts JOIN polys
         ON lon > x0 AND lon < x0 + 20.0 AND lat > -60.0 AND lat < 60.0
-      ORDER BY event_id, poly_id"""))
+      ORDER BY event_id, poly_id""")),
+
+    // -- surface geometry types (wkbTriangle/TIN/PolyhedralSurface,
+    // ogr_core.h:426-513): WKT/WKB round-trip with type preservation,
+    // facet-sum area (OGRPolyhedralSurface::get_Area), vertex counts, and
+    // CastToMultiPolygon via st_multi — all against closed forms
+    ("g39_surface_types", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = t(s, dir, "documents").where(col("doc_id") < 5000)
+        .withColumn("k", expr("CAST(1 + doc_id % 7 AS STRING)"))
+        .withColumn("wkt", expr("""
+          CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN concat('TRIANGLE ((0 0, ', k, ' 0, 0 ', k, ', 0 0))')
+            WHEN 1 THEN concat('TIN (((0 0, ', k, ' 0, 0 ', k, ', 0 0)), ((',
+              k, ' 0, ', k, ' ', k, ', 0 ', k, ', ', k, ' 0)))')
+            ELSE concat('POLYHEDRALSURFACE (((0 0, ', k, ' 0, ', k, ' ', k,
+              ', 0 ', k, ', 0 0)), ((0 0, 0 ', k, ', ', k, ' ', k, ', ', k,
+              ' 0, 0 0)))')
+          END"""))
+        .withColumn("g", gf.st_geomfromtext(col("wkt")))
+      base.select(col("doc_id"),
+          gf.st_geometrytype(col("g")).as("gtype"),
+          expr("CAST(floor(st_area(g) * 1000000.0 + 0.5) AS BIGINT)").as("area_u"),
+          expr("CAST(st_npoints(g) AS BIGINT)").as("np"),
+          gf.st_geometrytype(gf.st_multi(col("g"))).as("gtype_multi"),
+          // writer/parser fixpoint through both codecs (g is WKB-decoded)
+          expr("st_astext(g) = st_astext(st_geomfromtext(st_astext(g)))").as("rt_ok"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH b AS (SELECT doc_id, CAST(1 + doc_id % 7 AS DOUBLE) AS k,
+                        CAST(doc_id % 3 AS INT) AS m
+                 FROM documents WHERE doc_id < 5000)
+      SELECT doc_id,
+        CASE m WHEN 0 THEN 'TRIANGLE' WHEN 1 THEN 'TIN'
+               ELSE 'POLYHEDRALSURFACE' END AS gtype,
+        CAST(floor(CASE m WHEN 0 THEN k * k / 2.0 WHEN 1 THEN k * k
+                          ELSE 2.0 * k * k END * 1000000.0 + 0.5) AS BIGINT) AS area_u,
+        CAST(CASE m WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 10 END AS BIGINT) AS np,
+        'MULTIPOLYGON' AS gtype_multi,
+        true AS rt_ok
+      FROM b ORDER BY doc_id"""))
   )
 }

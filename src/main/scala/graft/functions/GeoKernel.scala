@@ -98,6 +98,10 @@ object GeoKernel {
 
   def centroid(wkb: Array[Byte]): Array[Byte] = Wkb.write(GeoOps.centroid(decode(wkb)))
 
+  def forceMulti(wkb: Array[Byte]): Array[Byte] = Wkb.write(GeoOps.forceMulti(decode(wkb)))
+
+  def npoints(wkb: Array[Byte]): Int = GeoOps.npoints(decode(wkb))
+
   // ---- transforms
   def simplify(wkb: Array[Byte], tol: Double): Array[Byte] =
     Wkb.write(GeoOps.simplify(decode(wkb), tol))

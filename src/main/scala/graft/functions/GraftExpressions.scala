@@ -176,6 +176,29 @@ case class StCentroid(child: Expression) extends GeoUnary {
   protected override def withNewChildInternal(n: Expression): StCentroid = copy(child = n)
 }
 
+/** st_multi(wkb) — promote to the multi variant (set-geom-type
+  * promote-to-multi; surfaces cast to facet MultiPolygon). Ref:
+  * OGRGeometryFactory::forceTo (ogrgeometryfactory.cpp:3536). */
+case class StMulti(child: Expression) extends GeoUnary {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_multi"
+  protected def method = "forceMulti"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.forceMulti(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.forceMulti($c)"
+  protected override def withNewChildInternal(n: Expression): StMulti = copy(child = n)
+}
+
+/** st_npoints(wkb) — total vertex count. Ref: OGR_GEOM_POINT_COUNT /
+  * SpatiaLite ST_NPoints (ogrsqlitesqlfunctions.cpp). */
+case class StNPoints(child: Expression) extends GeoUnary {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "st_npoints"
+  protected def method = "npoints"
+  protected override def nullSafeEval(w: Any): Any = GeoKernel.npoints(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.npoints($c)"
+  protected override def withNewChildInternal(n: Expression): StNPoints = copy(child = n)
+}
+
 /** st_convexhull(wkb). Ref: OGRGeometry::ConvexHull (ogrgeometry.cpp:4449). */
 case class StConvexHull(child: Expression) extends GeoUnary {
   override def dataType: DataType = BinaryType

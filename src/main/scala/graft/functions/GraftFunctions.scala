@@ -36,6 +36,8 @@ object GraftFunctions {
     arity("st_envelope", 1)(a => StEnvelope(a(0))),
     arity("st_centroid", 1)(a => StCentroid(a(0))),
     arity("st_convexhull", 1)(a => StConvexHull(a(0))),
+    arity("st_multi", 1)(a => StMulti(a(0))),
+    arity("st_npoints", 1)(a => StNPoints(a(0))),
     arity("st_swapxy", 1)(a => StSwapXY(a(0))),
     arity("st_transform_3857", 1)(a => StTransform3857(a(0))),
     arity("st_transform_4326", 1)(a => StTransform4326(a(0))),
@@ -153,6 +155,8 @@ object gf {
   def st_envelope(wkb: Column): Column = call_function("st_envelope", wkb)
   def st_centroid(wkb: Column): Column = call_function("st_centroid", wkb)
   def st_convexhull(wkb: Column): Column = call_function("st_convexhull", wkb)
+  def st_multi(wkb: Column): Column = call_function("st_multi", wkb)
+  def st_npoints(wkb: Column): Column = call_function("st_npoints", wkb)
   def st_swapxy(wkb: Column): Column = call_function("st_swapxy", wkb)
   def st_transform_3857(wkb: Column): Column = call_function("st_transform_3857", wkb)
   def st_transform_4326(wkb: Column): Column = call_function("st_transform_4326", wkb)

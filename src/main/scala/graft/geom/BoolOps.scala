@@ -248,6 +248,7 @@ object BoolOps {
     case p: Polygon => Array(p)
     case MultiPolygon(ps) => ps
     case GeometryCollection(gs) => gs.flatMap(polygonsOf)
+    case s: Surface => s.toMulti.polys
     case _ => Array.empty
   }
 

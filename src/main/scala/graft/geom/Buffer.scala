@@ -132,6 +132,7 @@ object Buffer {
       case MultiLineString(ls) => ls.foreach(collect)
       case MultiPolygon(ps) => ps.foreach(collect)
       case GeometryCollection(gs) => gs.foreach(collect)
+      case s: Surface => collect(s.toMulti)
     }
     collect(g)
     unionAll(pieces)

@@ -35,6 +35,7 @@ object CheckGeometry {
       val per = m.polys.iterator.flatMap(pp => checkPolygon(pp.rings)).nextOption()
       per.orElse(nestedShells(m))
     case c: GeometryCollection => c.geoms.iterator.flatMap(validityDetail).nextOption()
+    case s: Surface => validityDetail(s.toMulti)
   }
 
   private def checkPolygon(rings: Array[Array[Double]]): Option[(String, Double, Double)] = {

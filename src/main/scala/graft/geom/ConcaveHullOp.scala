@@ -138,6 +138,7 @@ object ConcaveHullOp {
       case MultiLineString(ls) => ls.foreach(walk)
       case MultiPolygon(ps) => ps.foreach(walk)
       case GeometryCollection(gs) => gs.foreach(walk)
+      case s: Surface => walk(s.toMulti)
     }
     walk(g)
     // dedupe exact duplicates (Delaunay degeneracy guard)

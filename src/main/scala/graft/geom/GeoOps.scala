@@ -124,10 +124,12 @@ object GeoOps {
     case p: Polygon      => polygonContains(p, px, py)
     case m: MultiPolygon => m.polys.exists(polygonContains(_, px, py))
     case c: GeometryCollection => c.geoms.exists(containsPoint(_, px, py))
+    case s: Surface      => containsPoint(s.toMulti, px, py)
     case _ => false
   }
 
   def intersectsPoint(g: Geom, px: Double, py: Double): Boolean = g match {
+    case s: Surface      => intersectsPoint(s.toMulti, px, py)
     case p: Point        => p.x == px && p.y == py
     case m: MultiPoint   => m.points.exists(p => p.x == px && p.y == py)
     case l: LineString   => pointOnLine(l.coords, px, py)
@@ -164,6 +166,8 @@ object GeoOps {
     * kNN refine and ST_Distance; reference OGRGeometry::Distance
     * /root/reference/ogr/ogrgeometry.cpp:3818). */
   def distance(a: Geom, b: Geom): Double = (a, b) match {
+    case (s: Surface, o) => distance(s.toMulti, o)
+    case (o, s: Surface) => distance(o, s.toMulti)
     case (p: Point, q: Point) => math.hypot(p.x - q.x, p.y - q.y)
     case (p: Point, l: LineString) => distPointLine(p.x, p.y, l.coords)
     case (l: LineString, p: Point) => distPointLine(p.x, p.y, l.coords)
@@ -252,6 +256,8 @@ object GeoOps {
   def intersects(a: Geom, b: Geom): Boolean = {
     if (!envIntersects(a, b)) return false
     (a, b) match {
+      case (s: Surface, g) => intersects(s.toMulti, g)
+      case (g, s: Surface) => intersects(g, s.toMulti)
       case (p: Point, g) => intersectsPoint(g, p.x, p.y)
       case (g, p: Point) => intersectsPoint(g, p.x, p.y)
       case (m: MultiPoint, g) => m.points.exists(p => intersectsPoint(g, p.x, p.y))
@@ -303,6 +309,8 @@ object GeoOps {
   /** Contains over the linear subset (polygon containers only):
     * every vertex of b on the surface of a, and no boundary crossing. */
   def contains(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (s: Surface, o) => contains(s.toMulti, o)
+    case (o, s: Surface) => contains(o, s.toMulti)
     case (_, p: Point) => containsPoint(a, p.x, p.y)
     case (_, m: MultiPoint) => !m.isEmpty && m.points.forall(p => containsPoint(a, p.x, p.y))
     case (pa: Polygon, l: LineString) =>
@@ -370,6 +378,10 @@ object GeoOps {
       case p: Polygon => Polygon(p.rings.map(mapArr))
       case m: MultiPolygon => MultiPolygon(m.polys.map(p => mapCoords(p, f).asInstanceOf[Polygon]))
       case c: GeometryCollection => GeometryCollection(c.geoms.map(mapCoords(_, f)))
+      case t: Triangle => Triangle(mapArr(t.ring))
+      case s: PolyhedralSurface =>
+        PolyhedralSurface(s.patches.map(p => Polygon(p.rings.map(mapArr))))
+      case t: Tin => Tin(t.patches.map(p => Triangle(mapArr(p.ring))))
     }
   }
 
@@ -383,11 +395,38 @@ object GeoOps {
 
   /** Split multi-geometries into parts (explode-collections,
     * /root/reference/apps/gdalalg_vector_explode.h:29). */
+  /** Promote to the multi variant (set-geom-type promote-to-multi,
+    * /root/reference/apps/gdalalg_vector_set_geom_type.cpp via
+    * OGRGeometryFactory::forceTo, ogrgeometryfactory.cpp:3536). Surfaces
+    * cast to their facet MultiPolygon (CastToMultiPolygon). */
+  def forceMulti(g: Geom): Geom = g match {
+    case p: Point => MultiPoint(Array(p))
+    case l: LineString => MultiLineString(Array(l))
+    case p: Polygon => MultiPolygon(Array(p))
+    case s: Surface => s.toMulti
+    case other => other
+  }
+
+  /** Total vertex count (closure vertices included), the ST_NPoints /
+    * OGR_GEOM_POINT_COUNT semantics. */
+  def npoints(g: Geom): Int = g match {
+    case p: Point => if (p.isEmpty) 0 else 1
+    case l: LineString => l.numPoints
+    case p: Polygon => p.rings.map(_.length / 2).sum
+    case m: MultiPoint => m.points.count(!_.isEmpty)
+    case m: MultiLineString => m.lines.map(_.numPoints).sum
+    case m: MultiPolygon => m.polys.map(p => p.rings.map(_.length / 2).sum).sum
+    case c: GeometryCollection => c.geoms.map(npoints).sum
+    case s: Surface => npoints(s.toMulti)
+  }
+
   def dump(g: Geom): Array[Geom] = g match {
     case m: MultiPoint => m.points.toArray[Geom]
     case m: MultiLineString => m.lines.toArray[Geom]
     case m: MultiPolygon => m.polys.toArray[Geom]
     case c: GeometryCollection => c.geoms.flatMap(dump)
+    case s: PolyhedralSurface => s.patches.toArray[Geom]
+    case t: Tin => t.patches.map(_.asPolygon).toArray[Geom]
     case single => Array(single)
   }
 
@@ -406,6 +445,11 @@ object GeoOps {
       }
     case m: MultiPolygon => m.polys.nonEmpty && m.polys.forall(isValid)
     case c: GeometryCollection => c.geoms.forall(isValid)
+    case t: Triangle => // exactly 4 points, closed, finite (OGRTriangle)
+      t.ring.length == 8 && t.ring(0) == t.ring(6) && t.ring(1) == t.ring(7) &&
+        t.ring.forall(java.lang.Double.isFinite)
+    case s: PolyhedralSurface => s.patches.nonEmpty && s.patches.forall(isValid)
+    case t: Tin => t.patches.nonEmpty && t.patches.forall(isValid)
   }
 
   private final val Deg2Rad = math.Pi / 180.0
@@ -453,6 +497,7 @@ object GeoOps {
       else ringArea(p.rings(0)) - p.rings.drop(1).map(ringArea).sum
     case m: MultiPolygon => m.polys.map(area).sum
     case c: GeometryCollection => c.geoms.map(area).sum
+    case s: Surface => area(s.toMulti) // facet-sum (OGRPolyhedralSurface::get_Area)
     case _ => 0.0
   }
 
@@ -473,6 +518,7 @@ object GeoOps {
     case p: Polygon => p.rings.map(lineLength).sum
     case m: MultiPolygon => m.polys.map(length).sum
     case c: GeometryCollection => c.geoms.map(length).sum
+    case s: Surface => length(s.toMulti)
     case _ => 0.0
   }
 
@@ -480,6 +526,7 @@ object GeoOps {
     * mean for points). Reference: OGRGeometry::Centroid
     * (/root/reference/ogr/ogrgeometry.cpp:4825). */
   def centroid(g: Geom): Point = g match {
+    case s: Surface => centroid(s.toMulti)
     case p: Point => p
     case m: MultiPoint =>
       if (m.isEmpty) Point.Empty
@@ -568,6 +615,7 @@ object GeoOps {
     case m: MultiLineString => MultiLineString(m.lines.map(l => LineString(simplifyLine(l.coords, tol))))
     case p: Polygon => Polygon(p.rings.map(r => simplifyLine(r, tol)).filter(_.length >= 8))
     case m: MultiPolygon => MultiPolygon(m.polys.map(p => simplify(p, tol).asInstanceOf[Polygon]))
+    case s: Surface => simplify(s.toMulti, tol)
     case other => other
   }
 
@@ -648,6 +696,7 @@ object GeoOps {
       case p: Polygon => p.rings.foreach(add)
       case m: MultiPolygon => m.polys.foreach(_.rings.foreach(add))
       case c: GeometryCollection => c.geoms.foreach(g2 => out ++= collectPoints(g2))
+      case s: Surface => out ++= collectPoints(s.toMulti)
     }
     out
   }

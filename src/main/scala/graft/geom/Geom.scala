@@ -104,3 +104,50 @@ final case class GeometryCollection(geoms: Array[Geom]) extends Geom {
   def isEmpty: Boolean = geoms.isEmpty
   lazy val envelope: Envelope = geoms.foldLeft(Envelope.Empty)((e, g) => e.union(g.envelope))
 }
+
+/** Surface types (ISO wkbPolyhedralSurface=15 / wkbTIN=16 / wkbTriangle=17,
+  * /root/reference/ogr/ogr_core.h:426-513). A Triangle is one closed
+  * >=4-point ring; TIN and PolyhedralSurface are patched facet sets.
+  * Analysis operators consume them through [[Surface.toMulti]] — the
+  * reference's CastToMultiPolygon
+  * (/root/reference/ogr/ogrpolyhedralsurface.cpp:600-640); the typed nodes
+  * exist so WKT/WKB round-trip and st_geometrytype stay faithful.
+  */
+sealed trait Surface extends Geom { def toMulti: MultiPolygon }
+
+final case class Triangle(ring: Array[Double]) extends Surface {
+  def typeName = "TRIANGLE"; def wkbType = 17
+  def isEmpty: Boolean = ring.isEmpty
+  def asPolygon: Polygon = Polygon(if (isEmpty) Array.empty else Array(ring))
+  def toMulti: MultiPolygon =
+    MultiPolygon(if (isEmpty) Array.empty else Array(asPolygon))
+  lazy val envelope: Envelope =
+    if (isEmpty) Envelope.Empty else Envelope.ofCoords(ring)
+}
+
+final case class PolyhedralSurface(patches: Array[Polygon]) extends Surface {
+  def typeName = "POLYHEDRALSURFACE"; def wkbType = 15
+  def isEmpty: Boolean = patches.isEmpty
+  def toMulti: MultiPolygon = MultiPolygon(patches)
+  lazy val envelope: Envelope =
+    patches.foldLeft(Envelope.Empty)((e, p) => e.union(p.envelope))
+}
+
+final case class Tin(patches: Array[Triangle]) extends Surface {
+  def typeName = "TIN"; def wkbType = 16
+  def isEmpty: Boolean = patches.isEmpty
+  def toMulti: MultiPolygon = MultiPolygon(patches.map(_.asPolygon))
+  lazy val envelope: Envelope =
+    patches.foldLeft(Envelope.Empty)((e, p) => e.union(p.envelope))
+}
+
+object Geom {
+  /** Linear view: surfaces cast to their MultiPolygon facets (recursing
+    * into collections). Binary predicates / overlay ops normalize through
+    * this so they never see a Surface node. */
+  def linear(g: Geom): Geom = g match {
+    case s: Surface => s.toMulti
+    case c: GeometryCollection => GeometryCollection(c.geoms.map(linear))
+    case other => other
+  }
+}

@@ -23,6 +23,7 @@ object Relate {
     case _: Point | _: MultiPoint => 0
     case _: LineString | _: MultiLineString => 1
     case _: Polygon | _: MultiPolygon => 2
+    case _: Surface => 2 // facet surfaces relate as their MultiPolygon cast
     case GeometryCollection(gs) => if (gs.isEmpty) -1 else gs.map(dimOf).max
     case _ => -1
   }
@@ -45,6 +46,7 @@ object Relate {
     case p: Polygon => p.rings
     case MultiPolygon(ps) => ps.flatMap(_.rings)
     case GeometryCollection(gs) => gs.flatMap(rings)
+    case s: Surface => s.toMulti.polys.flatMap(_.rings)
     case _ => Array.empty
   }
 

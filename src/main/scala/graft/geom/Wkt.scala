@@ -6,9 +6,10 @@ import scala.collection.mutable.ArrayBuffer
   * Reference semantics: OGRGeometry::importFromWkt / exportToWkt
   * (/root/reference/ogr/ogrgeometry.cpp:1968). Z/M ordinates and the
   * "POINT Z"/"POINT ZM" qualifiers are parsed and dropped (v1 is XY);
-  * CIRCULARSTRING is linearized on read (Arc.scala, the GDAL behavior for
-  * curve-unaware consumers); other curve/TIN types are rejected with a
-  * clear error (SURVEY.md §1.1).
+  * CIRCULARSTRING / COMPOUNDCURVE / CURVEPOLYGON / MULTICURVE /
+  * MULTISURFACE are linearized on read (Arc.scala, the GDAL behavior for
+  * curve-unaware consumers); TRIANGLE / TIN / POLYHEDRALSURFACE parse to
+  * typed Surface nodes that round-trip (Geom.scala).
   */
 object Wkt {
 
@@ -126,6 +127,22 @@ object Wkt {
         }
       }
       out.toArray
+    }
+
+    /** Rings of one parenthesized polygon body: ((...),(...)). */
+    private def polygonRings(nd: Int): Array[Array[Double]] = {
+      expect('(')
+      val rings = new ArrayBuffer[Array[Double]]()
+      var done = false
+      while (!done) {
+        rings += coordSeq(nd)
+        peekChar() match {
+          case ',' => pos += 1
+          case ')' => pos += 1; done = true
+          case _   => fail("expected ',' or ')'")
+        }
+      }
+      rings.toArray
     }
 
     def parseGeom(): Geom = {
@@ -275,8 +292,78 @@ object Wkt {
             }
             GeometryCollection(gs.toArray)
           }
-        case "MULTISURFACE" | "POLYHEDRALSURFACE" | "TIN" | "TRIANGLE" =>
-          fail(s"surface type $t not supported in v1 (linear subset only)")
+        case "TRIANGLE" =>
+          // exactly one closed ring, no interiors
+          // (OGRTriangle ring policy, /root/reference/ogr/ogrtriangle.cpp:60-100)
+          if (empty) Triangle(Array.empty)
+          else {
+            val rings = polygonRings(nd)
+            if (rings.length != 1) fail("TRIANGLE allows exactly one ring")
+            Triangle(rings(0))
+          }
+        case "POLYHEDRALSURFACE" | "TIN" =>
+          // patched facet surfaces (OGRPolyhedralSurface / OGRTriangulatedSurface,
+          // /root/reference/ogr/ogrpolyhedralsurface.cpp); WKT body is the
+          // MULTIPOLYGON shape with TIN patches limited to one ring
+          if (empty) { if (t == "TIN") Tin(Array.empty) else PolyhedralSurface(Array.empty) }
+          else {
+            expect('(')
+            val ps = new ArrayBuffer[Array[Array[Double]]]()
+            var done = false
+            while (!done) {
+              ps += polygonRings(nd)
+              peekChar() match {
+                case ',' => pos += 1
+                case ')' => pos += 1; done = true
+                case _   => fail("expected ',' or ')'")
+              }
+            }
+            if (t == "TIN")
+              Tin(ps.map { rs =>
+                if (rs.length != 1) fail("TIN patch allows exactly one ring")
+                Triangle(rs(0))
+              }.toArray)
+            else PolyhedralSurface(ps.map(rs => Polygon(rs)).toArray)
+          }
+        case "MULTISURFACE" =>
+          // elements are bare polygon bodies or tagged POLYGON/CURVEPOLYGON;
+          // cast to MultiPolygon for linear consumers (the reference's
+          // forceTo(wkbMultiPolygon) path, ogrgeometryfactory.cpp)
+          if (empty) MultiPolygon(Array.empty)
+          else {
+            expect('(')
+            val ps = new ArrayBuffer[Polygon]()
+            var done = false
+            while (!done) {
+              skipWs()
+              val poly =
+                if (pos < s.length && s.charAt(pos) == '(') Polygon(polygonRings(nd))
+                else word() match {
+                  case "POLYGON" => Polygon(polygonRings(nd))
+                  case "CURVEPOLYGON" =>
+                    expect('(')
+                    val rings = new ArrayBuffer[Array[Double]]()
+                    var rdone = false
+                    while (!rdone) {
+                      rings += curveRing(nd)
+                      peekChar() match {
+                        case ',' => pos += 1
+                        case ')' => pos += 1; rdone = true
+                        case _   => fail("expected ',' or ')'")
+                      }
+                    }
+                    Polygon(rings.toArray)
+                  case other => fail(s"unexpected MULTISURFACE component $other")
+                }
+              ps += poly
+              peekChar() match {
+                case ',' => pos += 1
+                case ')' => pos += 1; done = true
+                case _   => fail("expected ',' or ')'")
+              }
+            }
+            MultiPolygon(ps.toArray)
+          }
         case other => fail(s"unknown geometry type $other")
       }
     }
@@ -317,5 +404,14 @@ object Wkt {
     case c: GeometryCollection =>
       if (c.isEmpty) "GEOMETRYCOLLECTION EMPTY"
       else "GEOMETRYCOLLECTION (" + c.geoms.map(write).mkString(",") + ")"
+    case t: Triangle =>
+      if (t.isEmpty) "TRIANGLE EMPTY" else "TRIANGLE (" + coordsStr(t.ring) + ")"
+    case s: PolyhedralSurface =>
+      if (s.isEmpty) "POLYHEDRALSURFACE EMPTY"
+      else "POLYHEDRALSURFACE (" +
+        s.patches.map(p => "(" + p.rings.map(coordsStr).mkString(",") + ")").mkString(",") + ")"
+    case t: Tin =>
+      if (t.isEmpty) "TIN EMPTY"
+      else "TIN (" + t.patches.map(p => "(" + coordsStr(p.ring) + ")").mkString(",") + ")"
   }
 }

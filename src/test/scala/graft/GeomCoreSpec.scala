@@ -43,9 +43,9 @@ class GeomCoreSpec extends AnyFunSuite {
     val cp = Wkt.parse("CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (-1 0,0 1,1 0), (1 0,-1 0)))")
       .asInstanceOf[Polygon]
     assert(math.abs(GeoOps.area(cp) - 0.5 * 45.0 * math.sin(math.Pi / 45.0)) < 1e-9)
-    // genuinely unsupported types still reject
-    val e = intercept[IllegalArgumentException](Wkt.parse("TIN (((0 0,1 0,0 1,0 0)))"))
-    assert(e.getMessage.contains("unexpected") || e.getMessage.contains("not supported"))
+    // surface types now parse (SurfaceSpec); malformed input still rejects
+    val e = intercept[IllegalArgumentException](Wkt.parse("FROB ((0 0,1 0,0 1,0 0))"))
+    assert(e.getMessage.contains("unknown geometry type"))
   }
 
   test("WKB multi geometries round-trip") {
