@@ -1030,6 +1030,45 @@ object Queries3 {
         CAST(CASE m WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 10 END AS BIGINT) AS np,
         'MULTIPOLYGON' AS gtype_multi,
         true AS rt_ok
-      FROM b ORDER BY doc_id"""))
+      FROM b ORDER BY doc_id""")),
+
+    // -- gdal_translate: -srcwin crop + -outsize resize (near kernel) +
+    // -scale + -ot Byte clamp (t1), and a non-tile-aligned outsize whose
+    // edge-tile margin is zeroed (t2); integer-aligned windows so the
+    // oracle is a closed-form pixel map + checksum
+    ("r32_translate", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = engine.Raster.syntheticTiles(s, 3) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      def cks(t: engine.Tile) =
+        (t.x.toLong, t.y.toLong, engine.Raster.checksum(t.pixels, t.w, t.h).toLong)
+      val t1 = engine.Raster.translate(base, 300, 200, 1024, 512, 512, 256,
+          2048, 2048, scale = Some((0.25, 10.0)), outType = Some("byte"))
+        .map(cks _).toDF("x", "y", "cks_t1")
+      val t2 = engine.Raster.translate(base, 0, 0, 800, 400, 400, 200, 2048, 2048)
+        .map(cks _).toDF("x", "y", "cks_t2")
+      t1.join(t2, Seq("x", "y"))
+        .select("x", "y", "cks_t1", "cks_t2").orderBy("x", "y")
+    }, Some {
+      def fAt(xe: String, ye: String) =
+        s"CAST((CAST($xe AS BIGINT) * 7919 + CAST($ye AS BIGINT) * 104729) % 9973 AS DOUBLE)"
+      s"""WITH px AS (SELECT xs.dx AS dx, ys.dy AS dy
+            FROM (SELECT unnest(generate_series(0, 511)) AS dx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS dy) ys),
+          v AS (SELECT dx, dy,
+            LEAST(255.0, floor(${fAt("2 * dx + 301", "2 * dy + 201")} * 0.25 + 10.0 + 0.5)) AS v1,
+            CASE WHEN dx >= 400 OR dy >= 200 THEN 0.0
+                 ELSE ${fAt("2 * dx + 1", "2 * dy + 1")} END AS v2
+            FROM px),
+          cells AS (SELECT dx >> 8 AS tx, dy >> 8 AS ty, dx % 256 AS cx, dy % 256 AS cy,
+            CAST(floor(v1 + 0.5) AS BIGINT) AS iv1,
+            CAST(floor(v2 + 0.5) AS BIGINT) AS iv2 FROM v)
+          SELECT tx AS x, ty AS y,
+            ${cksCol("iv1")} AS cks_t1,
+            ${cksCol("iv2")} AS cks_t2
+          FROM cells GROUP BY 1, 2 ORDER BY x, y"""
+    })
   )
 }

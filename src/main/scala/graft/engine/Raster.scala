@@ -112,6 +112,75 @@ object Raster {
       }
   }
 
+  /** GDALCopyWord rounding: half away from zero, then clamp to the output
+    * type's range (/root/reference/gcore/gdal_priv_templates.hpp:262-345). */
+  private def clampFun(outType: String): Double => Double = {
+    def r(v: Double): Double = if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
+    outType.toLowerCase match {
+      case "byte"    => v => math.min(255.0, math.max(0.0, r(v)))
+      case "int8"    => v => math.min(127.0, math.max(-128.0, r(v)))
+      case "uint16"  => v => math.min(65535.0, math.max(0.0, r(v)))
+      case "int16"   => v => math.min(32767.0, math.max(-32768.0, r(v)))
+      case "uint32"  => v => math.min(4294967295.0, math.max(0.0, r(v)))
+      case "int32"   => v => math.min(Int.MaxValue.toDouble, math.max(Int.MinValue.toDouble, r(v)))
+      case "float32" => v => v.toFloat.toDouble
+      case "float64" => v => v
+      case other     => throw new IllegalArgumentException(s"output type $other")
+    }
+  }
+
+  /** gdal_translate composition: -b band select, -srcwin crop, -outsize
+    * resize, -r kernel (GDAL default NEAREST), -scale (a·x + b), -ot
+    * output-type clamp. Reference: /root/reference/apps/gdal_translate_lib.cpp
+    * (srcwin+outsize window math :2600-2700, scale :3026, type clamp via
+    * GDALCopyWord). A translate IS an affine warp — src_px =
+    * (dst_px + ½)·(size/outsize) + off − ½ — so it reuses warpAffine's
+    * single forward-mapped replication shuffle (the 100-TB path); scale and
+    * clamp are narrow per-pixel maps on top. Pixels of edge tiles beyond
+    * outW×outH are zeroed so partial extents round-trip exactly. */
+  def translate(src: Dataset[Tile], xoff: Double, yoff: Double,
+                xsize: Double, ysize: Double, outW: Int, outH: Int,
+                srcW: Long, srcH: Long, kernel: String = "near",
+                bandSel: Int = -1, scale: Option[(Double, Double)] = None,
+                outType: Option[String] = None,
+                tileSize: Int = TileSize): Dataset[Tile] = {
+    import src.sparkSession.implicits._
+    val b = bandSel
+    val in = if (b >= 0) src.filter(_.band == b) else src
+    val aff = WarpAffine(xsize / outW, ysize / outH, xoff, yoff)
+    val nX = (outW + tileSize - 1) / tileSize
+    val nY = (outH + tileSize - 1) / tileSize
+    val ts = tileSize; val ow = outW; val oh = outH
+    val warped = warpAffine(in, 0, nX, nY, aff, kernel, srcW, srcH, tileSize)
+    val scaled = scale match {
+      case Some((a, c)) => mapPixels(warped)(v => a * v + c)
+      case None => warped
+    }
+    val typed = outType match {
+      case Some(tn) => val f = clampFun(tn); mapPixels(scaled)(f)
+      case None => scaled
+    }
+    // zero the out-of-extent margin of edge tiles (padding, not data) —
+    // after scale/clamp so -scale's offset can't re-fill it
+    typed.map { t =>
+      if ((t.x + 1) * ts <= ow && (t.y + 1) * ts <= oh) t
+      else {
+        val out = t.pixels.clone()
+        var cy = 0
+        while (cy < t.h) {
+          var cx = 0
+          while (cx < t.w) {
+            if (t.x.toLong * ts + cx >= ow || t.y.toLong * ts + cy >= oh)
+              out(cy * t.w + cx) = 0.0
+            cx += 1
+          }
+          cy += 1
+        }
+        Tile(t.z, t.x, t.y, t.band, t.w, t.h, out)
+      }
+    }
+  }
+
   /** Per-pixel band algebra (gdal raster calc / VRT pixel functions,
     * /root/reference/frmts/vrt/pixelfunctions.cpp): narrow map, no shuffle. */
   def mapPixels(tiles: Dataset[Tile], band: Int = -1)(f: Double => Double): Dataset[Tile] = {
