@@ -1069,6 +1069,23 @@ object Queries3 {
             ${cksCol("iv1")} AS cks_t1,
             ${cksCol("iv2")} AS cks_t2
           FROM cells GROUP BY 1, 2 ORDER BY x, y"""
-    })
+    }),
+
+    // -- ogr_deflate / ogr_inflate (SQLite-dialect misc functions): zlib
+    // round-trip identity over the documents text, plus compressed-stream
+    // well-formedness (0x78 zlib header byte, non-empty)
+    ("q25_deflate", (s, dir) => {
+      prep(s)
+      t(s, dir, "documents").where(col("doc_id") < 20000)
+        .withColumn("z", expr("ogr_deflate(text)"))
+        .select(col("doc_id"),
+          expr("CAST(ogr_inflate(z) AS STRING) = text").as("rt_ok"),
+          expr("length(z) > 0 AND hex(substring(z, 1, 1)) = '78'").as("zhdr_ok"),
+          expr("ogr_inflate(CAST('not a zlib stream' AS BINARY)) IS NULL").as("bad_null"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, true AS rt_ok, true AS zhdr_ok, true AS bad_null, n_chars
+      FROM documents WHERE doc_id < 20000 ORDER BY doc_id"""))
   )
 }

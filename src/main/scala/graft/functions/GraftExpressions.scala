@@ -933,3 +933,37 @@ case class VecNorm(child: Expression)
     defineCodeGen(ctx, ev, a => s"graft.functions.VecKernel.norm($a)")
   protected override def withNewChildInternal(n: Expression): VecNorm = copy(child = n)
 }
+
+// ------------------------------------------------------------- compression
+
+/** ogr_deflate(value[, level]) → zlib blob. Strings deflate their UTF-8
+  * bytes. Ref: OGR2SQLITE_ogr_deflate
+  * (/root/reference/ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:96-130). */
+case class OgrDeflate(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ogr_deflate"
+  protected override def nullSafeEval(data: Any, level: Any): Any =
+    graft.functions.ZlibKernel.deflate(data.asInstanceOf[Array[Byte]],
+      level.asInstanceOf[Int])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (d, l) => s"graft.functions.ZlibKernel.deflate($d, $l)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): OgrDeflate =
+    copy(left = l, right = r)
+}
+
+/** ogr_inflate(blob) → decompressed blob, null on a corrupt stream (the
+  * reference returns SQL NULL; ogrsqlitesqlfunctions.cpp:132-160). */
+case class OgrInflate(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ogr_inflate"
+  protected override def nullSafeEval(data: Any): Any =
+    try graft.functions.ZlibKernel.inflate(data.asInstanceOf[Array[Byte]])
+    catch { case _: Exception => null }
+  protected override def withNewChildInternal(n: Expression): OgrInflate = copy(child = n)
+}

@@ -38,6 +38,13 @@ object GraftFunctions {
     arity("st_convexhull", 1)(a => StConvexHull(a(0))),
     arity("st_multi", 1)(a => StMulti(a(0))),
     arity("st_npoints", 1)(a => StNPoints(a(0))),
+    "ogr_deflate" -> { (args: Seq[Expression]) =>
+      require(args.length == 1 || args.length == 2,
+        s"ogr_deflate expects 1 or 2 arguments, got ${args.length}")
+      // default = Z_DEFAULT_COMPRESSION (-1), as CPLZLibDeflate
+      OgrDeflate(args(0), if (args.length == 2) args(1) else Literal(-1))
+    },
+    arity("ogr_inflate", 1)(a => OgrInflate(a(0))),
     arity("st_swapxy", 1)(a => StSwapXY(a(0))),
     arity("st_transform_3857", 1)(a => StTransform3857(a(0))),
     arity("st_transform_4326", 1)(a => StTransform4326(a(0))),

@@ -96,6 +96,39 @@ object TextKernel {
   * same left-to-right summation order as the `aggregate(zip_with(...))`
   * HOF formulation (and DuckDB's list_sum), so results are bit-identical
   * while skipping per-element lambda interpretation. */
+/** zlib deflate/inflate — the ogr_deflate/ogr_inflate SQL functions
+  * (/root/reference/ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:60-150,
+  * backed by CPLZLibDeflate/CPLZLibInflate, /root/reference/port/cpl_conv.h).
+  * java.util.zip produces the same zlib stream format. */
+object ZlibKernel {
+  def deflate(data: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 3))
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput())
+          throw new java.util.zip.DataFormatException("truncated zlib stream")
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+}
+
 object VecKernel {
   def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
           b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
