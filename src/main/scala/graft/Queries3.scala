@@ -1086,6 +1086,67 @@ object Queries3 {
         .orderBy("doc_id")
     }, Some("""
       SELECT doc_id, true AS rt_ok, true AS zhdr_ok, true AS bad_null, n_chars
-      FROM documents WHERE doc_id < 20000 ORDER BY doc_id"""))
+      FROM documents WHERE doc_id < 20000 ORDER BY doc_id""")),
+
+    // -- coverage ops (clean-coverage + simplify-coverage): a 12×12 grid
+    // coverage whose shared edges are densified with ±0.3 zigzag noise and
+    // ±0.02 per-owner jitter. clean(0.1) snaps the jitter so both owners'
+    // chains are bit-identical; simplify(0.5) removes the zigzag but pins
+    // coverage nodes and keeps the >tol boundary corners — every cell must
+    // come back as its exact 5-point rectangle (closed form)
+    ("g40_simplify_coverage", (s, dir) => {
+      prep(s)
+      val sp = s
+      import sp.implicits._
+      import graft.functions.gf
+      val grid = 12
+      val wkts = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < grid * grid).as[Long]
+        .map { c =>
+          val i = (c % grid).toInt; val j = (c / grid).toInt
+          val x0 = 8.0 * i; val y0 = 8.0 * j
+          val d = if (c % 2 == 0) 0.02 else -0.02
+          def zig(u: Double, w: Double): Double =
+            (if (((u / 2).toLong + (w / 8).toLong) % 2 == 0) 0.3 else -0.3) + d
+          val pts = new scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+          def edgeH(xa: Double, xb: Double, y: Double): Unit = {
+            val st = if (xb > xa) 2.0 else -2.0
+            pts += ((xa, y))
+            var k = 1
+            while (k < 4) { val x = xa + st * k; pts += ((x, y + zig(x, y))); k += 1 }
+          }
+          def edgeV(x: Double, ya: Double, yb: Double): Unit = {
+            val st = if (yb > ya) 2.0 else -2.0
+            pts += ((x, ya))
+            var k = 1
+            while (k < 4) { val y = ya + st * k; pts += ((x + zig(y, x), y)); k += 1 }
+          }
+          edgeH(x0, x0 + 8, y0)          // bottom, left→right
+          edgeV(x0 + 8, y0, y0 + 8)      // right, up
+          edgeH(x0 + 8, x0, y0 + 8)      // top, right→left
+          edgeV(x0, y0 + 8, y0)          // left, down
+          pts += pts(0)                  // closure
+          (c, "POLYGON ((" + pts.map(p => s"${p._1} ${p._2}").mkString(",") + "))")
+        }.toDF("id", "wkt")
+      val dfIn = wkts.select(col("id"), gf.st_geomfromtext(col("wkt")).as("wkb"))
+      val out = engine.Coverage.simplifyCoverage(
+        engine.Coverage.cleanCoverage(dfIn, 0.1), 0.5)
+      out.select(col("id").as("doc_id"),
+          expr("CAST(st_npoints(wkb) AS BIGINT)").as("np"),
+          expr("CAST(floor(st_area(wkb) * 1000000.0 + 0.5) AS BIGINT)").as("area_u"),
+          expr("CAST(floor(st_envelope(wkb)[0] * 1000000.0 + 0.5) AS BIGINT)").as("minx_u"),
+          expr("CAST(floor(st_envelope(wkb)[1] * 1000000.0 + 0.5) AS BIGINT)").as("miny_u"),
+          expr("CAST(floor(st_envelope(wkb)[2] * 1000000.0 + 0.5) AS BIGINT)").as("maxx_u"),
+          expr("CAST(floor(st_envelope(wkb)[3] * 1000000.0 + 0.5) AS BIGINT)").as("maxy_u"),
+          expr("st_isvalid(wkb)").as("valid"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, CAST(5 AS BIGINT) AS np, CAST(64000000 AS BIGINT) AS area_u,
+        CAST((doc_id % 12) * 8000000 AS BIGINT) AS minx_u,
+        CAST((doc_id // 12) * 8000000 AS BIGINT) AS miny_u,
+        CAST((doc_id % 12 + 1) * 8000000 AS BIGINT) AS maxx_u,
+        CAST((doc_id // 12 + 1) * 8000000 AS BIGINT) AS maxy_u,
+        true AS valid
+      FROM documents WHERE doc_id < 144 ORDER BY doc_id"""))
   )
 }
