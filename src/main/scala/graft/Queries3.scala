@@ -1147,6 +1147,23 @@ object Queries3 {
         CAST((doc_id % 12 + 1) * 8000000 AS BIGINT) AS maxx_u,
         CAST((doc_id // 12 + 1) * 8000000 AS BIGINT) AS maxy_u,
         true AS valid
-      FROM documents WHERE doc_id < 144 ORDER BY doc_id"""))
+      FROM documents WHERE doc_id < 144 ORDER BY doc_id""")),
+
+    // -- OGR SQL DDL: the ALTER TABLE family through the text entry point
+    // (gdaldataset.cpp ProcessSQLAlterTable*): ADD/RENAME/ALTER TYPE/DROP
+    // applied in sequence to the poly fixture, then read back via SELECT *
+    ("q26_ogrsql_ddl", (s, _) => {
+      prep(s)
+      var ls = ogrLayers(s)
+      ls = OgrSql.executeDdl(s, "ALTER TABLE poly ADD COLUMN note VARCHAR(32)", ls)
+      ls = OgrSql.executeDdl(s, "ALTER TABLE poly RENAME COLUMN prfedea TO code", ls)
+      ls = OgrSql.executeDdl(s, "ALTER TABLE poly ALTER COLUMN eas_id TYPE DOUBLE", ls)
+      ls = OgrSql.executeDdl(s, "ALTER TABLE poly DROP COLUMN area", ls)
+      OgrSql.execute(s, "SELECT * FROM poly ORDER BY code", ls)
+    }, Some(s"""
+      WITH poly AS ($polyValuesSql)
+      SELECT CAST(eas_id AS DOUBLE) AS eas_id, prfedea AS code,
+             CAST(NULL AS VARCHAR) AS note
+      FROM poly ORDER BY code"""))
   )
 }

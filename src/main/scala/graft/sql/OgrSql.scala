@@ -626,7 +626,7 @@ object OgrSql {
 
     /** OGR LIKE pattern → anchored Java regex. The escape character makes
       * the following character literal whatever it is (swq_test_like,
-      * ogr/swq.cpp); '%' → .*, '_' → . ; ' ' = no escape configured. */
+      * ogr/swq.cpp); '%' → .*, '_' → . ; '\u0000' = no escape configured. */
     private def likeRegex(pat: String, esc: Char, ci: Boolean): String = {
       val sb = new StringBuilder(if (ci) "(?is)^" else "(?s)^")
       var i = 0
@@ -866,5 +866,92 @@ object OgrSql {
               layers: Map[String, Layer], ordered: Boolean = true): DataFrame = {
     val ast = new P(lex(sql)).parseQuery()
     new Planner(spark, layers, ordered).plan(ast)
+  }
+
+  /** DDL surface of ExecuteSQL — the ALTER TABLE family the reference
+    * special-cases before the swq parser
+    * (/root/reference/gcore/gdaldataset.cpp:5600-5900,
+    * ProcessSQLAlterTableAddColumn / DropColumn / AlterColumn /
+    * RenameColumn):
+    *   ALTER TABLE <layer> ADD    [COLUMN] <name> <type>[(w[,p])]
+    *   ALTER TABLE <layer> DROP   [COLUMN] <name>
+    *   ALTER TABLE <layer> RENAME [COLUMN] <old> TO <new>
+    *   ALTER TABLE <layer> ALTER  [COLUMN] <name> TYPE <type>[(w[,p])]
+    * DataFrames are immutable, so the statement returns an UPDATED layer
+    * registry (narrow column ops — no shuffle, no data rewrite; the
+    * reference rewrites the attribute section in place, which is the one
+    * semantic we intentionally trade for Spark's lazy columnar relayout).
+    * Identifier matching is case-insensitive like the reference. */
+  def executeDdl(spark: SparkSession, sql: String,
+                 layers: Map[String, Layer]): Map[String, Layer] = {
+    val toks = lex(sql)
+    var p = 0
+    def cur: Tok = toks(p)
+    def isKw(s: String): Boolean = cur match {
+      case TId(t) => t.equalsIgnoreCase(s)
+      case _ => false
+    }
+    def expectKw(s: String): Unit = {
+      if (!isKw(s)) throw new IllegalArgumentException(
+        s"expected $s in ALTER TABLE statement, got $cur")
+      p += 1
+    }
+    def maybeKw(s: String): Boolean = { val m = isKw(s); if (m) p += 1; m }
+    def ident(): String = cur match {
+      case TId(s)  => p += 1; s
+      case TQId(s) => p += 1; s
+      case other => throw new IllegalArgumentException(s"expected identifier, got $other")
+    }
+    // <type>[(width[,precision])] → Spark type (GDALDataset type-name map)
+    def sqlType(): DataType = {
+      val t = ident().toUpperCase
+      if (cur == TOp("(")) { // consume and ignore width/precision
+        while (cur != TOp(")") && cur != TEnd) p += 1
+        if (cur == TOp(")")) p += 1
+      }
+      t match {
+        case "INTEGER" | "INT" | "SMALLINT" => IntegerType
+        case "BIGINT" | "INTEGER64" => LongType
+        case "FLOAT" | "DOUBLE" | "REAL" | "NUMERIC" | "DECIMAL" => DoubleType
+        case "CHARACTER" | "VARCHAR" | "STRING" | "TEXT" => StringType
+        case "DATE" => DateType
+        case "TIMESTAMP" | "DATETIME" => TimestampType
+        case "TIME" => StringType // OGR TIME is stringly in this model
+        case other => throw new IllegalArgumentException(s"unknown column type $other")
+      }
+    }
+
+    expectKw("ALTER"); expectKw("TABLE")
+    val lname = ident()
+    val key = layers.keys.find(_.equalsIgnoreCase(lname)).getOrElse(
+      throw new IllegalArgumentException(s"unknown layer $lname"))
+    val layer = layers(key)
+    def resolve(c: String): String =
+      layer.df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"unknown column $c in $lname"))
+
+    val updated: Layer =
+      if (maybeKw("ADD")) {
+        maybeKw("COLUMN")
+        val name = ident(); val ty = sqlType()
+        Layer(layer.df.withColumn(name, lit(null).cast(ty)), layer.fid)
+      } else if (maybeKw("DROP")) {
+        maybeKw("COLUMN")
+        val name = resolve(ident())
+        Layer(layer.df.drop(name), layer.fid.filterNot(_.equalsIgnoreCase(name)))
+      } else if (maybeKw("RENAME")) {
+        maybeKw("COLUMN")
+        val old = resolve(ident()); expectKw("TO"); val nw = ident()
+        Layer(layer.df.withColumnRenamed(old, nw),
+          layer.fid.map(f => if (f.equalsIgnoreCase(old)) nw else f))
+      } else if (maybeKw("ALTER")) {
+        maybeKw("COLUMN")
+        val name = resolve(ident()); expectKw("TYPE"); val ty = sqlType()
+        Layer(layer.df.withColumn(name, col(name).cast(ty)), layer.fid)
+      } else throw new IllegalArgumentException(
+        s"expected ADD/DROP/RENAME/ALTER after ALTER TABLE $lname, got $cur")
+    if (cur != TEnd) throw new IllegalArgumentException(
+      s"trailing tokens after ALTER TABLE statement: $cur")
+    layers.updated(key, updated)
   }
 }
