@@ -1164,6 +1164,83 @@ object Queries3 {
       WITH poly AS ($polyValuesSql)
       SELECT CAST(eas_id AS DOUBLE) AS eas_id, prfedea AS code,
              CAST(NULL AS VARCHAR) AS note
-      FROM poly ORDER BY code"""))
+      FROM poly ORDER BY code""")),
+
+    // -- gdaltindex: tile index table + bbox query (gdaltindex_lib.cpp
+    // footprint features; queried like buildvrt -te selects sources).
+    // Index built from the z5 rasterization of the event cloud, queried
+    // with the NE quadrant of the 3857 world.
+    ("g41_tindex", (s, dir) => {
+      val idx = engine.TileIndex.buildIndex(
+        engine.Raster.rasterizePoints(Queries.eventPoints(s, dir), 5))
+      val osd = graft.geom.Mercator.OriginShift
+      engine.TileIndex.queryBbox(idx, 0.0, 0.0, osd, osd)
+        .select(col("location"),
+          col("z").cast("long").as("z"), col("x").cast("long").as("x"),
+          col("y").cast("long").as("y"),
+          expr(toInt("minx")).as("minx_m"), expr(toInt("miny")).as("miny_m"),
+          expr(toInt("maxx")).as("maxx_m"), expr(toInt("maxy")).as("maxy_m"))
+        .orderBy("x", "y")
+    }, Some(s"""
+      WITH pp AS (SELECT ((${mercX(lonOf("event_id"))}) + $os) / ${resAt(5)} AS pxd,
+            8192.0 - ((${mercY(latOf("event_id"))}) + $os) / ${resAt(5)} AS pyd FROM events),
+        pix AS (SELECT CAST(floor(pxd) AS BIGINT) AS px, CAST(floor(pyd) AS BIGINT) AS py
+                FROM pp WHERE pxd >= 0 AND pxd < 8192 AND pyd >= 0 AND pyd < 8192),
+        tk AS (SELECT DISTINCT px >> 8 AS x, py >> 8 AS y FROM pix),
+        b AS (SELECT x, y,
+            (-($os) + CAST(x AS DOUBLE) * ((2.0 * $os) / 32.0)) AS minx,
+            (-($os) + CAST(x + 1 AS DOUBLE) * ((2.0 * $os) / 32.0)) AS maxx,
+            ($os - CAST(y + 1 AS DOUBLE) * ((2.0 * $os) / 32.0)) AS miny,
+            ($os - CAST(y AS DOUBLE) * ((2.0 * $os) / 32.0)) AS maxy
+          FROM tk)
+      SELECT 'z5/x' || x || '/y' || y || '.tile' AS location,
+             CAST(5 AS BIGINT) AS z, x, y,
+             ${toInt("minx")} AS minx_m, ${toInt("miny")} AS miny_m,
+             ${toInt("maxx")} AS maxx_m, ${toInt("maxy")} AS maxy_m
+      FROM b WHERE minx < $os AND maxx > 0.0 AND miny < $os AND maxy > 0.0
+      ORDER BY x, y""")),
+
+    // -- gdalbuildvrt: VRT mosaic descriptor — per selected source the
+    // SrcRect/DstRect windows of its overlap with a non-tile-aligned
+    // request bbox (vrtsources.cpp GetSrcDstWindow). Pure index math, no
+    // pixels touched; the materialization is spec'd in TileIndexSpec.
+    ("g42_buildvrt", (s, dir) => {
+      val idx = engine.TileIndex.buildIndex(
+        engine.Raster.rasterizePoints(Queries.eventPoints(s, dir), 5))
+      val osd = graft.geom.Mercator.OriginShift
+      engine.TileIndex.buildVrt(idx, -0.3 * osd, -0.2 * osd, 0.55 * osd, 0.4 * osd)
+        .toDF()
+        .select(col("location"),
+          col("z").cast("long").as("z"), col("x").cast("long").as("x"),
+          col("y").cast("long").as("y"),
+          col("srcXOff").cast("long").as("src_xoff"),
+          col("srcYOff").cast("long").as("src_yoff"),
+          col("dstXOff").cast("long").as("dst_xoff"),
+          col("dstYOff").cast("long").as("dst_yoff"),
+          col("w").cast("long").as("w"), col("h").cast("long").as("h"))
+        .orderBy("x", "y")
+    }, Some(s"""
+      WITH pp AS (SELECT ((${mercX(lonOf("event_id"))}) + $os) / ${resAt(5)} AS pxd,
+            8192.0 - ((${mercY(latOf("event_id"))}) + $os) / ${resAt(5)} AS pyd FROM events),
+        pix AS (SELECT CAST(floor(pxd) AS BIGINT) AS px, CAST(floor(pyd) AS BIGINT) AS py
+                FROM pp WHERE pxd >= 0 AND pxd < 8192 AND pyd >= 0 AND pyd < 8192),
+        tk AS (SELECT DISTINCT px >> 8 AS x, py >> 8 AS y FROM pix),
+        d AS (SELECT
+            CAST(floor((((-0.3) * $os) + $os) / ${resAt(5)}) AS BIGINT) AS dx0,
+            CAST(floor(($os - (0.4 * $os)) / ${resAt(5)}) AS BIGINT) AS dy0,
+            CAST(ceil(((0.55 * $os) + $os) / ${resAt(5)}) AS BIGINT) AS dx1,
+            CAST(ceil(($os - ((-0.2) * $os)) / ${resAt(5)}) AS BIGINT) AS dy1),
+        w AS (SELECT x, y,
+            greatest(x * 256, dx0) AS ix0, least(x * 256 + 256, dx1) AS ix1,
+            greatest(y * 256, dy0) AS iy0, least(y * 256 + 256, dy1) AS iy1,
+            dx0, dy0
+          FROM tk CROSS JOIN d)
+      SELECT 'z5/x' || x || '/y' || y || '.tile' AS location,
+             CAST(5 AS BIGINT) AS z, x, y,
+             ix0 - x * 256 AS src_xoff, iy0 - y * 256 AS src_yoff,
+             ix0 - dx0 AS dst_xoff, iy0 - dy0 AS dst_yoff,
+             ix1 - ix0 AS w, iy1 - iy0 AS h
+      FROM w WHERE ix1 - ix0 > 0 AND iy1 - iy0 > 0
+      ORDER BY x, y"""))
   )
 }
