@@ -1241,6 +1241,40 @@ object Queries3 {
              ix0 - dx0 AS dst_xoff, iy0 - dy0 AS dst_yoff,
              ix1 - ix0 AS w, iy1 - iy0 AS h
       FROM w WHERE ix1 - ix0 > 0 AND iy1 - iy0 > 0
-      ORDER BY x, y"""))
+      ORDER BY x, y""")),
+
+    // -- raster clip: materialize the VRT over a non-aligned bbox (the
+    // `gdal raster clip` / translate-of-a-VRT path) and checksum each dst
+    // tile. The pixel side is touched only via the broadcast descriptor
+    // semi-join — the clip never scans tiles outside the request.
+    ("r33_raster_clip", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val tiles = engine.Raster.rasterizePoints(Queries.eventPoints(s, dir), 5)
+      val idx = engine.TileIndex.buildIndex(tiles)
+      val osd = graft.geom.Mercator.OriginShift
+      val vrt = engine.TileIndex.buildVrt(idx, -0.3 * osd, -0.2 * osd, 0.55 * osd, 0.4 * osd)
+      engine.TileIndex.mosaic(tiles, vrt)
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks").orderBy("x", "y")
+    }, Some(s"""
+      WITH pp AS (SELECT ((${mercX(lonOf("event_id"))}) + $os) / ${resAt(5)} AS pxd,
+            8192.0 - ((${mercY(latOf("event_id"))}) + $os) / ${resAt(5)} AS pyd FROM events),
+        pix AS (SELECT CAST(floor(pxd) AS BIGINT) AS px, CAST(floor(pyd) AS BIGINT) AS py
+                FROM pp WHERE pxd >= 0 AND pxd < 8192 AND pyd >= 0 AND pyd < 8192),
+        d AS (SELECT
+            CAST(floor((((-0.3) * $os) + $os) / ${resAt(5)}) AS BIGINT) AS dx0,
+            CAST(floor(($os - (0.4 * $os)) / ${resAt(5)}) AS BIGINT) AS dy0,
+            CAST(ceil(((0.55 * $os) + $os) / ${resAt(5)}) AS BIGINT) AS dx1,
+            CAST(ceil(($os - ((-0.2) * $os)) / ${resAt(5)}) AS BIGINT) AS dy1),
+        cells AS (SELECT (px - dx0) >> 8 AS tx, (py - dy0) >> 8 AS ty,
+                  (px - dx0) % 256 AS cx, (py - dy0) % 256 AS cy, count(*) AS n
+            FROM pix CROSS JOIN d
+            WHERE px >= dx0 AND px < dx1 AND py >= dy0 AND py < dy1
+            GROUP BY 1, 2, 3, 4)
+      SELECT tx AS x, ty AS y,
+        CAST(sum(n % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536 AS BIGINT) AS cks
+      FROM cells GROUP BY 1, 2 ORDER BY x, y"""))
   )
 }
