@@ -1275,6 +1275,72 @@ object Queries3 {
             GROUP BY 1, 2, 3, 4)
       SELECT tx AS x, ty AS y,
         CAST(sum(n % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536 AS BIGINT) AS cks
-      FROM cells GROUP BY 1, 2 ORDER BY x, y"""))
+      FROM cells GROUP BY 1, 2 ORDER BY x, y""")),
+
+    // -- Polar Stereographic (variant B, EPSG:3413 params) + Sinusoidal
+    // (MODIS grid) — Snyder §21/§30 ellipsoidal, geom/Conic.scala; the
+    // reference delegates both to PROJ stere/sinu (ogr/ogrct.cpp). Same
+    // scheme as g34: forward at mm, inverse exercised via µdeg roundtrip
+    // columns that must land exactly 0; oracle re-derives the forward
+    // with identical operation order and Conic-precomputed constants.
+    ("g43_proj", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = Queries.eventPoints(s, dir).where(col("event_id") < 5000)
+        .withColumn("latp", expr("60.0 + (lat + 85.0) / 170.0 * 24.0"))
+        .withColumn("pp", gf.st_point(col("lon"), col("latp")))
+        .withColumn("pw", gf.st_point(col("lon"), col("lat")))
+        .withColumn("gp", expr("st_transform_ps(pp, 70.0, -45.0)"))
+        .withColumn("gs", expr("st_transform_sinu(pw, 0.0)"))
+        .withColumn("rp", expr(
+          "st_transform_ps_inv(st_transform_ps(pp, 70.0, -45.0), 70.0, -45.0)"))
+        .withColumn("rs", expr(
+          "st_transform_sinu_inv(st_transform_sinu(pw, 0.0), 0.0)"))
+      base.select(col("event_id"),
+          expr("CAST(floor(st_x(gp) * 1000.0 + 0.5) AS BIGINT)").as("px_mm"),
+          expr("CAST(floor(st_y(gp) * 1000.0 + 0.5) AS BIGINT)").as("py_mm"),
+          expr("CAST(floor(st_x(gs) * 1000.0 + 0.5) AS BIGINT)").as("sx_mm"),
+          expr("CAST(floor(st_y(gs) * 1000.0 + 0.5) AS BIGINT)").as("sy_mm"),
+          expr("CAST(floor((st_x(rp) - lon) * 1000000.0 + 0.5) AS BIGINT)").as("prlon_u"),
+          expr("CAST(floor((st_y(rp) - latp) * 1000000.0 + 0.5) AS BIGINT)").as("prlat_u"),
+          expr("CAST(floor((st_x(rs) - lon) * 1000000.0 + 0.5) AS BIGINT)").as("srlon_u"),
+          expr("CAST(floor((st_y(rs) - lat) * 1000000.0 + 0.5) AS BIGINT)").as("srlat_u"))
+        .orderBy("event_id")
+    }, Some {
+      import graft.geom.Conic
+      val pp = Conic.psParams(70.0, -45.0)
+      val sp = Conic.sinuParams(0.0)
+      val f = 1.0 / 298.257223563
+      val e2v = f * (2.0 - f); val ev = math.sqrt(e2v)
+      val (e2l, el) = (dlit(e2v), dlit(ev))
+      val eHalf = dlit(ev / 2.0)
+      val rhoC = dlit(pp.rhoC); val plam0 = dlit(pp.lam0)
+      val (m0l, m1l, m2l, m3l) = (dlit(sp.m0), dlit(sp.m1), dlit(sp.m2), dlit(sp.m3))
+      val aL = dlit(Conic.A)
+      val d2rl = dlit(math.Pi / 180.0)
+      val piL = dlit(math.Pi)
+      s"""WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events WHERE event_id < 5000),
+      cc AS (SELECT event_id,
+          lon * $d2rl AS lam,
+          (60.0 + (lat + 85.0) / 170.0 * 24.0) * $d2rl AS phip,
+          lat * $d2rl AS phiw FROM pts),
+      ps AS (SELECT event_id,
+          $rhoC * (tan($piL / 4.0 - phip / 2.0) /
+            power((1.0 - $el * sin(phip)) / (1.0 + $el * sin(phip)), $eHalf)) AS rho,
+          lam - $plam0 AS th FROM cc),
+      sn AS (SELECT event_id,
+          $aL * (lam - 0.0) * cos(phiw) / sqrt(1.0 - $e2l * sin(phiw) * sin(phiw)) AS sx,
+          $m0l * phiw - $m1l * sin(2.0 * phiw) + $m2l * sin(4.0 * phiw)
+            - $m3l * sin(6.0 * phiw) AS sy FROM cc)
+      SELECT p.event_id,
+        CAST(floor((p.rho * sin(p.th)) * 1000.0 + 0.5) AS BIGINT) AS px_mm,
+        CAST(floor((-(p.rho * cos(p.th))) * 1000.0 + 0.5) AS BIGINT) AS py_mm,
+        CAST(floor(n.sx * 1000.0 + 0.5) AS BIGINT) AS sx_mm,
+        CAST(floor(n.sy * 1000.0 + 0.5) AS BIGINT) AS sy_mm,
+        CAST(0 AS BIGINT) AS prlon_u, CAST(0 AS BIGINT) AS prlat_u,
+        CAST(0 AS BIGINT) AS srlon_u, CAST(0 AS BIGINT) AS srlat_u
+      FROM ps p JOIN sn n USING (event_id) ORDER BY p.event_id"""
+    })
   )
 }

@@ -166,6 +166,14 @@ object GeoKernel {
     Wkb.write(Conic.albersGeom(decode(wkb), lat1, lat2, lat0, lon0))
   def fromAlbers(wkb: Array[Byte], lat1: Double, lat2: Double, lat0: Double, lon0: Double): Array[Byte] =
     Wkb.write(Conic.albersInvGeom(decode(wkb), lat1, lat2, lat0, lon0))
+  def toPs(wkb: Array[Byte], latTs: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.psGeom(decode(wkb), latTs, lon0))
+  def fromPs(wkb: Array[Byte], latTs: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.psInvGeom(decode(wkb), latTs, lon0))
+  def toSinu(wkb: Array[Byte], lon0: Double): Array[Byte] =
+    Wkb.write(Conic.sinuGeom(decode(wkb), lon0))
+  def fromSinu(wkb: Array[Byte], lon0: Double): Array[Byte] =
+    Wkb.write(Conic.sinuInvGeom(decode(wkb), lon0))
 
   // ---- cells & tiles
   def cell(lon: Double, lat: Double, z: Int): Long = CellId.fromLonLat(lon, lat, z)

@@ -808,6 +808,49 @@ case class StTransformConic(children: Seq[Expression], which: Int)
     copy(children = ns)
 }
 
+/** st_transform_ps(wkb, lat_ts, lon0) / st_transform_sinu(wkb, lon0)
+  * family — native Polar Stereographic variant B (Snyder §21; PROJ stere,
+  * EPSG:3413/3031) and ellipsoidal Sinusoidal (Snyder §30; PROJ sinu, the
+  * MODIS grid). `which`: 0=PS fwd, 1=PS inv, 2=sinu fwd, 3=sinu inv.
+  * Batch reprojection, not row-hot → CodegenFallback like the conics. */
+case class StTransformProj(children: Seq[Expression], which: Int)
+    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+  private val nParams = if (which < 2) 2 else 1
+  require(children.length == nParams + 1,
+    "st_transform_ps(wkb, lat_ts, lon0) / st_transform_sinu(wkb, lon0)")
+  override def inputTypes: Seq[AbstractDataType] =
+    BinaryType +: Seq.fill(nParams)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = which match {
+    case 0 => "st_transform_ps"
+    case 1 => "st_transform_ps_inv"
+    case 2 => "st_transform_sinu"
+    case _ => "st_transform_sinu_inv"
+  }
+  override def eval(input: InternalRow): Any = {
+    val w = children(0).eval(input)
+    if (w == null) return null
+    val ps = new Array[Double](nParams)
+    var i = 0
+    while (i < nParams) {
+      val v = children(i + 1).eval(input)
+      if (v == null) return null
+      ps(i) = v.asInstanceOf[Double]
+      i += 1
+    }
+    val wkb = w.asInstanceOf[Array[Byte]]
+    which match {
+      case 0 => GeoKernel.toPs(wkb, ps(0), ps(1))
+      case 1 => GeoKernel.fromPs(wkb, ps(0), ps(1))
+      case 2 => GeoKernel.toSinu(wkb, ps(0))
+      case _ => GeoKernel.fromSinu(wkb, ps(0))
+    }
+  }
+  protected override def withNewChildrenInternal(ns: IndexedSeq[Expression]): StTransformProj =
+    copy(children = ns)
+}
+
 /** st_isvalid_reason / st_invalid_x / st_invalid_y — the check-geometry
   * detail surface (apps/gdalalg_vector_check_geometry.cpp `error` +
   * `error_location` fields; geom/CheckGeometry.scala kernel). NULL for

@@ -75,6 +75,10 @@ object GraftFunctions {
     arity("st_transform_lcc_inv", 5)(a => StTransformConic(a, 1)),
     arity("st_transform_albers", 5)(a => StTransformConic(a, 2)),
     arity("st_transform_albers_inv", 5)(a => StTransformConic(a, 3)),
+    arity("st_transform_ps", 3)(a => StTransformProj(a, 0)),
+    arity("st_transform_ps_inv", 3)(a => StTransformProj(a, 1)),
+    arity("st_transform_sinu", 2)(a => StTransformProj(a, 2)),
+    arity("st_transform_sinu_inv", 2)(a => StTransformProj(a, 3)),
     arity("st_simplify", 2)(a => StSimplify(a(0), a(1))),
     arity("st_segmentize", 2)(a => StSegmentize(a(0), a(1))),
     arity("st_cover", 2)(a => StCover(a(0), a(1))),

@@ -113,7 +113,120 @@ object Conic {
     ((th / p.n + p.lam0) / d2r, phi / d2r)
   }
 
+  // ---- Polar Stereographic, variant B (standard parallel), Snyder §21
+  // (PROJ +proj=stere +lat_0=±90 +lat_ts=...; EPSG:3413/3031 family).
+
+  /** rhoC = A·m(φ1)/t(φ1); south pole selected by lat_ts < 0. */
+  final case class PsParams(rhoC: Double, lam0: Double, south: Boolean)
+
+  def psParams(latTs: Double, lon0: Double): PsParams = {
+    val p1 = math.abs(latTs) * d2r
+    PsParams(A * mOf(p1) / tOf(p1), lon0 * d2r, latTs < 0.0)
+  }
+
+  /** Forward (Snyder 21-30/31 north aspect; south via φ,x,y negation). */
+  def psForward(lonDeg: Double, latDeg: Double, p: PsParams): (Double, Double) = {
+    val lam = lonDeg * d2r
+    val phi = if (p.south) -(latDeg * d2r) else latDeg * d2r
+    val rho = p.rhoC * tOf(phi)
+    val th = if (p.south) -(lam - p.lam0) else lam - p.lam0
+    val x = rho * math.sin(th)
+    val y = -(rho * math.cos(th))
+    if (p.south) (-x, -y) else (x, y)
+  }
+
+  /** Inverse (Snyder 21-39/40; φ via the fixed-point of 7-9). */
+  def psInverse(x0: Double, y0: Double, p: PsParams): (Double, Double) = {
+    val x = if (p.south) -x0 else x0
+    val y = if (p.south) -y0 else y0
+    val rho = math.sqrt(x * x + y * y)
+    val t = rho / p.rhoC
+    val th = math.atan2(x, -y)
+    var phi = math.Pi / 2.0 - 2.0 * math.atan(t)
+    var i = 0
+    while (i < 9) {
+      val s = math.sin(phi)
+      phi = math.Pi / 2.0 - 2.0 * math.atan(
+        t * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+      i += 1
+    }
+    val lam0 = if (p.south) p.lam0 - th else p.lam0 + th
+    // wrap to [-π, π): λ0 + atan2's branch can leave the principal range
+    val lam = lam0 - 2.0 * math.Pi * math.floor((lam0 + math.Pi) / (2.0 * math.Pi))
+    ((lam) / d2r, (if (p.south) -phi else phi) / d2r)
+  }
+
+  // ---- Sinusoidal, ellipsoidal (Snyder §30; PROJ +proj=sinu — the MODIS
+  // grid projection). Equal-area, pseudocylindrical.
+
+  final case class SinuParams(lam0: Double, m0: Double, m1: Double,
+                              m2: Double, m3: Double, e1: Double)
+
+  def sinuParams(lon0: Double): SinuParams = {
+    val e4 = e2 * e2; val e6 = e4 * e2
+    val m0 = A * (1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0)
+    val m1 = A * (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0)
+    val m2 = A * (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0)
+    val m3 = A * (35.0 * e6 / 3072.0)
+    val se = math.sqrt(1.0 - e2)
+    SinuParams(lon0 * d2r, m0, m1, m2, m3, (1.0 - se) / (1.0 + se))
+  }
+
+  /** Forward (Snyder 30-8: x; 3-21: y = meridian distance M(φ)). */
+  def sinuForward(lonDeg: Double, latDeg: Double, p: SinuParams): (Double, Double) = {
+    val lam = lonDeg * d2r; val phi = latDeg * d2r
+    val s = math.sin(phi)
+    val x = A * (lam - p.lam0) * math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    val y = p.m0 * phi - p.m1 * math.sin(2.0 * phi) +
+      p.m2 * math.sin(4.0 * phi) - p.m3 * math.sin(6.0 * phi)
+    (x, y)
+  }
+
+  /** Inverse (footpoint series Snyder 3-26, then 30-11). */
+  def sinuInverse(x: Double, y: Double, p: SinuParams): (Double, Double) = {
+    val mu = y / p.m0
+    val e1 = p.e1
+    var phi = mu +
+      (3.0 * e1 / 2.0 - 27.0 * e1 * e1 * e1 / 32.0) * math.sin(2.0 * mu) +
+      (21.0 * e1 * e1 / 16.0 - 55.0 * e1 * e1 * e1 * e1 / 32.0) * math.sin(4.0 * mu) +
+      (151.0 * e1 * e1 * e1 / 96.0) * math.sin(6.0 * mu) +
+      (1097.0 * e1 * e1 * e1 * e1 / 512.0) * math.sin(8.0 * mu)
+    // the series truncates at ~1e-9 rad near the poles; two Newton steps
+    // on M(φ) = y (M' = meridian radius) land at machine precision
+    var k = 0
+    while (k < 2) {
+      val sk = math.sin(phi)
+      val mPhi = p.m0 * phi - p.m1 * math.sin(2.0 * phi) +
+        p.m2 * math.sin(4.0 * phi) - p.m3 * math.sin(6.0 * phi)
+      val onek = 1.0 - e2 * sk * sk
+      phi += (y - mPhi) * math.pow(onek, 1.5) / (A * (1.0 - e2))
+      k += 1
+    }
+    val s = math.sin(phi)
+    val lam =
+      if (math.abs(math.cos(phi)) < 1e-12) p.lam0
+      else p.lam0 + x * math.sqrt(1.0 - e2 * s * s) / (A * math.cos(phi))
+    (lam / d2r, phi / d2r)
+  }
+
   // ---- geometry-level transforms (WKB path goes through GeoKernel)
+
+  def psGeom(g: Geom, latTs: Double, lon0: Double): Geom = {
+    val p = psParams(latTs, lon0)
+    GeoOps.mapCoords(g, (x, y) => psForward(x, y, p))
+  }
+  def psInvGeom(g: Geom, latTs: Double, lon0: Double): Geom = {
+    val p = psParams(latTs, lon0)
+    GeoOps.mapCoords(g, (x, y) => psInverse(x, y, p))
+  }
+  def sinuGeom(g: Geom, lon0: Double): Geom = {
+    val p = sinuParams(lon0)
+    GeoOps.mapCoords(g, (x, y) => sinuForward(x, y, p))
+  }
+  def sinuInvGeom(g: Geom, lon0: Double): Geom = {
+    val p = sinuParams(lon0)
+    GeoOps.mapCoords(g, (x, y) => sinuInverse(x, y, p))
+  }
 
   def lccGeom(g: Geom, lat1: Double, lat2: Double, lat0: Double, lon0: Double): Geom = {
     val p = lccParams(lat1, lat2, lat0, lon0)

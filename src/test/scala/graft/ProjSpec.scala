@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geom.Conic
+
+/** Polar Stereographic (variant B) + Sinusoidal by mathematical property
+  * (g43 proves engine/SQL parity; this proves they're the RIGHT
+  * projections): roundtrip identity over both hemispheres' domains,
+  * PS unit scale on the standard parallel and pole→origin, sinusoidal
+  * equal-area and true-scale central meridian. */
+class ProjSpec extends AnyFunSuite {
+
+  private val e2 = (1.0 / 298.257223563) * (2.0 - 1.0 / 298.257223563)
+
+  test("PS north + south roundtrip to 1e-9 degrees; pole maps to origin") {
+    val n = Conic.psParams(70.0, -45.0)
+    for (lon <- Seq(-179.5, -45.0, 0.0, 120.7); lat <- Seq(55.0, 70.0, 89.5)) {
+      val (x, y) = Conic.psForward(lon, lat, n)
+      val (lo, la) = Conic.psInverse(x, y, n)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"PS-N at $lon,$lat")
+    }
+    val sp = Conic.psParams(-71.0, 0.0) // EPSG:3031 parameters
+    for (lon <- Seq(-170.0, 0.0, 66.6); lat <- Seq(-55.0, -71.0, -89.5)) {
+      val (x, y) = Conic.psForward(lon, lat, sp)
+      val (lo, la) = Conic.psInverse(x, y, sp)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"PS-S at $lon,$lat")
+    }
+    val (px, py) = Conic.psForward(33.0, 90.0, n)
+    assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6, s"pole → ($px,$py)")
+  }
+
+  test("PS scale is 1 on the standard parallel, grows away from it") {
+    val p = Conic.psParams(70.0, -45.0)
+    def scaleAt(lat: Double): Double = {
+      val dLon = 1e-4
+      val (x0, y0) = Conic.psForward(10.0, lat, p)
+      val (x1, y1) = Conic.psForward(10.0 + dLon, lat, p)
+      val phi = lat * math.Pi / 180.0
+      val s = math.sin(phi)
+      val nu = Conic.A / math.sqrt(1.0 - e2 * s * s)
+      math.hypot(x1 - x0, y1 - y0) / (nu * math.cos(phi) * dLon * math.Pi / 180.0)
+    }
+    assert(math.abs(scaleAt(70.0) - 1.0) < 1e-6)
+    assert(scaleAt(60.0) > 1.0 + 1e-3) // equatorward of lat_ts: scale > 1
+    assert(scaleAt(80.0) < 1.0 - 1e-3) // poleward: scale < 1
+  }
+
+  test("Sinusoidal roundtrips, is equal-area, and true-scale on λ0") {
+    val p = Conic.sinuParams(0.0)
+    for (lon <- Seq(-179.0, -20.0, 0.0, 155.5); lat <- Seq(-84.0, -33.0, 0.0, 47.1, 84.0)) {
+      val (x, y) = Conic.sinuForward(lon, lat, p)
+      val (lo, la) = Conic.sinuInverse(x, y, p)
+      assert(math.abs(lo - lon) < 1e-8 && math.abs(la - lat) < 1e-8, s"sinu at $lon,$lat")
+    }
+    // equal-area: a tiny quad's planar area == ellipsoid surface area
+    val (lon, lat, d) = (37.2, 51.8, 0.01)
+    val quad = Seq((lon, lat), (lon + d, lat), (lon + d, lat + d), (lon, lat + d))
+      .map { case (lo, la) => Conic.sinuForward(lo, la, p) }
+    val planar = 0.5 * math.abs((0 until 4).map { i =>
+      val (x1, y1) = quad(i); val (x2, y2) = quad((i + 1) % 4)
+      x1 * y2 - x2 * y1
+    }.sum)
+    // evaluate the surface element at the quad CENTER — corner evaluation
+    // leaves an O(d) first-order error the comparison would chase
+    val phi = (lat + d / 2.0) * math.Pi / 180.0
+    val s = math.sin(phi)
+    val one = 1.0 - e2 * s * s
+    // ellipsoid area element: (M ν cosφ) dφ dλ, M = a(1-e²)/(1-e²sin²φ)^1.5
+    val m = Conic.A * (1.0 - e2) / math.pow(one, 1.5)
+    val nu = Conic.A / math.sqrt(one)
+    val dr = math.Pi / 180.0
+    val surf = m * nu * math.cos(phi) * (d * dr) * (d * dr)
+    assert(math.abs(planar / surf - 1.0) < 1e-4, s"$planar vs $surf")
+    // true scale along the central meridian: y spacing == meridian arc
+    val (_, y0) = Conic.sinuForward(0.0, lat, p)
+    val (_, y1) = Conic.sinuForward(0.0, lat + d, p)
+    assert(math.abs((y1 - y0) / (m * d * dr) - 1.0) < 1e-6)
+  }
+}
