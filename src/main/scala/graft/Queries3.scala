@@ -1341,6 +1341,68 @@ object Queries3 {
         CAST(0 AS BIGINT) AS prlon_u, CAST(0 AS BIGINT) AS prlat_u,
         CAST(0 AS BIGINT) AS srlon_u, CAST(0 AS BIGINT) AS srlat_u
       FROM ps p JOIN sn n USING (event_id) ORDER BY p.event_id"""
-    })
+    }),
+
+    // -- clean-coverage merge-sliver policy, all four reference strategies
+    // (gdalalg_vector_clean_coverage.cpp:38-42 → GEOS_MERGE_*): a chain of
+    // rectangles with deterministic 0.1°-wide overlap slivers and
+    // decorrelated heights/areas (so longest-border ≠ max-area on some
+    // pairs); output = each unit's area under each strategy. Oracle
+    // recomputes the winner logic closed-form per pair.
+    ("g44_merge_sliver", (s, dir) => {
+      prep(s)
+      val sp = s
+      import sp.implicits._
+      val fixture = t(s, dir, "documents").where(col("doc_id") < 40)
+        .select(col("doc_id").cast("long").as("id"))
+        .withColumn("w", expr("(10.0 + CAST((id * 7) % 13 AS DOUBLE)) / 10.0"))
+        .withColumn("h", expr("(5.0 + CAST((id * 3) % 11 AS DOUBLE)) / 10.0"))
+        .withColumn("x", expr(
+          "-80.0 + COALESCE(SUM(w) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)"))
+        .select(col("id"), col("w"), col("h"), col("x"))
+        .as[(Long, Double, Double, Double)]
+        .map { case (id, w, h, x) =>
+          val xr = x + w + 0.1
+          (id, graft.geom.Wkb.write(graft.geom.Polygon(
+            Array(Array(x, 0.0, xr, 0.0, xr, h, x, h, x, 0.0)))))
+        }.toDF("id", "wkb").cache()
+      def areaUnder(strategy: String, out: String): DataFrame =
+        engine.Coverage.resolveOverlaps(fixture, strategy, z = 4)
+          .select(col("id"),
+            expr("CAST(floor(st_area(wkb) * 1000000.0 + 0.5) AS BIGINT)").as(out))
+      areaUnder("min-index", "a_minidx_u")
+        .join(areaUnder("max-area", "a_maxarea_u"), "id")
+        .join(areaUnder("min-area", "a_minarea_u"), "id")
+        .join(areaUnder("longest-border", "a_border_u"), "id")
+        .orderBy("id")
+    }, Some("""
+      WITH k AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 40),
+      f AS (SELECT id,
+          (10.0 + CAST((id * 7) % 13 AS DOUBLE)) / 10.0 AS w,
+          (5.0 + CAST((id * 3) % 11 AS DOUBLE)) / 10.0 AS h FROM k),
+      a AS (SELECT id, w, h, (w + 0.1) * h AS area,
+          lead(h) OVER (ORDER BY id) AS hn, lead(w) OVER (ORDER BY id) AS wn
+        FROM f),
+      p AS (SELECT id, area, h, hn,
+          CASE WHEN hn IS NULL THEN NULL ELSE 0.1 * least(h, hn) END AS o_next,
+          CASE WHEN hn IS NULL THEN NULL ELSE (wn + 0.1) * hn END AS area_next
+        FROM a),
+      q AS (SELECT id, area, h, hn, o_next, area_next,
+          lag(o_next) OVER (ORDER BY id) AS o_prev,
+          lag(area) OVER (ORDER BY id) AS area_prev,
+          lag(h) OVER (ORDER BY id) AS h_prev
+        FROM p)
+      SELECT id,
+        CAST(floor((area - COALESCE(o_prev, 0.0)) * 1000000.0 + 0.5) AS BIGINT) AS a_minidx_u,
+        CAST(floor((area
+          - CASE WHEN area_next > area THEN o_next ELSE 0.0 END
+          - CASE WHEN area_prev >= area THEN o_prev ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS a_maxarea_u,
+        CAST(floor((area
+          - CASE WHEN area_next IS NOT NULL AND area > area_next THEN o_next ELSE 0.0 END
+          - CASE WHEN area_prev IS NOT NULL AND area_prev <= area THEN o_prev ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS a_minarea_u,
+        CAST(floor((area
+          - CASE WHEN hn IS NOT NULL AND hn > h THEN o_next ELSE 0.0 END
+          - CASE WHEN h_prev IS NOT NULL AND h_prev > h THEN o_prev ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS a_border_u
+      FROM q ORDER BY id"""))
   )
 }

@@ -54,6 +54,117 @@ object Coverage {
     }.toDF("id", "wkb")
   }
 
+  /** clean-coverage merge-sliver policy: assign each pairwise overlap to
+    * ONE owner and subtract it from the other, per the reference's
+    * merge-strategy choices (gdalalg_vector_clean_coverage.cpp:38-42 →
+    * GEOS CoverageClean GEOS_MERGE_*): `min-index`, `max-area`,
+    * `min-area`, `longest-border` (longest common border with the
+    * overlap, measured as the portion of the overlap's boundary
+    * contributed by the OTHER unit's boundary; ties → min index).
+    *
+    * Distributed shape: candidate pairs from the cell-cover equi-join
+    * (never O(n²)); the overlap, the strategy decision and the boundary
+    * classification are all pair-local map work; losers fold their lost
+    * regions with ONE groupByKey. Overlaps involving exactly two owners —
+    * the sliver case the policy exists for — resolve exactly; regions
+    * shared by 3+ units resolve pairwise (each loser subtracts every
+    * region it lost), which can assign a deep stack to several winners —
+    * rerun to a fixpoint for pathological inputs. */
+  def resolveOverlaps(df: DataFrame, strategy: String, z: Int = 6,
+                      broadcastRight: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val strat = strategy
+    require(Set("min-index", "max-area", "min-area", "longest-border")(strat),
+      s"unknown merge strategy $strat")
+    val l = df.select(org.apache.spark.sql.functions.col("id").cast("long").as("ia"),
+      org.apache.spark.sql.functions.col("wkb"))
+    val r = df.select(org.apache.spark.sql.functions.col("id").cast("long").as("ib"),
+      org.apache.spark.sql.functions.col("wkb"))
+    val cand = SpatialJoin.intersectsJoin(l, "ia", r, "ib", z, broadcastRight)
+      .where(org.apache.spark.sql.functions.col("ia") <
+        org.apache.spark.sql.functions.col("ib"))
+      .select("ia", "ib", "wkb", "wkb_r")
+      .as[(Long, Long, Array[Byte], Array[Byte])]
+    val lost = cand.flatMap { case (ia, ib, aw, bw) =>
+      val a = Wkb.read(aw); val b = Wkb.read(bw)
+      val o = BoolOps.intersection(a, b)
+      if (GeoOps.area(o) <= 0.0) Iterator.empty
+      else {
+        val winner = strat match {
+          case "min-index" => ia
+          case "max-area" =>
+            if (GeoOps.area(a) >= GeoOps.area(b)) ia else ib
+          case "min-area" =>
+            if (GeoOps.area(a) <= GeoOps.area(b)) ia else ib
+          case "longest-border" =>
+            val (bA, bB) = borderShares(o, a, b)
+            if (bA >= bB) ia else ib
+        }
+        Iterator.single((if (winner == ia) ib else ia, Wkb.write(o)))
+      }
+    }.toDF("id", "lostwkb")
+    df.select(org.apache.spark.sql.functions.col("id").cast("long").as("id"),
+        org.apache.spark.sql.functions.col("wkb"))
+      .join(lost, Seq("id"), "left")
+      .as[(Long, Array[Byte], Option[Array[Byte]])]
+      .groupByKey(_._1).mapGroups { (id, it) =>
+        var base: Geom = null
+        val losses = ArrayBuffer.empty[Array[Byte]]
+        it.foreach { case (_, w, lw) =>
+          if (base == null) base = Wkb.read(w)
+          lw.foreach(losses += _)
+        }
+        var g = base
+        losses.foreach(lw => g = BoolOps.difference(g, Wkb.read(lw)))
+        (id, Wkb.write(g))
+      }.toDF("id", "wkb")
+  }
+
+  /** (border of overlap `o` shared with a's remainder, with b's
+    * remainder): a segment of ∂o lying on ∂b (and not ∂a) separates o
+    * from the rest of A, and vice versa; segments on both boundaries are
+    * shared exterior border and count for neither. Classified by segment
+    * midpoint at absolute eps — the overlap's vertices come from the two
+    * inputs' own coordinates, so on-boundary distances are exact to fp
+    * noise. */
+  private[engine] def borderShares(o: Geom, a: Geom, b: Geom): (Double, Double) = {
+    val eps = 1e-9
+    var lenOnA = 0.0; var lenOnB = 0.0
+    ringsOf(o).foreach { rr =>
+      var i = 0
+      while (i + 3 < rr.length) {
+        val mx = (rr(i) + rr(i + 2)) / 2.0; val my = (rr(i + 1) + rr(i + 3)) / 2.0
+        val len = math.hypot(rr(i + 2) - rr(i), rr(i + 3) - rr(i + 1))
+        val onA = onBoundary(a, mx, my, eps)
+        val onB = onBoundary(b, mx, my, eps)
+        if (onA && !onB) lenOnA += len
+        else if (onB && !onA) lenOnB += len
+        i += 2
+      }
+    }
+    (lenOnB, lenOnA)
+  }
+
+  private def ringsOf(g: Geom): Iterator[Array[Double]] = g match {
+    case p: Polygon => p.rings.iterator
+    case m: MultiPolygon => m.polys.iterator.flatMap(_.rings)
+    case _ => Iterator.empty
+  }
+
+  private def onBoundary(g: Geom, px: Double, py: Double, eps: Double): Boolean = {
+    val e2 = eps * eps
+    ringsOf(g).exists { rr =>
+      var i = 0; var hit = false
+      while (i + 3 < rr.length && !hit) {
+        if (GeoOps.distToSegmentSq(px, py, rr(i), rr(i + 1), rr(i + 2), rr(i + 3)) <= e2)
+          hit = true
+        i += 2
+      }
+      hit
+    }
+  }
+
   private def dropDegenerate(polys: Array[Polygon]): Array[Polygon] =
     polys.flatMap { poly =>
       val cleaned = poly.rings.map(r => closeRing(openVerts(r)))

@@ -91,6 +91,38 @@ class CoverageSpec extends AnyFunSuite {
     assert(GeoOps.npoints(Wkb.read(simp(0L))) === 5)
   }
 
+  test("resolveOverlaps yields a disjoint coverage preserving total extent") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // 5 rectangles, each overlapping the next by a sliver, varied heights
+    val polys = (0 until 5).map { k =>
+      val x = k * 3.0; val h = 2.0 + (k % 3) * 0.7
+      (k.toLong, Wkb.write(Polygon(Array(Array(
+        x, 0.0, x + 3.4, 0.0, x + 3.4, h, x, h, x, 0.0)))))
+    }
+    val before = polys.map(p => GeoOps.area(Wkb.read(p._2)))
+    val unionBefore = polys.map(p => Wkb.read(p._2))
+      .reduce[Geom]((a, b) => BoolOps.union(a, b))
+    for (strategy <- Seq("min-index", "max-area", "min-area", "longest-border")) {
+      val out = Coverage.resolveOverlaps(polys.toDF("id", "wkb"), strategy, z = 4)
+        .as[(Long, Array[Byte])].collect().sortBy(_._1).map(p => Wkb.read(p._2))
+      assert(out.length === 5, strategy)
+      // pairwise disjoint interiors
+      for (i <- out.indices; j <- (i + 1) until out.length)
+        assert(GeoOps.area(BoolOps.intersection(out(i), out(j))) < 1e-9,
+          s"$strategy: units $i,$j still overlap")
+      // nothing lost: areas sum to the union's area
+      val total = out.map(GeoOps.area).sum
+      assert(math.abs(total - GeoOps.area(unionBefore)) < 1e-9,
+        s"$strategy: $total != ${GeoOps.area(unionBefore)}")
+      // every overlap was assigned to exactly one side: each area shrank
+      // or stayed, never grew
+      out.map(GeoOps.area).zip(before).foreach { case (a, b) =>
+        assert(a <= b + 1e-12, strategy)
+      }
+    }
+  }
+
   test("cleanCoverage snaps sub-precision jitter to identical chains") {
     val s = SparkTestSession.spark
     import s.implicits._
