@@ -205,20 +205,25 @@ object Bench {
       val (thr32, thr32m, tile32, tile32m) = better(aHi, bHi)
       val eff = thr32 / (4.0 * thr8)
       val effMed = thr32m / (4.0 * thr8m)
-      f"""{"n":$scaleN,"p_lo":$pLo,"p_hi":${pLo * 4},"join_docs_per_sec_lo":${thr8}%.1f,"join_docs_per_sec_hi":${thr32}%.1f,"join_docs_per_sec_lo_med":${thr8m}%.1f,"join_docs_per_sec_hi_med":${thr32m}%.1f,"tile_assign_sec_lo":$tile8%.3f,"tile_assign_sec_hi":$tile32%.3f,"tile_assign_sec_lo_med":$tile8m%.3f,"tile_assign_sec_hi_med":$tile32m%.3f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_med":$effMed%.3f}"""
+      // compact keys: the driver captures only the TAIL of the sbt output
+      // (BENCH_r01/r02 "parsed": null — the ~1 kB JSON line plus sbt's
+      // trailing [success] line overflowed the capture window and the line
+      // arrived truncated). lo/hi = docs/sec best-of-window at p_lo / p_hi
+      // cores, *_med = medians, tile_* = tile-assign seconds, eff =
+      // hi/(4·lo) scaling efficiency (the north-rule N→4N criterion).
+      f"""{"n":$scaleN,"p_lo":$pLo,"p_hi":${pLo * 4},"lo":${thr8}%.1f,"hi":${thr32}%.1f,"lo_med":${thr8m}%.1f,"hi_med":${thr32m}%.1f,"tile_lo":$tile8%.2f,"tile_hi":$tile32%.2f,"tile_lo_med":$tile8m%.2f,"tile_hi_med":$tile32m%.2f,"eff":$eff%.3f,"eff_med":$effMed%.3f}"""
     }
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val value: String =
       if (skipScaling) f"$total%.3f"
-      else scaling.split("join_docs_per_sec_hi\":")(1).split(",")(0)
-    val metric = if (skipScaling) "total" else "spatial-join docs/sec (broadcast cell join, hi parallelism probe)"
-    val json = s"""{"metric":"$metric","value":$value,"unit":"${if (skipScaling) "sec" else "docs/sec"}","queries":$qs,"sf":"$sfDir","total_sec":$total,"scaling":$scaling}"""
+      else scaling.split("\"hi\":")(1).split(",")(0)
+    val metric = if (skipScaling) "total" else "join docs/sec at p_hi"
+    val totalStr = f"$total%.2f"
+    val json = s"""{"metric":"$metric","value":$value,"unit":"${if (skipScaling) "sec" else "docs/sec"}","queries":$qs,"sf":"$sfDir","total_sec":$totalStr,"scaling":$scaling}"""
     println(json)
-    // sbt wraps stdout in [info] prefixes that defeat line-oriented JSON
-    // parsing (BENCH_r0*.json "parsed": null) — persist the line to a file
-    // as the machine-readable channel
+    // belt and braces: the file is the lossless machine-readable channel
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))

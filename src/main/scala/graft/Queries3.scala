@@ -1403,6 +1403,89 @@ object Queries3 {
         CAST(floor((area
           - CASE WHEN hn IS NOT NULL AND hn > h THEN o_next ELSE 0.0 END
           - CASE WHEN h_prev IS NOT NULL AND h_prev > h THEN o_prev ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS a_border_u
-      FROM q ORDER BY id"""))
+      FROM q ORDER BY id""")),
+
+    // -- zonal stats, FULL reference stat list (gdalalg_raster_zonal_stats
+    // .cpp:67-72: count/sum/min/max in r03; here mean, median, mode,
+    // minority, variety, stdev, variance, weighted mean/sum, center_x/y,
+    // max_center_x). Determinism scheme: value → exact integer cents, all
+    // moments from exact integer sums (s1, s2, weighted) so both engines
+    // floor the SAME double; mode/minority tie-break to smallest bucket;
+    // argmax tie-break to smallest event_id.
+    ("r34_zonal_full", (s, dir) => {
+      val pts = t(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          expr(lonOf("event_id")).as("lon"), expr(latOf("event_id")).as("lat"))
+      val j = engine.SpatialJoin.pipJoin(pts, Queries.fixturePolyDf(s), z = 3)
+        .withColumn("c", expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+        .withColumn("wi", expr("CAST(event_id % 7 + 1 AS BIGINT)"))
+        .withColumn("b", expr("CAST(floor(value) AS BIGINT)"))
+        .cache()
+      val counts = j.groupBy("poly_id", "b").agg(count(lit(1)).as("n"))
+      val modes = counts.groupBy("poly_id").agg(
+        expr("max_by(b, struct(n, -b))").as("mode_b"),
+        expr("min_by(b, struct(n, b))").as("minority_b"),
+        count(lit(1)).as("variety"))
+      val stats = j.groupBy("poly_id").agg(
+        count(lit(1)).as("n"),
+        sum("c").as("s1"), sum(expr("c * c")).as("s2"),
+        sum("wi").as("sw"), sum(expr("c * wi")).as("swc"),
+        expr("percentile(c, 0.5D)").as("med"),
+        avg("lon").as("cx"), avg("lat").as("cy"),
+        expr("max_by(lon, struct(c, -event_id))").as("mx"))
+      stats.join(modes, "poly_id")
+        .select(col("poly_id"),
+          expr("CAST(floor(CAST(s1 AS DOUBLE) * 100.0 / n + 0.5) AS BIGINT)").as("mean_u"),
+          expr("CAST(floor(med * 2.0 + 0.5) AS BIGINT)").as("median_d"),
+          expr("CAST(floor((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 100.0 + 0.5) AS BIGINT)").as("var_c"),
+          expr("CAST(floor(sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) * 100.0 + 0.5) AS BIGINT)").as("stdev_u"),
+          expr("CAST(floor(CAST(swc AS DOUBLE) * 100.0 / CAST(sw AS DOUBLE) + 0.5) AS BIGINT)").as("wmean_u"),
+          col("swc").as("wsum_c"),
+          expr("CAST(floor(cx * 1000000.0 + 0.5) AS BIGINT)").as("centerx_u"),
+          expr("CAST(floor(cy * 1000000.0 + 0.5) AS BIGINT)").as("centery_u"),
+          expr("CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT)").as("maxcx_u"),
+          col("mode_b"), col("minority_b"), col("variety"))
+        .orderBy("poly_id")
+    }, Some {
+      val arms = polygons.map { case (id, _, _) =>
+        s"SELECT event_id, value, lon, lat, '$id' AS poly_id FROM pts WHERE ${insidePolySql(id, "lon", "lat")}"
+      }
+      s"""WITH pts AS (SELECT event_id, value, ${lonOf("event_id")} AS lon,
+            ${latOf("event_id")} AS lat FROM events),
+      jj AS (${arms.mkString(" UNION ALL ")}),
+      e AS (SELECT poly_id, event_id, lon, lat,
+            CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+            CAST(event_id % 7 + 1 AS BIGINT) AS wi,
+            CAST(floor(value) AS BIGINT) AS b FROM jj),
+      cnt AS (SELECT poly_id, b, count(*) AS n FROM e GROUP BY 1, 2),
+      mdr AS (SELECT poly_id, b, n,
+            row_number() OVER (PARTITION BY poly_id ORDER BY n DESC, b ASC) AS rmode,
+            row_number() OVER (PARTITION BY poly_id ORDER BY n ASC, b ASC) AS rmin
+          FROM cnt),
+      md AS (SELECT poly_id,
+            max(CASE WHEN rmode = 1 THEN b END) AS mode_b,
+            max(CASE WHEN rmin = 1 THEN b END) AS minority_b,
+            CAST(count(*) AS BIGINT) AS variety FROM mdr GROUP BY 1),
+      er AS (SELECT poly_id, lon,
+            row_number() OVER (PARTITION BY poly_id ORDER BY c DESC, event_id ASC) AS rmx
+          FROM e),
+      mxs AS (SELECT poly_id, max(CASE WHEN rmx = 1 THEN lon END) AS mx FROM er GROUP BY 1),
+      st AS (SELECT e.poly_id, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2,
+            sum(wi) AS sw, sum(c * wi) AS swc,
+            quantile_cont(c, 0.5) AS med, avg(lon) AS cx, avg(lat) AS cy
+          FROM e GROUP BY 1)
+      SELECT poly_id,
+        CAST(floor(CAST(s1 AS DOUBLE) * 100.0 / n + 0.5) AS BIGINT) AS mean_u,
+        CAST(floor(med * 2.0 + 0.5) AS BIGINT) AS median_d,
+        CAST(floor((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 100.0 + 0.5) AS BIGINT) AS var_c,
+        CAST(floor(sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) * 100.0 + 0.5) AS BIGINT) AS stdev_u,
+        CAST(floor(CAST(swc AS DOUBLE) * 100.0 / CAST(sw AS DOUBLE) + 0.5) AS BIGINT) AS wmean_u,
+        CAST(swc AS BIGINT) AS wsum_c,
+        CAST(floor(cx * 1000000.0 + 0.5) AS BIGINT) AS centerx_u,
+        CAST(floor(cy * 1000000.0 + 0.5) AS BIGINT) AS centery_u,
+        CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT) AS maxcx_u,
+        mode_b, minority_b, variety
+      FROM st JOIN md USING (poly_id) JOIN mxs USING (poly_id) ORDER BY poly_id"""
+    })
   )
 }
