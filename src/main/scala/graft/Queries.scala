@@ -635,19 +635,11 @@ object Queries {
     // candidate iff one band of 4 minhashes agrees entirely — targets
     // high-jaccard near-dups, keeps bucket fan-out bounded at scale)
     ("d05_lsh_pairs", (s, dir) => {
-      val sig = minhashDf(s, dir)
-      val bands = sig.select(col("doc_id"), explode(array((0 until 2).map { b =>
-          struct(lit(b).as("band"), col(s"h${4 * b}").as("x1"), col(s"h${4 * b + 1}").as("x2"),
-            col(s"h${4 * b + 2}").as("x3"), col(s"h${4 * b + 3}").as("x4"))
-        }: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.x1").as("x1"),
-          col("bs.x2").as("x2"), col("bs.x3").as("x3"), col("bs.x4").as("x4"))
-      bands.as("l").join(bands.as("r"),
-          col("l.band") === col("r.band") && col("l.x1") === col("r.x1") &&
-            col("l.x2") === col("r.x2") && col("l.x3") === col("r.x3") &&
-            col("l.x4") === col("r.x4") && col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-        .distinct().orderBy("a", "b")
+      // uncapped here for oracle parity; the engine default caps hot
+      // buckets at 4096 (engine/Lsh.scala, guard spec-gated in LshSpec)
+      val (pairs, _) = engine.Lsh.candidatePairs(
+        engine.Lsh.bandify(minhashDf(s, dir), nBands = 2), maxBucket = Long.MaxValue)
+      pairs.orderBy("a", "b")
     }, Some {
       val bandArms = (0 until 2).map { b =>
         s"SELECT doc_id, $b AS band, h${4 * b} AS x1, h${4 * b + 1} AS x2, h${4 * b + 2} AS x3, h${4 * b + 3} AS x4 FROM sig"

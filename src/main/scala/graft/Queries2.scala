@@ -584,18 +584,9 @@ object Queries2 {
     ("d08_lsh_jaccard", (s, dir) => {
       prep(s)
       import graft.functions.gf
-      val sig = Queries.minhashDf(s, dir)
-      val bands = sig.select(col("doc_id"), explode(array((0 until 2).map { b =>
-          struct(lit(b).as("band"), col(s"h${4 * b}").as("x1"), col(s"h${4 * b + 1}").as("x2"),
-            col(s"h${4 * b + 2}").as("x3"), col(s"h${4 * b + 3}").as("x4"))
-        }: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.*"))
-      val cand = bands.as("l").join(bands.as("r"),
-          col("l.band") === col("r.band") && col("l.x1") === col("r.x1") &&
-            col("l.x2") === col("r.x2") && col("l.x3") === col("r.x3") &&
-            col("l.x4") === col("r.x4") && col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-        .distinct()
+      val (cand, _) = graft.engine.Lsh.candidatePairs(
+        graft.engine.Lsh.bandify(Queries.minhashDf(s, dir), nBands = 2),
+        maxBucket = Long.MaxValue) // uncapped for oracle parity (see d05)
       val sets = t(s, dir, "documents").where(expr("length(text) >= 3"))
         .select(col("doc_id"),
           array_distinct(gf.text_trigram_codes(col("text"))).as("cd"))
