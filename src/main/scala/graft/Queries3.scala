@@ -1486,6 +1486,125 @@ object Queries3 {
         CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT) AS maxcx_u,
         mode_b, minority_b, variety
       FROM st JOIN md USING (poly_id) JOIN mxs USING (poly_id) ORDER BY poly_id"""
+    }),
+
+    // -- gdaldem algorithm variants (-alg ZevenbergenThorne, -combined,
+    // -multidirectional, -igor, slope -p): seven kernels over ONE halo
+    // exchange (focal3x3Multi), checksummed per tile; the oracle recomputes
+    // every 3x3 window in closed form with the identical double arithmetic
+    // (gdaldem_lib.cpp:783-1478 formulas, unit north-up grid).
+    ("r35_dem_shade", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val z = 2
+      val base = engine.Raster.syntheticTiles(s, z) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val kernels: Seq[Array[Double] => Double] = Seq(
+        engine.Focal.hillshadeAlgWindow(zt = true),
+        engine.Focal.hillshadeCombinedWindow(),
+        engine.Focal.hillshadeMultiWindow(),
+        engine.Focal.hillshadeIgorWindow(),
+        engine.Focal.slopePercentWindow _,
+        engine.Focal.slopeZTWindow _,
+        engine.Focal.aspectZTWindow())
+      engine.Focal.focal3x3Multi(base, kernels)
+        .map { case (k, ti) => (ti.x.toLong, ti.y.toLong, k,
+          engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong) }
+        .toDF("x", "y", "k", "cks")
+        .groupBy("x", "y")
+        .agg(max(when(col("k") === 0, col("cks"))).as("cks_hs_zt"),
+          max(when(col("k") === 1, col("cks"))).as("cks_hs_comb"),
+          max(when(col("k") === 2, col("cks"))).as("cks_hs_multi"),
+          max(when(col("k") === 3, col("cks"))).as("cks_hs_igor"),
+          max(when(col("k") === 4, col("cks"))).as("cks_slope_pct"),
+          max(when(col("k") === 5, col("cks"))).as("cks_slope_zt"),
+          max(when(col("k") === 6, col("cks"))).as("cks_aspect_zt"))
+        .withColumn("z", lit(z).cast("long"))
+        .select("z", "x", "y", "cks_hs_zt", "cks_hs_comb", "cks_hs_multi",
+          "cks_hs_igor", "cks_slope_pct", "cks_slope_zt", "cks_aspect_zt")
+        .orderBy("x", "y")
+    }, Some {
+      val maxG = 4 * 256 - 1
+      def fAt(dx: Int, dy: Int) =
+        s"CAST(((gx + ($dx)) * 7919 + (gy + ($dy)) * 104729) % 9973 AS DOUBLE)"
+      // shared trig constants, written exactly as the Scala side computes
+      // them (45*(pi/180) etc.) so both engines evaluate the same doubles
+      val sa = "sin(45.0 * (pi() / 180.0))"   // sin(alt)
+      val ca = "cos(45.0 * (pi() / 180.0))"   // cos(alt)
+      val c315 = "cos(315.0 * (pi() / 180.0))"
+      val s315 = "sin(315.0 * (pi() / 180.0))"
+      // k0: ZT standard hillshade (zf = 1/2)
+      val num0 = s"($sa - (zy * $c315 * ($ca * 0.5) - zx * $s315 * ($ca * 0.5)))"
+      val cang0 = s"($num0 / sqrt(1.0 + 0.25 * (zx * zx + zy * zy)))"
+      val v0 = s"(CASE WHEN 254.0 * $cang0 <= 0.0 THEN 1.0 ELSE 1.0 + 254.0 * $cang0 END)"
+      // k1: combined shading, Horn (zf = 1/8)
+      val slope1 = "((hx * hx + hy * hy) * 0.125 * 0.125)"
+      val num1 = s"($sa - (hy * $c315 * ($ca * 0.125) - hx * $s315 * ($ca * 0.125)))"
+      val arg1 = s"least(greatest($num1 / sqrt(1.0 + $slope1), -1.0), 1.0)"
+      val cang1 = s"(1.0 - acos($arg1) * atan(sqrt($slope1)) * (4.0 / (pi() * pi())))"
+      val v1 = s"(CASE WHEN $cang1 <= 0.0 THEN 1.0 ELSE 1.0 + 254.0 * $cang1 END)"
+      // k2: multidirectional (USGS OF 92-422 weights), Horn
+      val caz = s"($ca * 0.125)"
+      val c225 = s"(cos(225.0 * (pi() / 180.0)) * $caz)"
+      val xxyy2 = "(hx * hx + hy * hy)"
+      val v225 = s"greatest(0.0, $sa + (hx - hy) * $c225)"
+      val v270 = s"greatest(0.0, $sa - hx * $caz)"
+      val v315 = s"greatest(0.0, $sa + (hx + hy) * $c225)"
+      val v360 = s"greatest(0.0, $sa - hy * $caz)"
+      val w225 = s"(0.5 * $xxyy2 - hx * hy)"
+      val wsum = s"($w225 * $v225 + hx * hx * $v270 + ($xxyy2 - $w225) * $v315 + hy * hy * $v360)"
+      val v2 = s"(CASE WHEN $xxyy2 = 0.0 THEN 1.0 + 254.0 * $sa " +
+        s"ELSE 1.0 + 127.0 * ($wsum / $xxyy2) / sqrt(1.0 + 0.015625 * $xxyy2) END)"
+      // k3: Igor shading, Horn gradient
+      val sd3 = "(atan(sqrt(hx * hx + hy * hy) * 0.125) * 180.0 / pi())"
+      val asp3 = "atan2(-hy, hx)"
+      val tgt3 = "(pi() * 1.5 - 315.0 * (pi() / 180.0))"
+      def norm(e: String) =
+        s"(CASE WHEN ($e % (2.0 * pi())) < 0.0 THEN $e % (2.0 * pi()) + 2.0 * pi() ELSE $e % (2.0 * pi()) END)"
+      val df0 = s"abs(${norm(asp3)} - ${norm(tgt3)})"
+      val df3 = s"(CASE WHEN $df0 > pi() THEN 2.0 * pi() - $df0 ELSE $df0 END)"
+      val v3 = s"(255.0 * (1.0 - ($sd3 / 90.0) * (1.0 - $df3 / pi())))"
+      // k4: Horn slope as percent; k5: ZT slope degrees
+      val v4 = "((100.0 / 8.0) * sqrt(hx * hx + hy * hy))"
+      val v5 = "(atan(sqrt(zx * zx + zy * zy) * 0.5) * 180.0 / pi())"
+      // k6: ZT aspect azimuth with flat nodata
+      val a6 = "(atan2(ady, -adx) * 180.0 / pi())"
+      val az6 = s"(CASE WHEN $a6 > 90.0 THEN 450.0 - $a6 ELSE 90.0 - $a6 END)"
+      val v6 = s"(CASE WHEN adx = 0.0 AND ady = 0.0 THEN -9999.0 " +
+        s"WHEN $az6 = 360.0 THEN 0.0 ELSE $az6 END)"
+      val border = s"gx = 0 OR gy = 0 OR gx = $maxG OR gy = $maxG"
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, $maxG)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, $maxG)) AS gy) ys),
+          win AS (SELECT gx, gy,
+            ${fAt(-1, -1)} AS wa, ${fAt(0, -1)} AS wb, ${fAt(1, -1)} AS wc,
+            ${fAt(-1, 0)} AS wd, ${fAt(1, 0)} AS wf,
+            ${fAt(-1, 1)} AS wg, ${fAt(0, 1)} AS wh, ${fAt(1, 1)} AS wi
+            FROM px),
+          grad AS (SELECT gx, gy,
+            ((wa + 2.0 * wd + wg) - (wc + 2.0 * wf + wi)) AS hx,
+            ((wa + 2.0 * wb + wc) - (wg + 2.0 * wh + wi)) AS hy,
+            (wd - wf) AS zx, (wb - wh) AS zy,
+            (wf - wd) AS adx, (wh - wb) AS ady FROM win),
+          v AS (SELECT gx, gy,
+            CASE WHEN $border THEN 0.0 ELSE $v0 END AS p0,
+            CASE WHEN $border THEN 0.0 ELSE $v1 END AS p1,
+            CASE WHEN $border THEN 0.0 ELSE $v2 END AS p2,
+            CASE WHEN $border THEN 0.0 ELSE $v3 END AS p3,
+            CASE WHEN $border THEN 0.0 ELSE $v4 END AS p4,
+            CASE WHEN $border THEN 0.0 ELSE $v5 END AS p5,
+            CASE WHEN $border THEN 0.0 ELSE $v6 END AS p6 FROM grad),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            ${toInt("p0")} AS i0, ${toInt("p1")} AS i1, ${toInt("p2")} AS i2,
+            ${toInt("p3")} AS i3, ${toInt("p4")} AS i4, ${toInt("p5")} AS i5,
+            ${toInt("p6")} AS i6 FROM v)
+          SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y,
+            ${cksCol("i0")} AS cks_hs_zt, ${cksCol("i1")} AS cks_hs_comb,
+            ${cksCol("i2")} AS cks_hs_multi, ${cksCol("i3")} AS cks_hs_igor,
+            ${cksCol("i4")} AS cks_slope_pct, ${cksCol("i5")} AS cks_slope_zt,
+            ${cksCol("i6")} AS cks_aspect_zt
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
     })
   )
 }

@@ -288,6 +288,129 @@ object Focal {
     best
   }
 
+  // ---- gdaldem algorithm variants (-alg ZevenbergenThorne, -combined,
+  // -multidirectional, -igor, slope -p). All assume the unit north-up grid
+  // the gates use (ewres=1, nsres=-1, xscale=yscale=1, z configurable), so
+  // the reference's inv_nsres sign flip is folded into the dy expressions.
+
+  /** Horn gradient as the reference computes it pre-z-division
+    * (/root/reference/apps/gdaldem_lib.cpp:783-796; x,y already include
+    * the inv_ewres=1 / inv_nsres=-1 factors). */
+  @inline private def hornX(w: Array[Double]): Double =
+    (w(0) + 2.0 * w(3) + w(6)) - (w(2) + 2.0 * w(5) + w(8))
+  @inline private def hornY(w: Array[Double]): Double =
+    (w(0) + 2.0 * w(1) + w(2)) - (w(6) + 2.0 * w(7) + w(8))
+
+  /** Zevenbergen–Thorne gradient (gdaldem_lib.cpp:798-806). */
+  @inline private def ztX(w: Array[Double]): Double = w(3) - w(5)
+  @inline private def ztY(w: Array[Double]): Double = w(1) - w(7)
+
+  /** Slope as percent (gdaldem slope -p, gdaldem_lib.cpp:1365-1387):
+    * 100/8 · √(dx²+dy²) on the Horn gradient. */
+  def slopePercentWindow(w: Array[Double]): Double = {
+    val x = hornX(w); val y = hornY(w)
+    (100.0 / 8.0) * math.sqrt(x * x + y * y)
+  }
+
+  /** Zevenbergen–Thorne slope in degrees (gdaldem_lib.cpp:1390-1407):
+    * gradient z-factor is /2, not Horn's /8. */
+  def slopeZTWindow(w: Array[Double]): Double = {
+    val x = ztX(w); val y = ztY(w)
+    math.atan(math.sqrt(x * x + y * y) * 0.5) * 180.0 / math.Pi
+  }
+
+  /** Zevenbergen–Thorne aspect as azimuth (gdaldem_lib.cpp:1482-1516):
+    * same fold as Horn aspect over the 2-point gradient. */
+  def aspectZTWindow(flat: Double = -9999.0)(w: Array[Double]): Double = {
+    val dx = w(5) - w(3)
+    val dy = w(7) - w(1)
+    if (dx == 0.0 && dy == 0.0) flat
+    else {
+      val a = math.atan2(dy, -dx) * 180.0 / math.Pi
+      val az = if (a > 90.0) 450.0 - a else 90.0 - a
+      if (az == 360.0) 0.0 else az
+    }
+  }
+
+  /** Standard hillshade over either gradient, reference's rationalized
+    * one-sqrt form (gdaldem_lib.cpp:1016-1039): cang = (sin α − (y·cos A −
+    * x·sin A)·cos α·zf) / √(1 + zf²(x²+y²)), scaled to 1..255 with ≤0 → 1. */
+  def hillshadeAlgWindow(az: Double = 315.0, alt: Double = 45.0, z: Double = 1.0,
+                         zt: Boolean = false)(w: Array[Double]): Double = {
+    val d2r = math.Pi / 180.0
+    val zf = z / (if (zt) 2.0 else 8.0)
+    val x = if (zt) ztX(w) else hornX(w)
+    val y = if (zt) ztY(w) else hornY(w)
+    val sinAlt = math.sin(alt * d2r); val cosAltZ = math.cos(alt * d2r) * zf
+    val num = sinAlt - (y * math.cos(az * d2r) * cosAltZ - x * math.sin(az * d2r) * cosAltZ)
+    val cang = num / math.sqrt(1.0 + zf * zf * (x * x + y * y))
+    if (254.0 * cang <= 0.0) 1.0 else 1.0 + 254.0 * cang
+  }
+
+  /** Combined shading (gdaldem hillshade -combined,
+    * gdaldem_lib.cpp:1153-1181): cang = 1 − acos(shade)·atan(√slope)·4/π². */
+  def hillshadeCombinedWindow(az: Double = 315.0, alt: Double = 45.0, z: Double = 1.0,
+                              zt: Boolean = false)(w: Array[Double]): Double = {
+    val d2r = math.Pi / 180.0
+    val zf = z / (if (zt) 2.0 else 8.0)
+    val x = if (zt) ztX(w) else hornX(w)
+    val y = if (zt) ztY(w) else hornY(w)
+    val slope = (x * x + y * y) * zf * zf
+    val sinAlt = math.sin(alt * d2r); val cosAltZ = math.cos(alt * d2r) * zf
+    val num = sinAlt - (y * math.cos(az * d2r) * cosAltZ - x * math.sin(az * d2r) * cosAltZ)
+    val arg = math.max(-1.0, math.min(1.0, num / math.sqrt(1.0 + slope)))
+    val cang = 1.0 - math.acos(arg) * math.atan(math.sqrt(slope)) *
+      (4.0 / (math.Pi * math.Pi))
+    if (cang <= 0.0) 1.0 else 1.0 + 254.0 * cang
+  }
+
+  /** Multidirectional hillshade (USGS OF 92-422; gdaldem hillshade
+    * -multidirectional, gdaldem_lib.cpp:1415-1478 weighting): four shades
+    * at az 225/270/315/360 blended by sin²(aspect−az) weights. */
+  def hillshadeMultiWindow(alt: Double = 45.0, z: Double = 1.0,
+                           zt: Boolean = false)(w: Array[Double]): Double = {
+    val d2r = math.Pi / 180.0
+    val zf = z / (if (zt) 2.0 else 8.0)
+    val x = if (zt) ztX(w) else hornX(w)
+    val y = if (zt) ztY(w) else hornY(w)
+    val sinAlt = math.sin(alt * d2r)
+    val xxyy = x * x + y * y
+    if (xxyy == 0.0) 1.0 + 254.0 * sinAlt
+    else {
+      val cosAltZ = math.cos(alt * d2r) * zf
+      val c225 = math.cos(225.0 * d2r) * cosAltZ
+      val v225 = math.max(0.0, sinAlt + (x - y) * c225)
+      val v270 = math.max(0.0, sinAlt - x * cosAltZ)
+      val v315 = math.max(0.0, sinAlt + (x + y) * c225)
+      val v360 = math.max(0.0, sinAlt - y * cosAltZ)
+      val w225 = 0.5 * xxyy - x * y
+      val w270 = x * x
+      val w315 = xxyy - w225
+      val w360 = y * y
+      1.0 + 127.0 * ((w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360) / xxyy) /
+        math.sqrt(1.0 + zf * zf * xxyy)
+    }
+  }
+
+  /** Igor's shading (gdaldem hillshade -igor, gdaldem_lib.cpp:947-1013):
+    * shadowness = 1 − slopeStrength·aspectStrength on the Horn gradient,
+    * scaled to 0..255 (flat ground = 255, no nodata reservation). */
+  def hillshadeIgorWindow(az: Double = 315.0, z: Double = 1.0)(w: Array[Double]): Double = {
+    val d2r = math.Pi / 180.0
+    val x = hornX(w); val y = hornY(w)
+    val slopeDeg = math.atan(math.sqrt(x * x + y * y) * (z / 8.0)) * 180.0 / math.Pi
+    // reference aspect inputs: dx2 = -x, dy2 = -y (gdaldem_lib.cpp:983-996)
+    val aspect = math.atan2(-y, x)
+    val slopeStrength = slopeDeg / 90.0
+    val target = math.Pi * 1.5 - az * d2r
+    val twoPi = 2.0 * math.Pi
+    def norm(a: Double): Double = { val m = a % twoPi; if (m < 0) m + twoPi else m }
+    var diff = math.abs(norm(aspect) - norm(target))
+    if (diff > math.Pi) diff = twoPi - diff
+    val aspectStrength = 1.0 - diff / math.Pi
+    255.0 * (1.0 - slopeStrength * aspectStrength)
+  }
+
   def slope(tiles: Dataset[Tile]): Dataset[Tile] = focal3x3(tiles, slopeWindow)
   def hillshade(tiles: Dataset[Tile]): Dataset[Tile] = focal3x3(tiles, hillshadeWindow())
   def focalMean(tiles: Dataset[Tile]): Dataset[Tile] = focal3x3(tiles, meanWindow)
