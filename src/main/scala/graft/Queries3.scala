@@ -33,6 +33,26 @@ object Queries3 {
         "idlink" -> Layer(idlink, fid = Some("rid")))
   }
 
+  /** r36 rasterize fixture: 14 deterministic triangles in z=2 pixel space
+    * (some spill past the 1024² raster edge to exercise clipping), with
+    * non-monotonic burn values so REPLACE order differs from max-burn.
+    * Coordinates quantized to 4 decimals so the identical double literal
+    * can be embedded in both the WKT and the oracle SQL. */
+  private def r36Tris: Seq[(Long, Double, Double, Double, Double, Double, Double, Double)] = {
+    def fr(x: Double): Double = x - math.floor(x)
+    def q(v: Double): Double = "%.4f".formatLocal(java.util.Locale.ROOT, v).toDouble
+    (0 until 14).map { k =>
+      val cx = 60.0 + 900.0 * fr(k * 0.6180339887498949)
+      val cy = 60.0 + 900.0 * fr(k * 0.4142135623730951)
+      val r0 = 30.0 + 150.0 * fr(k * 0.7320508075688772)
+      val a0 = k.toDouble * 0.7
+      val (x1, y1) = (q(cx + r0 * math.cos(a0)), q(cy + r0 * math.sin(a0)))
+      val (x2, y2) = (q(cx + 0.8 * r0 * math.cos(a0 + 2.1)), q(cy + 0.8 * r0 * math.sin(a0 + 2.1)))
+      val (x3, y3) = (q(cx + 1.1 * r0 * math.cos(a0 + 4.3)), q(cy + 1.1 * r0 * math.sin(a0 + 4.3)))
+      (k.toLong, x1, y1, x2, y2, x3, y3, (((k * 37) % 23) + 1).toDouble)
+    }
+  }
+
   /** Generating quadratic for the r26 GCPs (mild curvature; keeps every
     * dst pixel's source inside the 2048² raster). */
   private def quadMapX(x: Double, y: Double): Double =
@@ -1604,6 +1624,62 @@ object Queries3 {
             ${cksCol("i2")} AS cks_hs_multi, ${cksCol("i3")} AS cks_hs_igor,
             ${cksCol("i4")} AS cks_slope_pct, ${cksCol("i5")} AS cks_slope_zt,
             ${cksCol("i6")} AS cks_aspect_zt
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
+    // -- gdal_rasterize polygon burn (scanline fill, llrasterize.cpp:58):
+    // attribute burn values, MERGE_ALG=ADD vs REPLACE (feature order), edge
+    // clipping — checksummed per touched tile; the oracle recomputes the
+    // pixel-center-inside rule per triangle in closed form (half-plane sign
+    // tests) and both merge algebras in SQL.
+    ("r36_rasterize_poly", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      prep(s)
+      val z = 2
+      val df = r36Tris.map { case (fid, x1, y1, x2, y2, x3, y3, burn) =>
+        (fid, s"POLYGON (($x1 $y1, $x2 $y2, $x3 $y3, $x1 $y1))", burn)
+      }.toDF("fid", "wkt", "burn")
+        .withColumn("wkb", graft.functions.gf.st_geomfromtext(col("wkt"))).drop("wkt")
+      val addR = engine.Rasterize.burnPolygons(df, z, add = true)
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks_add")
+      val repR = engine.Rasterize.burnPolygons(df, z, add = false)
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks_rep")
+      addR.join(repR, Seq("x", "y"))
+        .withColumn("z", lit(z).cast("long"))
+        .select("z", "x", "y", "cks_add", "cks_rep")
+        .orderBy("x", "y")
+    }, Some {
+      def d(v: Double): String = "CAST(%.4f AS DOUBLE)".formatLocal(java.util.Locale.ROOT, v)
+      val rows = r36Tris.map { case (fid, x1, y1, x2, y2, x3, y3, burn) =>
+        s"($fid, ${d(x1)}, ${d(y1)}, ${d(x2)}, ${d(y2)}, ${d(x3)}, ${d(y3)}, ${d(burn)})"
+      }.mkString(", ")
+      val cx = "(gx + 0.5)"; val cy = "(gy + 0.5)"
+      val s1 = s"((x2 - x1) * ($cy - y1) - (y2 - y1) * ($cx - x1))"
+      val s2 = s"((x3 - x2) * ($cy - y2) - (y3 - y2) * ($cx - x2))"
+      val s3 = s"((x1 - x3) * ($cy - y3) - (y1 - y3) * ($cx - x3))"
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 1023)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS gy) ys),
+          t(fid, x1, y1, x2, y2, x3, y3, burn) AS (VALUES $rows),
+          hit AS (SELECT gx, gy, fid, burn FROM px CROSS JOIN t
+            WHERE ($s1 > 0.0 AND $s2 > 0.0 AND $s3 > 0.0)
+               OR ($s1 < 0.0 AND $s2 < 0.0 AND $s3 < 0.0)),
+          tiles AS (SELECT DISTINCT gx >> 8 AS tx, gy >> 8 AS ty FROM hit),
+          apx AS (SELECT gx, gy, sum(burn) AS vadd, arg_max(burn, fid) AS vrep
+            FROM hit GROUP BY 1, 2),
+          vals AS (SELECT p.gx AS gx, p.gy AS gy,
+              coalesce(a.vadd, 0.0) AS vadd, coalesce(a.vrep, 0.0) AS vrep
+            FROM px p JOIN tiles ON p.gx >> 8 = tiles.tx AND p.gy >> 8 = tiles.ty
+            LEFT JOIN apx a ON a.gx = p.gx AND a.gy = p.gy),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            ${toInt("vadd")} AS ia, ${toInt("vrep")} AS ir FROM vals)
+          SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y,
+            ${cksCol("ia")} AS cks_add, ${cksCol("ir")} AS cks_rep
           FROM cells GROUP BY 2, 3 ORDER BY x, y"""
     })
   )

@@ -1,0 +1,240 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.geom._
+
+/** gdal_rasterize geometry burning — the polygon leg beyond the r01 point
+  * path: the exact scanline fill of GDALdllImageFilledPolygon
+  * (/root/reference/alg/llrasterize.cpp:58-231) with per-feature burn
+  * values (-burn / -a attribute), both merge algorithms (REPLACE and -add,
+  * /root/reference/alg/gdalrasterize.cpp:735-777), and an ALL_TOUCHED
+  * boundary supercover (-at).
+  *
+  * Scale shape: each geometry replicates only to the tiles its envelope
+  * overlaps (output-proportional — never a layer broadcast and never a
+  * whole-raster pass per feature), and every tile burns independently in
+  * ONE shuffle. Feature order inside a tile is restored by sorting on fid,
+  * so REPLACE ("last feature wins") matches the reference's sequential
+  * burn with zero cross-partition coordination.
+  *
+  * Merge-ADD dedup: the reference avoids double-adding a pixel within one
+  * feature via a visited-point set plus pairwise segment sync
+  * (gdalrasterize.cpp:736-738, llrasterize.cpp polyInts2). Here a
+  * per-feature visited bitset enforces the same contract directly: in ADD
+  * mode each pixel accumulates each feature's burn at most once.
+  *
+  * ALL_TOUCHED deviation (documented): the boundary walk is an exact
+  * Amanatides–Woo supercover — every cell the open segment passes through
+  * burns. The reference's 1e-4 epsilon snapping for grid-aligned
+  * geometries (llrasterize.cpp:414-418) is not replicated; non-degenerate
+  * inputs agree.
+  */
+object Rasterize {
+
+  /** Every ring of every polygonal part, as the reference collects them
+    * into one fill call (even-odd parity across parts handles holes;
+    * gdalrasterize.cpp GDALCollectRingsFromGeometry). */
+  private def collectRings(g: Geom): Array[Array[Double]] = g match {
+    case p: Polygon             => p.rings
+    case mp: MultiPolygon       => mp.polys.flatMap(_.rings)
+    case gc: GeometryCollection => gc.geoms.flatMap(collectRings)
+    case _                      => Array.empty
+  }
+
+  /** Burn polygonal features into the z-level tile grid. Input columns:
+    * fid (feature order), wkb (polygon/multipolygon, raster pixel space),
+    * burn (value). Emits only tiles where at least one pixel burned. */
+  def burnPolygons(polys: DataFrame, z: Int, add: Boolean = false,
+                   allTouched: Boolean = false,
+                   tileSize: Int = Raster.TileSize): Dataset[Tile] = {
+    val spark = polys.sparkSession
+    import spark.implicits._
+    val n = 1 << z
+    val ts = tileSize
+    val rasterPx = n.toLong * ts
+
+    val exploded = polys
+      .select(col("fid").cast("long"), col("wkb"), col("burn").cast("double"))
+      .as[(Long, Array[Byte], Double)]
+      .flatMap { case (fid, wkb, burn) =>
+        val rings = collectRings(Wkb.read(wkb))
+        if (rings.isEmpty) Iterator.empty
+        else {
+          val env = rings.map(Envelope.ofCoords).reduce(_ union _)
+          val tx0 = math.max(0L, math.floor(env.minX / ts).toLong)
+          val tx1 = math.min(n - 1L, math.floor(env.maxX / ts).toLong)
+          val ty0 = math.max(0L, math.floor(env.minY / ts).toLong)
+          val ty1 = math.min(n - 1L, math.floor(env.maxY / ts).toLong)
+          if (tx0 > tx1 || ty0 > ty1) Iterator.empty
+          else for {
+            ty <- (ty0 to ty1).iterator
+            tx <- (tx0 to tx1).iterator
+          } yield (tx, ty, fid, burn, rings)
+        }
+      }
+
+    exploded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key, it) =>
+        val (tx, ty) = key
+        val px = new Array[Double](ts * ts)
+        var touched = false
+        // reference burns features in layer order; fid restores it per tile
+        val feats = it.toArray.sortBy(_._3)
+        feats.foreach { case (_, _, _, burn, rings) =>
+          val visited = if (add) new java.util.BitSet(ts * ts) else null
+          if (allTouched)
+            touched |= burnBoundary(rings, burn, add, rasterPx, tx, ty, ts, px, visited)
+          touched |= fillPolygon(rings, burn, add, rasterPx, tx, ty, ts, px, visited)
+        }
+        if (touched) Iterator.single(Tile(z, tx.toInt, ty.toInt, 1, ts, ts, px))
+        else Iterator.empty
+      }
+  }
+
+  /** Burn one pixel (global coords) into this tile if in range. Returns
+    * whether it burned. */
+  @inline private def burnPx(gx: Long, gy: Long, burn: Double, add: Boolean,
+                             rasterPx: Long, tx: Long, ty: Long, ts: Int,
+                             px: Array[Double], visited: java.util.BitSet): Boolean = {
+    if (gx < 0 || gy < 0 || gx >= rasterPx || gy >= rasterPx) return false
+    val cx = gx - tx * ts; val cy = gy - ty * ts
+    if (cx < 0 || cx >= ts || cy < 0 || cy >= ts) return false
+    val idx = (cy * ts + cx).toInt
+    if (visited != null) {
+      if (visited.get(idx)) return false
+      visited.set(idx)
+    }
+    if (add) px(idx) += burn else px(idx) = burn
+    true
+  }
+
+  /** Exact GDALdllImageFilledPolygon scanline fill restricted to one tile:
+    * crossings are computed in GLOBAL pixel space (so the result is
+    * tiling-invariant), only scanlines and runs inside the tile burn.
+    * Pixel-center rule: scanline dy = y + 0.5, crossing = floor(x + 0.5),
+    * bottom horizontal segments filled separately, top skipped
+    * (llrasterize.cpp:100-231). */
+  private def fillPolygon(rings: Array[Array[Double]], burn: Double, add: Boolean,
+                          rasterPx: Long, tx: Long, ty: Long, ts: Int,
+                          px: Array[Double], visited: java.util.BitSet): Boolean = {
+    var touched = false
+    var dminy = Double.MaxValue; var dmaxy = -Double.MaxValue
+    rings.foreach { r =>
+      var i = 1
+      while (i < r.length) {
+        val y = r(i)
+        if (y < dminy) dminy = y
+        if (y > dmaxy) dmaxy = y
+        i += 2
+      }
+    }
+    if (dminy > dmaxy) return false
+    val miny = math.max(math.max(0.0, dminy).toLong, ty * ts)
+    val maxy = math.min(math.min(dmaxy, rasterPx - 1.0).toLong, ty * ts + ts - 1)
+    val maxx = rasterPx - 1
+
+    val crossings = new scala.collection.mutable.ArrayBuffer[Long](16)
+    val horiz = new scala.collection.mutable.ArrayBuffer[(Long, Long)](4)
+
+    var y = miny
+    while (y <= maxy) {
+      val dy = y + 0.5
+      crossings.clear(); horiz.clear()
+      rings.foreach { r =>
+        val npts = r.length / 2
+        var i = 0
+        while (i < npts) {
+          val ind1 = if (i == 0) npts - 1 else i - 1
+          val ind2 = i
+          var dy1 = r(2 * ind1 + 1); var dy2 = r(2 * ind2 + 1)
+          if (!((dy1 < dy && dy2 < dy) || (dy1 > dy && dy2 > dy))) {
+            var dx1 = 0.0; var dx2 = 0.0
+            if (dy1 < dy2) { dx1 = r(2 * ind1); dx2 = r(2 * ind2) }
+            else if (dy1 > dy2) {
+              val t = dy1; dy1 = dy2; dy2 = t
+              dx2 = r(2 * ind1); dx1 = r(2 * ind2)
+            } else {
+              // horizontal: fill bottom (right-to-left) segments separately,
+              // skip top — they are covered by the crossing pairs
+              val xa = r(2 * ind1); val xb = r(2 * ind2)
+              if (xa > xb) {
+                val h1 = math.floor(xb + 0.5); val h2 = math.floor(xa + 0.5)
+                if (!(h1 > maxx.toDouble || h2 <= 0.0))
+                  horiz += ((math.max(h1, 0.0).toLong, math.min(h2, rasterPx.toDouble).toLong))
+              }
+            }
+            if (dy1 != dy2 && dy < dy2 && dy >= dy1) {
+              val inter = (dy - dy1) * (dx2 - dx1) / (dy2 - dy1) + dx1
+              val c = math.max(-4.611686e18, math.min(4.611686e18, inter))
+              crossings += math.floor(c + 0.5).toLong
+            }
+          }
+          i += 1
+        }
+      }
+      val cs = crossings.toArray
+      java.util.Arrays.sort(cs)
+      var i = 0
+      while (i + 1 < cs.length) {
+        if (cs(i) <= maxx && cs(i + 1) > 0) {
+          var gx = math.max(cs(i), tx * ts)
+          val gxEnd = math.min(cs(i + 1) - 1, tx * ts + ts - 1)
+          while (gx <= gxEnd) {
+            touched |= burnPx(gx, y, burn, add, rasterPx, tx, ty, ts, px, visited)
+            gx += 1
+          }
+        }
+        i += 2
+      }
+      horiz.foreach { case (h1, h2) =>
+        var gx = math.max(h1, tx * ts)
+        val gxEnd = math.min(h2 - 1, tx * ts + ts - 1)
+        while (gx <= gxEnd) {
+          touched |= burnPx(gx, y, burn, add, rasterPx, tx, ty, ts, px, visited)
+          gx += 1
+        }
+      }
+      y += 1
+    }
+    touched
+  }
+
+  /** ALL_TOUCHED boundary: Amanatides–Woo supercover of every ring edge —
+    * each cell the open segment passes through burns once per feature. */
+  private def burnBoundary(rings: Array[Array[Double]], burn: Double, add: Boolean,
+                           rasterPx: Long, tx: Long, ty: Long, ts: Int,
+                           px: Array[Double], visited: java.util.BitSet): Boolean = {
+    var touched = false
+    rings.foreach { r =>
+      val npts = r.length / 2
+      var i = 1
+      while (i < npts) {
+        val x1 = r(2 * (i - 1)); val y1 = r(2 * (i - 1) + 1)
+        val x2 = r(2 * i); val y2 = r(2 * i + 1)
+        var ix = math.floor(x1).toLong; var iy = math.floor(y1).toLong
+        val ixEnd = math.floor(x2).toLong; val iyEnd = math.floor(y2).toLong
+        val dx = x2 - x1; val dy = y2 - y1
+        val stepX = if (dx > 0) 1L else -1L
+        val stepY = if (dy > 0) 1L else -1L
+        var tMaxX = if (dx == 0) Double.PositiveInfinity
+          else ((if (dx > 0) ix + 1.0 else ix.toDouble) - x1) / dx
+        var tMaxY = if (dy == 0) Double.PositiveInfinity
+          else ((if (dy > 0) iy + 1.0 else iy.toDouble) - y1) / dy
+        val tDeltaX = if (dx == 0) Double.PositiveInfinity else math.abs(1.0 / dx)
+        val tDeltaY = if (dy == 0) Double.PositiveInfinity else math.abs(1.0 / dy)
+        var steps = math.abs(ixEnd - ix) + math.abs(iyEnd - iy) + 1
+        touched |= burnPx(ix, iy, burn, add, rasterPx, tx, ty, ts, px, visited)
+        while ((ix != ixEnd || iy != iyEnd) && steps > 0) {
+          if (tMaxX < tMaxY) { ix += stepX; tMaxX += tDeltaX }
+          else { iy += stepY; tMaxY += tDeltaY }
+          touched |= burnPx(ix, iy, burn, add, rasterPx, tx, ty, ts, px, visited)
+          steps -= 1
+        }
+        i += 1
+      }
+    }
+    touched
+  }
+}
