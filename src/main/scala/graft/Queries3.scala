@@ -1681,6 +1681,54 @@ object Queries3 {
           SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y,
             ${cksCol("ia")} AS cks_add, ${cksCol("ir")} AS cks_rep
           FROM cells GROUP BY 2, 3 ORDER BY x, y"""
-    })
+    }),
+
+    // -- clean-coverage maximum-gap-width (gdalalg_vector_clean_coverage
+    // .cpp:44): 12 frame units each enclosing a rectangular slot of width
+    // g ∈ {0.2, 0.55, 0.9, 1.4}; maxWidth=1.0 closes the first three into
+    // the longest-border neighbor (the 20-long top rectangle — bottom is
+    // split 18+2 so the winner is untied). Oracle: closed-form post-close
+    // areas. The ×1024 + 0.123456 quantizer keeps every expected value
+    // ≥0.07 away from a rounding boundary, so shoelace-vs-formula fp noise
+    // can never flip a bin.
+    ("g45_close_gaps", (s, dir) => {
+      prep(s)
+      val sp = s
+      import sp.implicits._
+      val units = t(s, dir, "documents").where(col("doc_id") < 12)
+        .select(col("doc_id").cast("long").as("u"))
+        .as[Long].flatMap { u =>
+          val x0 = -80.0 + (u % 6) * 26.0
+          val y00 = (u / 6) * 30.0
+          val g = Seq(0.2, 0.55, 0.9, 1.4)((u % 4).toInt)
+          val yt = y00 + 10.0 - g / 2.0; val yb = y00 + 10.0 + g / 2.0
+          def rect(id: Long, xa: Double, ya: Double, xb: Double, yb2: Double) =
+            (id, graft.geom.Wkb.write(graft.geom.Polygon(Array(
+              Array(xa, ya, xb, ya, xb, yb2, xa, yb2, xa, ya)))))
+          Seq(
+            rect(u * 5 + 0, x0, y00, x0 + 20.0, yt),
+            rect(u * 5 + 1, x0, yb, x0 + 18.0, y00 + 20.0),
+            rect(u * 5 + 2, x0 + 18.0, yb, x0 + 20.0, y00 + 20.0),
+            rect(u * 5 + 3, x0 - 2.0, y00, x0, y00 + 20.0),
+            rect(u * 5 + 4, x0 + 20.0, y00, x0 + 22.0, y00 + 20.0))
+        }.toDF("id", "wkb")
+      engine.Coverage.closeGaps(units, maxWidth = 1.0, z = 4)
+        .select(col("id"),
+          expr("CAST(floor(st_area(wkb) * 1024.0 + 0.123456) AS BIGINT)").as("area_q"))
+        .orderBy("id")
+    }, Some("""
+      WITH k AS (SELECT CAST(doc_id AS BIGINT) AS u FROM documents WHERE doc_id < 12),
+      p AS (SELECT u, CASE CAST(u % 4 AS INT)
+            WHEN 0 THEN 0.2 WHEN 1 THEN 0.55 WHEN 2 THEN 0.9 ELSE 1.4 END AS g FROM k),
+      r AS (
+        SELECT u * 5 + 0 AS id,
+          CASE WHEN g <= 1.0 THEN 20.0 * (10.0 - g / 2.0) + 20.0 * g
+               ELSE 20.0 * (10.0 - g / 2.0) END AS area FROM p
+        UNION ALL SELECT u * 5 + 1, 18.0 * (10.0 - g / 2.0) FROM p
+        UNION ALL SELECT u * 5 + 2, 2.0 * (10.0 - g / 2.0) FROM p
+        UNION ALL SELECT u * 5 + 3, 40.0 FROM p
+        UNION ALL SELECT u * 5 + 4, 40.0 FROM p)
+      SELECT id, CAST(floor(area * 1024.0 + 0.123456) AS BIGINT) AS area_q
+      FROM r ORDER BY id"""))
   )
 }

@@ -121,6 +121,85 @@ object Coverage {
       }.toDF("id", "wkb")
   }
 
+  /** clean-coverage maximum-gap-width (gdalalg_vector_clean_coverage.cpp:44
+    * → GEOS CoverageCleaner::setGapMaximumWidth): a gap — an enclosed
+    * region covered by no unit, i.e. an interior ring of the dissolved
+    * coverage — closes when its width (2 × max inscribed-circle radius,
+    * the GEOS CoverageGapFinder criterion, tested here by erosion
+    * emptiness at width/2) is ≤ maxWidth; each closed gap merges into the
+    * adjacent unit sharing the longest border (ties → min id).
+    *
+    * Distributed shape: the union comes from the map-side Dissolve
+    * aggregator (interior edges cancel, so the combine tree carries
+    * boundary-proportional payloads, never the row set); gaps meet only
+    * the units whose cell cover they share (one equi-join, gap side
+    * broadcast — gaps are a vanishing fraction of units); the merge fold
+    * is ONE groupByKey on unit id. */
+  def closeGaps(df: DataFrame, maxWidth: Double, z: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, explode, lit}
+    val gaps = df.agg(Dissolve.unionCol(col("wkb")).as("u")).as[Array[Byte]]
+      .flatMap { w =>
+        val parts = Wkb.read(w) match {
+          case p: Polygon      => Array(p)
+          case m: MultiPolygon => m.polys
+          case _               => Array.empty[Polygon]
+        }
+        parts.iterator.flatMap(_.rings.iterator.drop(1))
+          .map(h => Polygon(Array(h)))
+          .filter { hp =>
+            GeoOps.area(hp) > 0.0 &&
+              GeoOps.area(Buffer.buffer(hp, -maxWidth / 2.0)) <= 0.0
+          }
+          .zipWithIndex.map { case (hp, i) => (i.toLong, Wkb.write(hp)) }
+      }.toDF("gid", "gwkb")
+    val gapSide = broadcast(
+      gaps.withColumn("cell", explode(graft.functions.gf.st_cover(col("gwkb"), lit(z)))))
+    val unitSide = df
+      .select(col("id").cast("long").as("id"), col("wkb"))
+      .withColumn("cell", explode(graft.functions.gf.st_cover(col("wkb"), lit(z))))
+    val won = unitSide.join(gapSide, "cell")
+      .dropDuplicates("id", "gid")
+      .select("gid", "id", "gwkb", "wkb")
+      .as[(Long, Long, Array[Byte], Array[Byte])]
+      .map { case (gid, id, gw, uw) =>
+        val gap = Wkb.read(gw); val unit = Wkb.read(uw)
+        var len = 0.0
+        ringsOf(gap).foreach { rr =>
+          var i = 0
+          while (i + 3 < rr.length) {
+            val mx = (rr(i) + rr(i + 2)) / 2.0; val my = (rr(i + 1) + rr(i + 3)) / 2.0
+            if (onBoundary(unit, mx, my, 1e-9))
+              len += math.hypot(rr(i + 2) - rr(i), rr(i + 3) - rr(i + 1))
+            i += 2
+          }
+        }
+        (gid, id, len, gw)
+      }
+      .filter(_._3 > 0.0)
+      .groupByKey(_._1)
+      .mapGroups { (_, it) =>
+        // longest shared border wins; ties -> min id
+        val best = it.minBy { case (_, id, len, _) => (-len, id) }
+        (best._2, best._4)
+      }.toDF("id", "gainwkb")
+    df.select(col("id").cast("long").as("id"), col("wkb"))
+      .join(won, Seq("id"), "left")
+      .as[(Long, Array[Byte], Option[Array[Byte]])]
+      .groupByKey(_._1).mapGroups { (id, it) =>
+        var base: Geom = null
+        val gains = ArrayBuffer.empty[Array[Byte]]
+        it.foreach { case (_, w, gw) =>
+          if (base == null) base = Wkb.read(w)
+          gw.foreach(gains += _)
+        }
+        var g = base
+        gains.foreach(gw => g = BoolOps.union(g, Wkb.read(gw)))
+        (id, Wkb.write(g))
+      }.toDF("id", "wkb")
+  }
+
   /** (border of overlap `o` shared with a's remainder, with b's
     * remainder): a segment of ∂o lying on ∂b (and not ∂a) separates o
     * from the rest of A, and vice versa; segments on both boundaries are

@@ -123,6 +123,36 @@ class CoverageSpec extends AnyFunSuite {
     }
   }
 
+  test("closeGaps: narrow gap merges into longest-border neighbor, wide gap survives") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    def frame(x0: Double, g: Double): Seq[(Long, Array[Byte])] = {
+      val base = (x0 / 30.0).toLong * 5
+      val yt = 10.0 - g / 2.0; val yb = 10.0 + g / 2.0
+      def rect(id: Long, xa: Double, ya: Double, xb: Double, yb2: Double) =
+        (id, Wkb.write(Polygon(Array(Array(xa, ya, xb, ya, xb, yb2, xa, yb2, xa, ya)))))
+      Seq(rect(base, x0, 0.0, x0 + 20.0, yt),
+        rect(base + 1, x0, yb, x0 + 18.0, 20.0),
+        rect(base + 2, x0 + 18.0, yb, x0 + 20.0, 20.0),
+        rect(base + 3, x0 - 2.0, 0.0, x0, 20.0),
+        rect(base + 4, x0 + 20.0, 0.0, x0 + 22.0, 20.0))
+    }
+    val units = (frame(0.0, 0.4) ++ frame(30.0, 1.6)).toDF("id", "wkb")
+    val out = Coverage.closeGaps(units, maxWidth = 1.0, z = 4)
+      .as[(Long, Array[Byte])].collect().toMap
+    // narrow gap (0.4): top rect (id 0, border 20 > 18 > 2 > 0.4) gains it
+    assert(math.abs(GeoOps.area(Wkb.read(out(0L))) - (20.0 * 9.8 + 20.0 * 0.4)) < 1e-9)
+    for (i <- 1L to 4L)
+      assert(math.abs(GeoOps.area(Wkb.read(out(i))) -
+        GeoOps.area(Wkb.read(units.as[(Long, Array[Byte])].collect().toMap.apply(i)))) < 1e-9)
+    // wide gap (1.6 > maxWidth): every unit of the second frame unchanged
+    assert(math.abs(GeoOps.area(Wkb.read(out(5L))) - 20.0 * 9.2) < 1e-9)
+    // closing introduced no overlap: pairwise intersections stay empty
+    val geoms = out.values.map(Wkb.read).toArray
+    for (i <- geoms.indices; j <- (i + 1) until geoms.length)
+      assert(GeoOps.area(graft.geom.BoolOps.intersection(geoms(i), geoms(j))) < 1e-9)
+  }
+
   test("cleanCoverage snaps sub-precision jitter to identical chains") {
     val s = SparkTestSession.spark
     import s.implicits._
