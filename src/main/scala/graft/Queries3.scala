@@ -1729,6 +1729,39 @@ object Queries3 {
         UNION ALL SELECT u * 5 + 3, 40.0 FROM p
         UNION ALL SELECT u * 5 + 4, 40.0 FROM p)
       SELECT id, CAST(floor(area * 1024.0 + 0.123456) AS BIGINT) AS area_q
-      FROM r ORDER BY id"""))
+      FROM r ORDER BY id""")),
+
+    // -- gdal_contour -p polygon mode: radial DEM bucketed into interval-5
+    // elevation bands, connected band regions labeled (min global pixel
+    // idx) with elev_min/elev_max; oracle = the r06 recursive-CTE CCL over
+    // the closed-form band value. Every arithmetic step is IEEE-identical
+    // on both sides (dyadic /64, then /5 and floor on the same double).
+    ("r37_contour_poly", (s, dir) => {
+      val base = engine.Raster.syntheticTiles(s, 2, tileSize = 16) { (gx, gy) =>
+        ((gx - 32.0) * (gx - 32.0) + (gy - 32.0) * (gy - 32.0)) / 64.0
+      }
+      engine.Contour.contourPolygons(base, interval = 5.0, width = 64)
+        .select(col("label"), col("value"), col("size").cast("long").as("size"),
+          col("elev_min"), col("elev_max"))
+        .orderBy("label")
+    }, Some("""
+      WITH RECURSIVE px AS (
+        SELECT xs.gx AS gx, ys.gy AS gy,
+               floor((((xs.gx - 32.0) * (xs.gx - 32.0) + (ys.gy - 32.0) * (ys.gy - 32.0)) / 64.0) / 5.0) AS v,
+               ys.gy * 64 + xs.gx AS idx
+        FROM (SELECT unnest(generate_series(0, 63)) AS gx) xs
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS gy) ys),
+      reach(gx, gy, lbl) AS (
+        SELECT gx, gy, idx FROM px
+        UNION
+        SELECT p.gx, p.gy, r.lbl
+        FROM reach r
+        JOIN px q ON q.gx = r.gx AND q.gy = r.gy
+        JOIN px p ON p.v = q.v AND abs(p.gx - q.gx) + abs(p.gy - q.gy) = 1),
+      lab AS (SELECT gx, gy, min(lbl) AS label FROM reach GROUP BY gx, gy)
+      SELECT l.label, CAST(p.v AS DOUBLE) AS value, count(*) AS size,
+             p.v * 5.0 AS elev_min, (p.v + 1.0) * 5.0 AS elev_max
+      FROM lab l JOIN px p ON p.gx = l.gx AND p.gy = l.gy
+      GROUP BY l.label, p.v ORDER BY l.label"""))
   )
 }

@@ -57,6 +57,26 @@ object Contour {
     }
   }
 
+  /** gdal_contour -p polygon mode (contour.cpp polygon writer, elev_min /
+    * elev_max attributes): pixels classify into fixed-interval elevation
+    * bands, and each band's connected regions come from the existing
+    * distributed polygonize CCL — the same regions the reference's ring
+    * writer traces, as labeled components with band bounds. One extra
+    * map over the tiles; the CCL's cross-tile merge is already the
+    * distributed hash-min path. */
+  def contourPolygons(tiles: Dataset[Tile], interval: Double, width: Long,
+                      conn: Int = 4): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val banded = tiles.map { t =>
+      t.copy(pixels = t.pixels.map(v => math.floor(v / interval)))
+    }
+    Polygonize.components(banded, width, conn)
+      .withColumn("elev_min", col("value") * interval)
+      .withColumn("elev_max", (col("value") + 1.0) * interval)
+  }
+
   /** Per (tile, level): (z, x, y, level, n_segments, len_u). Cells whose
     * 2×2 square crosses the global raster edge are skipped (no data). */
   def contour(tiles: Dataset[Tile], levels: Seq[Double]): DataFrame = {

@@ -93,6 +93,119 @@ object Rasterize {
       }
   }
 
+  /** Linework of every part (gdal_rasterize on line layers burns paths,
+    * not fills; gdalrasterize.cpp wkbLineString arm). */
+  private def collectLines(g: Geom): Array[Array[Double]] = g match {
+    case l: LineString          => Array(l.coords)
+    case ml: MultiLineString    => ml.lines.map(_.coords)
+    case gc: GeometryCollection => gc.geoms.flatMap(collectLines)
+    case _                      => Array.empty
+  }
+
+  /** Burn polyline features (fid, wkb, burn) along GDAL's integer Bresenham
+    * (GDALdllImageLine, llrasterize.cpp:236-390): floor()ed endpoints,
+    * intermediate vertices burned once (endpoint skipped on every segment
+    * but the part's last — the reference's Add-mode artifact guard).
+    * allTouched swaps in the supercover walk. The per-tile walk traverses
+    * the whole part and burns only in-tile pixels — O(length) per
+    * overlapping tile, fine while features are shorter than a few tiles
+    * (fast-forwarding the Bresenham state to the tile entry is the
+    * optimization if ever needed). */
+  def burnLines(lines: DataFrame, z: Int, add: Boolean = false,
+                allTouched: Boolean = false,
+                tileSize: Int = Raster.TileSize): Dataset[Tile] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val n = 1 << z
+    val ts = tileSize
+    val rasterPx = n.toLong * ts
+    val exploded = lines
+      .select(col("fid").cast("long"), col("wkb"), col("burn").cast("double"))
+      .as[(Long, Array[Byte], Double)]
+      .flatMap { case (fid, wkb, burn) =>
+        val parts = collectLines(Wkb.read(wkb))
+        if (parts.isEmpty) Iterator.empty
+        else {
+          val env = parts.map(Envelope.ofCoords).reduce(_ union _)
+          val tx0 = math.max(0L, math.floor(env.minX / ts).toLong)
+          val tx1 = math.min(n - 1L, math.floor(env.maxX / ts).toLong)
+          val ty0 = math.max(0L, math.floor(env.minY / ts).toLong)
+          val ty1 = math.min(n - 1L, math.floor(env.maxY / ts).toLong)
+          if (tx0 > tx1 || ty0 > ty1) Iterator.empty
+          else for {
+            ty <- (ty0 to ty1).iterator
+            tx <- (tx0 to tx1).iterator
+          } yield (tx, ty, fid, burn, parts)
+        }
+      }
+    exploded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key, it) =>
+        val (tx, ty) = key
+        val px = new Array[Double](ts * ts)
+        var touched = false
+        val feats = it.toArray.sortBy(_._3)
+        feats.foreach { case (_, _, _, burn, parts) =>
+          if (allTouched) {
+            val visited = if (add) new java.util.BitSet(ts * ts) else null
+            touched |= burnBoundary(parts, burn, add, rasterPx, tx, ty, ts, px, visited)
+          } else parts.foreach { part =>
+            touched |= bresenhamPart(part, burn, add, rasterPx, tx, ty, ts, px)
+          }
+        }
+        if (touched) Iterator.single(Tile(z, tx.toInt, ty.toInt, 1, ts, ts, px))
+        else Iterator.empty
+      }
+  }
+
+  /** One polyline part, exact GDALdllImageLine stepping. */
+  private def bresenhamPart(part: Array[Double], burn: Double, add: Boolean,
+                            rasterPx: Long, tx: Long, ty: Long, ts: Int,
+                            px: Array[Double]): Boolean = {
+    var touched = false
+    val npts = part.length / 2
+    var j = 1
+    while (j < npts) {
+      val dfX = part(2 * (j - 1)); val dfY = part(2 * (j - 1) + 1)
+      val dfXEnd = part(2 * j); val dfYEnd = part(2 * j + 1)
+      val skip = (dfY < 0.0 && dfYEnd < 0.0) ||
+        (dfY > rasterPx && dfYEnd > rasterPx) ||
+        (dfX < 0.0 && dfXEnd < 0.0) ||
+        (dfX > rasterPx && dfXEnd > rasterPx)
+      if (!skip) {
+        var iX = math.floor(dfX).toLong; var iY = math.floor(dfY).toLong
+        val iX1 = math.floor(dfXEnd).toLong; val iY1 = math.floor(dfYEnd).toLong
+        var dX = math.abs(iX1 - iX); var dY = math.abs(iY1 - iY)
+        val xStep = if (iX > iX1) -1L else 1L
+        val yStep = if (iY > iY1) -1L else 1L
+        val lastSeg = j == npts - 1
+        if (dX >= dY) {
+          val xErr = dY << 1; val yErr = xErr - (dX << 1)
+          var err = xErr - dX
+          if (!lastSeg) dX -= 1 // skip endpoint: next segment re-burns it
+          while (dX >= 0) {
+            touched |= burnPx(iX, iY, burn, add, rasterPx, tx, ty, ts, px, null)
+            iX += xStep
+            if (err > 0) { iY += yStep; err += yErr } else err += xErr
+            dX -= 1
+          }
+        } else {
+          val xErr = dX << 1; val yErr = xErr - (dY << 1)
+          var err = xErr - dY
+          if (!lastSeg) dY -= 1
+          while (dY >= 0) {
+            touched |= burnPx(iX, iY, burn, add, rasterPx, tx, ty, ts, px, null)
+            iY += yStep
+            if (err > 0) { iX += xStep; err += yErr } else err += xErr
+            dY -= 1
+          }
+        }
+      }
+      j += 1
+    }
+    touched
+  }
+
   /** Burn one pixel (global coords) into this tile if in range. Returns
     * whether it burned. */
   @inline private def burnPx(gx: Long, gy: Long, burn: Double, add: Boolean,

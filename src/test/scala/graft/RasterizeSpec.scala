@@ -77,6 +77,34 @@ class RasterizeSpec extends AnyFunSuite {
     }
   }
 
+  test("line burn: exact Bresenham anchors, vertex burned once in ADD, tiling invariant") {
+    val s = spark
+    import s.implicits._
+    def ldf(feats: (Long, graft.geom.Geom, Double)*) =
+      feats.map { case (fid, g, b) => (fid, Wkb.write(g), b) }.toDF("fid", "wkb", "burn")
+    import graft.geom.LineString
+    // horizontal: (2.3,5.7)->(9.8,5.2) burns y=5, x=2..9
+    val h = stitch(Rasterize.burnLines(ldf((0L, LineString(Array(2.3, 5.7, 9.8, 5.2)), 1.0)), 0).collect(), 0, 256)
+    for (x <- 2 to 9) assert(h(5 * 256 + x) == 1.0, s"x=$x")
+    assert(h.count(_ != 0.0) == 8)
+    // perfect diagonal: (0.5,0.5)->(7.5,7.5) burns (k,k) k=0..7
+    val d = stitch(Rasterize.burnLines(ldf((0L, LineString(Array(0.5, 0.5, 7.5, 7.5)), 1.0)), 0).collect(), 0, 256)
+    for (k <- 0 to 7) assert(d(k * 256 + k) == 1.0, s"k=$k")
+    assert(d.count(_ != 0.0) == 8)
+    // ADD over a 2-segment polyline: the shared vertex pixel burns ONCE
+    val poly2 = LineString(Array(1.2, 1.3, 9.7, 1.3, 9.7, 9.8))
+    val a = stitch(Rasterize.burnLines(ldf((0L, poly2, 3.0)), 0, add = true).collect(), 0, 256)
+    assert(a(1 * 256 + 9) == 3.0) // vertex pixel (9,1): single burn
+    assert(!a.exists(v => v != 0.0 && v != 3.0))
+    // tiling invariance incl. all-touched
+    val long = LineString(Array(3.17, 12.9, 460.4, 330.6, 120.2, 480.9))
+    for (at <- Seq(false, true); add <- Seq(false, true)) {
+      val big = stitch(Rasterize.burnLines(ldf((0L, long, 2.0)), 1, add = add, allTouched = at).collect(), 1, 256)
+      val small = stitch(Rasterize.burnLines(ldf((0L, long, 2.0)), 4, add = add, allTouched = at, tileSize = 32).collect(), 4, 32)
+      assert(java.util.Arrays.equals(big, small), s"at=$at add=$add")
+    }
+  }
+
   test("ALL_TOUCHED is a superset of the center-fill and covers a sub-pixel sliver") {
     // sliver thinner than a pixel: center-rule burns (almost) nothing,
     // all-touched must still trace it
