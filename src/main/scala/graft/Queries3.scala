@@ -1762,6 +1762,109 @@ object Queries3 {
       SELECT l.label, CAST(p.v AS DOUBLE) AS value, count(*) AS size,
              p.v * 5.0 AS elev_min, (p.v + 1.0) * 5.0 AS elev_max
       FROM lab l JOIN px p ON p.gx = l.gx AND p.gy = l.gy
-      GROUP BY l.label, p.v ORDER BY l.label"""))
+      GROUP BY l.label, p.v ORDER BY l.label""")),
+
+    // -- gdalwarp -srcnodata masking: every 13th hash value marked nodata,
+    // 2x downscale; area kernels reduce over the VALID footprint subset
+    // only, near propagates the miss, all-invalid dst pixels take the
+    // dstnodata convention (0). Oracle: per-pixel valid-subset reductions
+    // in closed form.
+    ("r38_warp_nodata", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = engine.Raster.syntheticTiles(s, 3) { (gx, gy) =>
+        val v = ((gx * 7919 + gy * 104729) % 9973).toDouble
+        if (v % 13.0 == 0.0) -1.0 else v
+      }
+      val masked = engine.Raster.maskNodata(base, -1.0)
+      val aff = engine.Raster.WarpAffine(2.0, 2.0, 0.0, 0.0)
+      val kernels = Seq("average", "sum", "rms", "min", "max", "mode", "near")
+      engine.Raster.warpAffineMulti(masked, 2, 4, 4, aff, kernels, 2048, 2048)
+        .map { case (k, t) => (t.x.toLong, t.y.toLong, k,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong) }
+        .toDF("x", "y", "k", "cks")
+        .groupBy("x", "y")
+        .agg(kernels.zipWithIndex.map { case (k, i) =>
+          max(when(col("k") === i, col("cks"))).as(s"cks_$k")
+        }.head, kernels.zipWithIndex.map { case (k, i) =>
+          max(when(col("k") === i, col("cks"))).as(s"cks_$k")
+        }.tail: _*)
+        .withColumn("z", lit(2).cast("long"))
+        .select(col("z") +: col("x") +: col("y") +: kernels.map(k => col(s"cks_$k")): _*)
+        .orderBy("x", "y")
+    }, Some {
+      val maxG = 1023
+      def raw(dx: Int, dy: Int) =
+        s"CAST(((2 * gx + $dx) * 7919 + (2 * gy + $dy) * 104729) % 9973 AS DOUBLE)"
+      def valid(dx: Int, dy: Int) = s"(((2 * gx + $dx) * 7919 + (2 * gy + $dy) * 104729) % 9973) % 13 <> 0"
+      // scan order of GWKAverageOrMode: iy outer, ix inner
+      val cells = Seq((0, 0), (1, 0), (0, 1), (1, 1))
+      def vList = cells.map { case (dx, dy) =>
+        s"CASE WHEN ${valid(dx, dy)} THEN ${raw(dx, dy)} ELSE NULL END"
+      }.mkString("[", ", ", "]")
+      val lv = s"list_filter($vList, x -> x IS NOT NULL)"
+      val cols = Seq(
+        "average" -> s"(CASE WHEN len($lv) = 0 THEN 0.0 ELSE list_sum($lv) / len($lv) END)",
+        "sum" -> s"(CASE WHEN len($lv) = 0 THEN 0.0 ELSE list_sum($lv) END)",
+        "rms" -> s"(CASE WHEN len($lv) = 0 THEN 0.0 ELSE sqrt(list_sum(list_transform($lv, x -> x * x)) / len($lv)) END)",
+        "min" -> s"(CASE WHEN len($lv) = 0 THEN 0.0 ELSE list_min($lv) END)",
+        "max" -> s"(CASE WHEN len($lv) = 0 THEN 0.0 ELSE list_max($lv) END)",
+        // hash values are distinct within the footprint -> mode = first
+        // valid in scan order (GWKTS_First tie rule)
+        "mode" -> s"(CASE WHEN len($lv) = 0 THEN 0.0 ELSE $lv[1] END)",
+        // near samples src (2gx+1, 2gy+1); nodata -> 0
+        "near" -> s"(CASE WHEN ${valid(1, 1)} THEN ${raw(1, 1)} ELSE 0.0 END)")
+      val vSel = cols.map { case (k, e) => s"$e AS v_$k" }.mkString(", ")
+      val iSel = cols.map { case (k, _) => s"${toInt(s"v_$k")} AS i_$k" }.mkString(", ")
+      val cSel = cols.map { case (k, _) => s"${cksCol(s"i_$k")} AS cks_$k" }.mkString(", ")
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, $maxG)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, $maxG)) AS gy) ys),
+          v AS (SELECT gx, gy, $vSel FROM px),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy,
+            $iSel FROM v)
+          SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y, $cSel
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
+    // -- gdalwarp -cutline (binary crop): near-kernel 2x downscale, then
+    // pixels whose center falls outside the triangle cutline take 0.
+    // Oracle: the r16-style near map gated by the half-plane center test.
+    ("r39_warp_cutline", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = engine.Raster.syntheticTiles(s, 3) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      val aff = engine.Raster.WarpAffine(2.0, 2.0, 0.0, 0.0)
+      val warped = engine.Raster.warpAffine(base, 2, 4, 4, aff, "near", 2048, 2048)
+      val cut = graft.geom.Wkb.write(graft.geom.Polygon(Array(Array(
+        101.37, 88.21, 903.44, 317.73, 402.18, 929.55, 101.37, 88.21))))
+      engine.Raster.cutline(warped, cut)
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks")
+        .withColumn("z", lit(2).cast("long"))
+        .select("z", "x", "y", "cks")
+        .orderBy("x", "y")
+    }, Some {
+      val maxG = 1023
+      val (x1, y1, x2, y2, x3, y3) = (101.37, 88.21, 903.44, 317.73, 402.18, 929.55)
+      val cx = "(gx + 0.5)"; val cy = "(gy + 0.5)"
+      val s1 = s"(($x2 - $x1) * ($cy - $y1) - ($y2 - $y1) * ($cx - $x1))"
+      val s2 = s"(($x3 - $x2) * ($cy - $y2) - ($y3 - $y2) * ($cx - $x2))"
+      val s3 = s"(($x1 - $x3) * ($cy - $y3) - ($y1 - $y3) * ($cx - $x3))"
+      val inside = s"(($s1 > 0.0 AND $s2 > 0.0 AND $s3 > 0.0) OR ($s1 < 0.0 AND $s2 < 0.0 AND $s3 < 0.0))"
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, $maxG)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, $maxG)) AS gy) ys),
+          v AS (SELECT gx, gy, CASE WHEN $inside
+              THEN ((2 * gx + 1) * 7919 + (2 * gy + 1) * 104729) % 9973
+              ELSE 0 END AS iv FROM px),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy, iv
+            FROM v)
+          SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y, ${cksCol("iv")} AS cks
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    })
   )
 }

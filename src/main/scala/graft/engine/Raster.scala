@@ -267,6 +267,55 @@ object Raster {
     case _                          => math.ceil(math.abs(scale)).toInt + 1
   }
 
+  /** gdalwarp -srcnodata: mark matching source pixels invalid (NaN) so
+    * every kernel applies GDAL's nodata semantics — area kernels reduce
+    * over the VALID footprint subset only (GWKAverageOrMode's
+    * pafFoundDensity guard, alg/gdalwarpkernel.cpp:6845), near propagates
+    * the miss, and a dst pixel with no valid contributor gets the engine's
+    * dstnodata convention (0). A narrow map before the warp shuffle —
+    * nodata handling costs nothing extra at scale. */
+  def maskNodata(src: Dataset[Tile], nodata: Double): Dataset[Tile] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src.map(t => t.copy(pixels = t.pixels.map(v => if (v == nodata) Double.NaN else v)))
+  }
+
+  /** gdalwarp -cutline (binary crop, blend distance 0,
+    * /root/reference/alg/gdalwarpoperation.cpp cutline mask path): pixels
+    * whose CENTER falls outside the cutline polygon take dstnodata (0) —
+    * the same pixel-center rule as the rasterize fill. The cutline rides
+    * along as a closure capture (one small WKB per task, the broadcast
+    * degenerate case); the pass is a narrow map over tiles with the
+    * envelope fast path: fully-outside tiles zero without per-pixel tests,
+    * fully-inside tiles pass through untouched. */
+  def cutline(tiles: Dataset[Tile], cutWkb: Array[Byte],
+              tileSize: Int = TileSize): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val env = graft.geom.Wkb.read(cutWkb).envelope
+    tiles.map { t =>
+      val x0 = t.x.toLong * tileSize; val y0 = t.y.toLong * tileSize
+      val tileEnv = graft.geom.Envelope(x0, y0, x0 + t.w - 1 + 1.0, y0 + t.h - 1 + 1.0)
+      if (!env.intersects(tileEnv)) t.copy(pixels = new Array[Double](t.w * t.h))
+      else {
+        val out = new Array[Double](t.w * t.h)
+        var yy = 0
+        while (yy < t.h) {
+          var xx = 0
+          while (xx < t.w) {
+            val i = yy * t.w + xx
+            if (t.pixels(i) != 0.0 &&
+                graft.geom.WkbPip.containsPoint(cutWkb, x0 + xx + 0.5, y0 + yy + 0.5))
+              out(i) = t.pixels(i)
+            xx += 1
+          }
+          yy += 1
+        }
+        t.copy(pixels = out)
+      }
+    }
+  }
+
   /** Output-driven warp between tile grids (gdalwarp architecture,
     * /root/reference/alg/gdalwarpoperation.cpp:103-144: chunk destination,
     * compute source window, inverse-map each dst pixel, apply kernel).
