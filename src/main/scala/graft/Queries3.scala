@@ -1865,6 +1865,69 @@ object Queries3 {
             FROM v)
           SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y, ${cksCol("iv")} AS cks
           FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
+    // -- spherical projection tail (PROJ aeqd/eqc/moll on the +R=a sphere):
+    // Azimuthal Equidistant fwd values + round-trip, Equidistant
+    // Cylindrical fwd, Mollweide equator fwd (closed form: theta = 0) +
+    // full round-trip. Round-trip deltas oracle to literal 0 at micro
+    // precision (Newton and the closed inverses converge to ~1e-13 deg).
+    ("g46_proj_sph", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      // lon = -180 exactly is the antimeridian ambiguity (the inverse wraps
+      // to +180 per PROJ adjlon) -- excluded from the round-trip fixture
+      val base = Queries.eventPoints(s, dir).where(col("event_id") < 5000)
+        .where(col("lon") =!= -180.0)
+        .withColumn("pw", gf.st_point(col("lon"), col("lat")))
+        .withColumn("pe", gf.st_point(col("lon"), lit(0.0)))
+        .withColumn("ga", expr("st_transform_aeqd(pw, 40.0, 10.0)"))
+        .withColumn("ge", expr("st_transform_eqc(pw, 30.0)"))
+        .withColumn("gm", expr("st_transform_moll(pe, 0.0)"))
+        .withColumn("ra", expr(
+          "st_transform_aeqd_inv(st_transform_aeqd(pw, 40.0, 10.0), 40.0, 10.0)"))
+        .withColumn("rm", expr(
+          "st_transform_moll_inv(st_transform_moll(pw, 0.0), 0.0)"))
+      base.select(col("event_id"),
+          expr("CAST(floor(st_x(ga) * 1000.0 + 0.5) AS BIGINT)").as("ax_mm"),
+          expr("CAST(floor(st_y(ga) * 1000.0 + 0.5) AS BIGINT)").as("ay_mm"),
+          expr("CAST(floor(st_x(ge) * 1000.0 + 0.5) AS BIGINT)").as("ex_mm"),
+          expr("CAST(floor(st_y(ge) * 1000.0 + 0.5) AS BIGINT)").as("ey_mm"),
+          expr("CAST(floor(st_x(gm) * 1000.0 + 0.5) AS BIGINT)").as("mx_mm"),
+          expr("CAST(floor((st_x(ra) - lon) * 1000000.0 + 0.5) AS BIGINT)").as("arlon_u"),
+          expr("CAST(floor((st_y(ra) - lat) * 1000000.0 + 0.5) AS BIGINT)").as("arlat_u"),
+          expr("CAST(floor((st_x(rm) - lon) * 1000000.0 + 0.5) AS BIGINT)").as("mrlon_u"),
+          expr("CAST(floor((st_y(rm) - lat) * 1000000.0 + 0.5) AS BIGINT)").as("mrlat_u"))
+        .orderBy("event_id")
+    }, Some {
+      val aL = dlit(graft.geom.Conic.A)
+      val d2rl = "(pi() / 180.0)"
+      s"""WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events WHERE event_id < 5000),
+      ptf AS (SELECT * FROM pts WHERE lon <> -180.0),
+      cc AS (SELECT event_id, lon, lat,
+          lon * $d2rl AS lam, lat * $d2rl AS phi,
+          40.0 * $d2rl AS phi0, 10.0 * $d2rl AS lam0 FROM ptf),
+      az AS (SELECT event_id, lon, lat, lam, phi, phi0, lam0,
+          acos(least(greatest(sin(phi0) * sin(phi) + cos(phi0) * cos(phi) * cos(lam - lam0), -1.0), 1.0)) AS c
+          FROM cc),
+      kz AS (SELECT *, CASE WHEN c = 0.0 THEN 1.0 ELSE c / sin(c) END AS kp FROM az),
+      v AS (SELECT event_id,
+          $aL * kp * cos(phi) * sin(lam - lam0) AS ax,
+          $aL * kp * (cos(phi0) * sin(phi) - sin(phi0) * cos(phi) * cos(lam - lam0)) AS ay,
+          $aL * (lon * $d2rl) * cos(30.0 * $d2rl) AS ex,
+          $aL * (lat * $d2rl) AS ey,
+          (2.0 * sqrt(2.0) / pi()) * $aL * (lon * $d2rl - 0.0) * 1.0 AS mx
+          FROM kz)
+      SELECT event_id,
+          CAST(floor(ax * 1000.0 + 0.5) AS BIGINT) AS ax_mm,
+          CAST(floor(ay * 1000.0 + 0.5) AS BIGINT) AS ay_mm,
+          CAST(floor(ex * 1000.0 + 0.5) AS BIGINT) AS ex_mm,
+          CAST(floor(ey * 1000.0 + 0.5) AS BIGINT) AS ey_mm,
+          CAST(floor(mx * 1000.0 + 0.5) AS BIGINT) AS mx_mm,
+          CAST(0 AS BIGINT) AS arlon_u, CAST(0 AS BIGINT) AS arlat_u,
+          CAST(0 AS BIGINT) AS mrlon_u, CAST(0 AS BIGINT) AS mrlat_u
+      FROM v ORDER BY event_id"""
     })
   )
 }

@@ -174,6 +174,18 @@ object GeoKernel {
     Wkb.write(Conic.sinuGeom(decode(wkb), lon0))
   def fromSinu(wkb: Array[Byte], lon0: Double): Array[Byte] =
     Wkb.write(Conic.sinuInvGeom(decode(wkb), lon0))
+  def toAeqd(wkb: Array[Byte], lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.aeqdGeom(decode(wkb), lat0, lon0))
+  def fromAeqd(wkb: Array[Byte], lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.aeqdInvGeom(decode(wkb), lat0, lon0))
+  def toEqc(wkb: Array[Byte], lat1: Double): Array[Byte] =
+    Wkb.write(Conic.eqcGeom(decode(wkb), lat1))
+  def fromEqc(wkb: Array[Byte], lat1: Double): Array[Byte] =
+    Wkb.write(Conic.eqcInvGeom(decode(wkb), lat1))
+  def toMoll(wkb: Array[Byte], lon0: Double): Array[Byte] =
+    Wkb.write(Conic.mollGeom(decode(wkb), lon0))
+  def fromMoll(wkb: Array[Byte], lon0: Double): Array[Byte] =
+    Wkb.write(Conic.mollInvGeom(decode(wkb), lon0))
 
   // ---- cells & tiles
   def cell(lon: Double, lat: Double, z: Int): Long = CellId.fromLonLat(lon, lat, z)

@@ -810,12 +810,15 @@ case class StTransformConic(children: Seq[Expression], which: Int)
 
 /** st_transform_ps(wkb, lat_ts, lon0) / st_transform_sinu(wkb, lon0)
   * family — native Polar Stereographic variant B (Snyder §21; PROJ stere,
-  * EPSG:3413/3031) and ellipsoidal Sinusoidal (Snyder §30; PROJ sinu, the
-  * MODIS grid). `which`: 0=PS fwd, 1=PS inv, 2=sinu fwd, 3=sinu inv.
-  * Batch reprojection, not row-hot → CodegenFallback like the conics. */
+  * EPSG:3413/3031), ellipsoidal Sinusoidal (Snyder §30; PROJ sinu, the
+  * MODIS grid), spherical Azimuthal Equidistant (Snyder §25; PROJ aeqd
+  * +R=a), Equidistant Cylindrical (Snyder §12; PROJ eqc) and Mollweide
+  * (Snyder §31; PROJ moll). `which`: 0=PS fwd, 1=PS inv, 2=sinu fwd,
+  * 3=sinu inv, 4=aeqd fwd, 5=aeqd inv, 6=eqc fwd, 7=eqc inv, 8=moll fwd,
+  * 9=moll inv. Batch reprojection, not row-hot → CodegenFallback. */
 case class StTransformProj(children: Seq[Expression], which: Int)
     extends Expression with ImplicitCastInputTypes with CodegenFallback {
-  private val nParams = if (which < 2) 2 else 1
+  private val nParams = if (which < 2 || which == 4 || which == 5) 2 else 1
   require(children.length == nParams + 1,
     "st_transform_ps(wkb, lat_ts, lon0) / st_transform_sinu(wkb, lon0)")
   override def inputTypes: Seq[AbstractDataType] =
@@ -826,7 +829,13 @@ case class StTransformProj(children: Seq[Expression], which: Int)
     case 0 => "st_transform_ps"
     case 1 => "st_transform_ps_inv"
     case 2 => "st_transform_sinu"
-    case _ => "st_transform_sinu_inv"
+    case 3 => "st_transform_sinu_inv"
+    case 4 => "st_transform_aeqd"
+    case 5 => "st_transform_aeqd_inv"
+    case 6 => "st_transform_eqc"
+    case 7 => "st_transform_eqc_inv"
+    case 8 => "st_transform_moll"
+    case _ => "st_transform_moll_inv"
   }
   override def eval(input: InternalRow): Any = {
     val w = children(0).eval(input)
@@ -844,7 +853,13 @@ case class StTransformProj(children: Seq[Expression], which: Int)
       case 0 => GeoKernel.toPs(wkb, ps(0), ps(1))
       case 1 => GeoKernel.fromPs(wkb, ps(0), ps(1))
       case 2 => GeoKernel.toSinu(wkb, ps(0))
-      case _ => GeoKernel.fromSinu(wkb, ps(0))
+      case 3 => GeoKernel.fromSinu(wkb, ps(0))
+      case 4 => GeoKernel.toAeqd(wkb, ps(0), ps(1))
+      case 5 => GeoKernel.fromAeqd(wkb, ps(0), ps(1))
+      case 6 => GeoKernel.toEqc(wkb, ps(0))
+      case 7 => GeoKernel.fromEqc(wkb, ps(0))
+      case 8 => GeoKernel.toMoll(wkb, ps(0))
+      case _ => GeoKernel.fromMoll(wkb, ps(0))
     }
   }
   protected override def withNewChildrenInternal(ns: IndexedSeq[Expression]): StTransformProj =

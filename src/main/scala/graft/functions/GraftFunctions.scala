@@ -79,6 +79,12 @@ object GraftFunctions {
     arity("st_transform_ps_inv", 3)(a => StTransformProj(a, 1)),
     arity("st_transform_sinu", 2)(a => StTransformProj(a, 2)),
     arity("st_transform_sinu_inv", 2)(a => StTransformProj(a, 3)),
+    arity("st_transform_aeqd", 3)(a => StTransformProj(a, 4)),
+    arity("st_transform_aeqd_inv", 3)(a => StTransformProj(a, 5)),
+    arity("st_transform_eqc", 2)(a => StTransformProj(a, 6)),
+    arity("st_transform_eqc_inv", 2)(a => StTransformProj(a, 7)),
+    arity("st_transform_moll", 2)(a => StTransformProj(a, 8)),
+    arity("st_transform_moll_inv", 2)(a => StTransformProj(a, 9)),
     arity("st_simplify", 2)(a => StSimplify(a(0), a(1))),
     arity("st_segmentize", 2)(a => StSegmentize(a(0), a(1))),
     arity("st_cover", 2)(a => StCover(a(0), a(1))),

@@ -209,7 +209,105 @@ object Conic {
     (lam / d2r, phi / d2r)
   }
 
+  // ---- Azimuthal Equidistant, spherical oblique form (Snyder §25
+  // 25-1..25-4, 25-15..25-18; PROJ aeqd with the ellipsoid collapsed to
+  // the semi-major sphere, +R=a). Polar research grids / "distance from
+  // here" maps. Ellipsoidal aeqd (geodesic-based) is documented out.
+
+  /** Forward: k' = c / sin c around (lat0, lon0). */
+  def aeqdForward(lonDeg: Double, latDeg: Double, lat0Deg: Double,
+                  lon0Deg: Double): (Double, Double) = {
+    val phi = latDeg * d2r; val lam = lonDeg * d2r
+    val phi0 = lat0Deg * d2r; val lam0 = lon0Deg * d2r
+    val cosC = math.sin(phi0) * math.sin(phi) +
+      math.cos(phi0) * math.cos(phi) * math.cos(lam - lam0)
+    val c = math.acos(math.max(-1.0, math.min(1.0, cosC)))
+    val kp = if (c == 0.0) 1.0 else c / math.sin(c)
+    val x = A * kp * math.cos(phi) * math.sin(lam - lam0)
+    val y = A * kp * (math.cos(phi0) * math.sin(phi) -
+      math.sin(phi0) * math.cos(phi) * math.cos(lam - lam0))
+    (x, y)
+  }
+
+  /** Inverse (Snyder 25-15): c = rho/R; center maps to itself. */
+  def aeqdInverse(x: Double, y: Double, lat0Deg: Double,
+                  lon0Deg: Double): (Double, Double) = {
+    val phi0 = lat0Deg * d2r; val lam0 = lon0Deg * d2r
+    val rho = math.sqrt(x * x + y * y)
+    if (rho == 0.0) return (lon0Deg, lat0Deg)
+    val c = rho / A
+    val sinC = math.sin(c); val cosC = math.cos(c)
+    val phi = math.asin(math.max(-1.0, math.min(1.0,
+      cosC * math.sin(phi0) + y * sinC * math.cos(phi0) / rho)))
+    val lam = lam0 + math.atan2(x * sinC,
+      rho * math.cos(phi0) * cosC - y * math.sin(phi0) * sinC)
+    // PROJ adjlon wrap to (-180, 180]
+    val lonDeg = lam / d2r
+    val wrapped = if (lonDeg > 180.0) lonDeg - 360.0
+      else if (lonDeg <= -180.0) lonDeg + 360.0 else lonDeg
+    (wrapped, phi / d2r)
+  }
+
+  // ---- Equidistant Cylindrical / Plate Carrée (Snyder §12; PROJ eqc),
+  // spherical on the semi-major sphere, standard parallel lat1.
+
+  def eqcForward(lonDeg: Double, latDeg: Double, lat1Deg: Double): (Double, Double) =
+    (A * (lonDeg * d2r) * math.cos(lat1Deg * d2r), A * (latDeg * d2r))
+
+  def eqcInverse(x: Double, y: Double, lat1Deg: Double): (Double, Double) =
+    ((x / (A * math.cos(lat1Deg * d2r))) / d2r, (y / A) / d2r)
+
+  // ---- Mollweide (Snyder §31; PROJ moll), spherical equal-area on the
+  // semi-major sphere. The forward's transcendental 2θ + sin 2θ = π sin φ
+  // runs a FIXED 12 Newton steps (machine-converged everywhere except the
+  // exact poles, which short-circuit) so results are deterministic.
+
+  def mollForward(lonDeg: Double, latDeg: Double, lon0Deg: Double): (Double, Double) = {
+    val phi = latDeg * d2r; val lam = lonDeg * d2r; val lam0 = lon0Deg * d2r
+    val sqrt2 = math.sqrt(2.0)
+    val theta =
+      if (math.abs(math.abs(latDeg) - 90.0) < 1e-13) math.signum(phi) * (math.Pi / 2.0)
+      else {
+        val target = math.Pi * math.sin(phi)
+        var t = 2.0 * phi // t = 2θ
+        var k = 0
+        while (k < 12) {
+          val denom = 1.0 + math.cos(t)
+          if (denom > 1e-14) t -= (t + math.sin(t) - target) / denom
+          k += 1
+        }
+        t / 2.0
+      }
+    val x = (2.0 * sqrt2 / math.Pi) * A * (lam - lam0) * math.cos(theta)
+    val y = sqrt2 * A * math.sin(theta)
+    (x, y)
+  }
+
+  def mollInverse(x: Double, y: Double, lon0Deg: Double): (Double, Double) = {
+    val sqrt2 = math.sqrt(2.0)
+    val theta = math.asin(math.max(-1.0, math.min(1.0, y / (sqrt2 * A))))
+    val phi = math.asin(math.max(-1.0, math.min(1.0,
+      (2.0 * theta + math.sin(2.0 * theta)) / math.Pi)))
+    val lam =
+      if (math.abs(math.cos(theta)) < 1e-12) lon0Deg * d2r
+      else lon0Deg * d2r + math.Pi * x / (2.0 * sqrt2 * A * math.cos(theta))
+    (lam / d2r, phi / d2r)
+  }
+
   // ---- geometry-level transforms (WKB path goes through GeoKernel)
+
+  def aeqdGeom(g: Geom, lat0: Double, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => aeqdForward(x, y, lat0, lon0))
+  def aeqdInvGeom(g: Geom, lat0: Double, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => aeqdInverse(x, y, lat0, lon0))
+  def eqcGeom(g: Geom, lat1: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => eqcForward(x, y, lat1))
+  def eqcInvGeom(g: Geom, lat1: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => eqcInverse(x, y, lat1))
+  def mollGeom(g: Geom, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => mollForward(x, y, lon0))
+  def mollInvGeom(g: Geom, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => mollInverse(x, y, lon0))
 
   def psGeom(g: Geom, latTs: Double, lon0: Double): Geom = {
     val p = psParams(latTs, lon0)

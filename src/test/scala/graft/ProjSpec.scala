@@ -76,4 +76,54 @@ class ProjSpec extends AnyFunSuite {
     val (_, y1) = Conic.sinuForward(0.0, lat + d, p)
     assert(math.abs((y1 - y0) / (m * d * dr) - 1.0) < 1e-6)
   }
+
+  test("aeqd: radial distance == great-circle distance (the defining property)") {
+    val (lat0, lon0) = (40.0, 10.0)
+    for ((lon, lat) <- Seq((10.0, 40.0), (25.3, 47.1), (-120.7, -33.4),
+        (170.0, 80.2), (-60.0, 0.0))) {
+      val (x, y) = Conic.aeqdForward(lon, lat, lat0, lon0)
+      val d2r = math.Pi / 180.0
+      // haversine central angle (well-conditioned at c ~ 0, unlike acos)
+      val sdLat = math.sin((lat - lat0) * d2r / 2.0)
+      val sdLon = math.sin((lon - lon0) * d2r / 2.0)
+      val h = sdLat * sdLat + math.cos(lat0 * d2r) * math.cos(lat * d2r) * sdLon * sdLon
+      val c = 2.0 * math.asin(math.min(1.0, math.sqrt(h)))
+      assert(math.abs(math.hypot(x, y) - Conic.A * c) < 1e-6, s"($lon,$lat)")
+      val (lonB, latB) = Conic.aeqdInverse(x, y, lat0, lon0)
+      assert(math.abs(lonB - lon) < 1e-9 && math.abs(latB - lat) < 1e-9, s"($lon,$lat)")
+    }
+  }
+
+  test("mollweide: pole/equator anchors, round-trip, equal-area element") {
+    val sqrt2A = math.sqrt(2.0) * Conic.A
+    assert(math.abs(Conic.mollForward(0.0, 90.0, 0.0)._2 - sqrt2A) < 1e-6)
+    assert(Conic.mollForward(90.0, 0.0, 0.0)._2 == 0.0)
+    // total width at equator: x(180) = 2*sqrt(2)*A
+    assert(math.abs(Conic.mollForward(180.0, 0.0, 0.0)._1 - 2.0 * math.sqrt(2.0) * Conic.A) < 1e-6)
+    for ((lon, lat) <- Seq((13.37, 52.52), (-77.04, 38.91), (151.21, -33.87), (0.1, 89.0))) {
+      val (x, y) = Conic.mollForward(lon, lat, 0.0)
+      val (lonB, latB) = Conic.mollInverse(x, y, 0.0)
+      assert(math.abs(lonB - lon) < 1e-8 && math.abs(latB - lat) < 1e-8, s"($lon,$lat)")
+    }
+    // equal-area: the projected quad area equals the SPHERE surface element
+    val (lon, lat, d) = (30.0, 45.0, 0.01)
+    def pt(lo: Double, la: Double) = Conic.mollForward(lo, la, 0.0)
+    val quad = Seq(pt(lon, lat), pt(lon + d, lat), pt(lon + d, lat + d), pt(lon, lat + d))
+    val planar = 0.5 * math.abs((0 until 4).map { i =>
+      val (x1, y1) = quad(i); val (x2, y2) = quad((i + 1) % 4)
+      x1 * y2 - x2 * y1
+    }.sum)
+    val dr = math.Pi / 180.0
+    val surf = Conic.A * Conic.A * math.cos((lat + d / 2.0) * dr) * (d * dr) * (d * dr)
+    assert(math.abs(planar / surf - 1.0) < 1e-4, s"$planar vs $surf")
+  }
+
+  test("eqc: linear in lon/lat with cos(lat1) x-scale, exact round-trip") {
+    val (x, y) = Conic.eqcForward(-45.0, 60.0, 30.0)
+    val d2r = math.Pi / 180.0
+    assert(math.abs(x - Conic.A * (-45.0 * d2r) * math.cos(30.0 * d2r)) < 1e-9)
+    assert(math.abs(y - Conic.A * (60.0 * d2r)) < 1e-9)
+    val (lonB, latB) = Conic.eqcInverse(x, y, 30.0)
+    assert(math.abs(lonB + 45.0) < 1e-12 && math.abs(latB - 60.0) < 1e-12)
+  }
 }
