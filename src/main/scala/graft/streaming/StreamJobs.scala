@@ -35,6 +35,18 @@ object StreamJobs {
   def tileAssignments(points: DataFrame, minZ: Int, maxZ: Int): DataFrame =
     graft.engine.TileJob.assign(points, minZ, maxZ)
 
+  /** Streaming exact dedup for document ingest (the training-pipeline d01
+    * twin): first arrival of each content digest passes, duplicates drop.
+    * State is the digest set bounded by the watermark horizon — late
+    * duplicates beyond it are admitted (documented at-most-once-per-window
+    * semantics; an unbounded set would OOM a 10^12-doc stream). Input:
+    * (doc_id, text, ts). */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("digest", sha2(col("text"), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** File-source ingest of an append-only events directory → windowed
     * counts → parquet sink with checkpointing (exactly-once). */
   def runFileStream(spark: SparkSession, inDir: String, outDir: String,

@@ -62,4 +62,30 @@ class MultimodalStreamSpec extends AnyFunSuite {
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("streaming exact dedup: first arrival of each digest survives, state watermark-bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val t0 = 1700000000000L
+    // 40 docs over 10 distinct texts, arriving in ts order — only the
+    // first arrival of each text may pass
+    val rows = (0 until 40).map { i =>
+      (i.toLong, s"text-${i % 10}", new Timestamp(t0 + i * 1000L))
+    }
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(rows: _*)
+    val sdf = stream.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamJobs.streamingDedup(sdf)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = s.sql("SELECT doc_id, text FROM dedup_test ORDER BY doc_id").collect()
+      assert(out.length == 10, s"got ${out.length}")
+      // the survivors are the first arrivals (doc_id 0..9)
+      assert(out.map(_.getLong(0)).toSeq == (0L until 10L))
+      assert(out.map(_.getString(1)).distinct.length == 10)
+    } finally q.stop()
+  }
 }
