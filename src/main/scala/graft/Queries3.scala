@@ -1928,6 +1928,57 @@ object Queries3 {
           CAST(0 AS BIGINT) AS arlon_u, CAST(0 AS BIGINT) AS arlat_u,
           CAST(0 AS BIGINT) AS mrlon_u, CAST(0 AS BIGINT) AS mrlat_u
       FROM v ORDER BY event_id"""
+    }),
+
+    // -- near-dup CLUSTERING, the canonical-doc dedup output: LSH banding
+    // candidates -> trigram-Jaccard refine (>= 0.6, exact integer
+    // cross-multiplication so there is no FP threshold ambiguity) -> dup
+    // edges -> distributed hash-min connected components -> every clustered
+    // doc labeled with its canonical (min) doc_id. The full training-data
+    // dedup pipeline in one query; never group-quadratic at any stage.
+    ("d09_dedup_clusters", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val (cand, _) = graft.engine.Lsh.candidatePairs(
+        graft.engine.Lsh.bandify(Queries.minhashDf(s, dir), nBands = 2),
+        maxBucket = Long.MaxValue) // uncapped for oracle parity (see d05)
+      val sets = t(s, dir, "documents").where(expr("length(text) >= 3"))
+        .select(col("doc_id"),
+          array_distinct(gf.text_trigram_codes(col("text"))).as("cd"))
+      val edges = cand.join(sets.as("sa"), col("a") === col("sa.doc_id"))
+        .select(col("a"), col("b"), col("sa.cd").as("ca"))
+        .join(sets.as("sb"), col("b") === col("sb.doc_id"))
+        .where(expr("size(array_intersect(ca, sb.cd)) * 1000 >= " +
+          "600 * (size(ca) + size(sb.cd) - size(array_intersect(ca, sb.cd)))"))
+        .select(col("a").as("src"), col("b").as("dst"))
+      engine.GraphOps.connectedComponents(edges)
+        .select(col("node").cast("long").as("doc_id"),
+          col("comp").cast("long").as("canon"))
+        .orderBy("doc_id")
+    }, Some {
+      val bandArms = (0 until 2).map { b =>
+        s"SELECT doc_id, $b AS band, h${4 * b} AS x1, h${4 * b + 1} AS x2, h${4 * b + 2} AS x3, h${4 * b + 3} AS x4 FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE ${Queries.minhashCte}, bands AS ($bandArms),
+          cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r ON l.band = r.band AND l.x1 = r.x1 AND l.x2 = r.x2
+              AND l.x3 = r.x3 AND l.x4 = r.x4 AND l.doc_id < r.doc_id),
+          sets AS (SELECT doc_id, list_distinct(${trigramCodes("text", duck = true)}) AS cd
+            FROM documents WHERE length(text) >= 3),
+          p AS (SELECT a, b,
+              len(list_filter(sa.cd, x -> list_contains(sb.cd, x))) AS inter,
+              len(sa.cd) + len(sb.cd) AS tot
+            FROM cand JOIN sets sa ON a = sa.doc_id JOIN sets sb ON b = sb.doc_id),
+          e AS (SELECT a, b FROM p WHERE inter * 1000 >= 600 * (tot - inter)),
+          und AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b AS x, a AS y FROM e),
+          nodes AS (SELECT DISTINCT x AS node FROM und),
+          reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT u.y, r.lbl FROM reach r JOIN und u ON u.x = r.node),
+          cc AS (SELECT node, min(lbl) AS canon FROM reach GROUP BY node)
+          SELECT CAST(node AS BIGINT) AS doc_id, CAST(canon AS BIGINT) AS canon
+          FROM cc ORDER BY doc_id"""
     })
   )
 }
