@@ -1070,13 +1070,32 @@ object Queries {
         s"CASE WHEN $ix < 0 OR $ix > $maxG OR $iy < 0 OR $iy > $maxG THEN 0.0 ELSE ${fAt(ix, iy)} END"
       }
       val bil = {
+        // GWKBilinearResample4Sample edge semantics: out-of-raster
+        // neighbors drop from the accumulator and the result renormalizes
+        // by the surviving weight (same branch structure as the engine's
+        // masked path; all-in-range keeps the factored fast-path form)
         val x0 = "floor(sxp)"; val y0 = "floor(syp)"
         val wx = s"(sxp - $x0)"; val wy = s"(syp - $y0)"
         val v00 = fAt(x0, y0); val v10 = fAt(s"$x0 + 1", y0)
         val v01 = fAt(x0, s"$y0 + 1"); val v11 = fAt(s"$x0 + 1", s"$y0 + 1")
-        s"""CASE WHEN $x0 < 0 OR $x0 + 1 > $maxG OR $y0 < 0 OR $y0 + 1 > $maxG THEN 0.0
-            ELSE (1.0 - $wy) * ((1.0 - $wx) * $v00 + $wx * $v10) +
-                 $wy * ((1.0 - $wx) * $v01 + $wx * $v11) END"""
+        def in(xe: String, ye: String) =
+          s"($xe >= 0 AND $xe <= $maxG AND $ye >= 0 AND $ye <= $maxG)"
+        val k00 = in(x0, y0); val k10 = in(s"$x0 + 1", y0)
+        val k01 = in(x0, s"$y0 + 1"); val k11 = in(s"$x0 + 1", s"$y0 + 1")
+        val fact = s"((1.0 - $wy) * ((1.0 - $wx) * $v00 + $wx * $v10) + " +
+          s"$wy * ((1.0 - $wx) * $v01 + $wx * $v11))"
+        val acc = s"((CASE WHEN $k00 THEN $v00 * ((1.0 - $wx) * (1.0 - $wy)) ELSE 0.0 END) + " +
+          s"(CASE WHEN $k10 THEN $v10 * ($wx * (1.0 - $wy)) ELSE 0.0 END) + " +
+          s"(CASE WHEN $k01 THEN $v01 * ((1.0 - $wx) * $wy) ELSE 0.0 END) + " +
+          s"(CASE WHEN $k11 THEN $v11 * ($wx * $wy) ELSE 0.0 END))"
+        val div = s"((CASE WHEN $k00 THEN (1.0 - $wx) * (1.0 - $wy) ELSE 0.0 END) + " +
+          s"(CASE WHEN $k10 THEN $wx * (1.0 - $wy) ELSE 0.0 END) + " +
+          s"(CASE WHEN $k01 THEN (1.0 - $wx) * $wy ELSE 0.0 END) + " +
+          s"(CASE WHEN $k11 THEN $wx * $wy ELSE 0.0 END))"
+        s"""CASE WHEN $k00 AND $k10 AND $k01 AND $k11 THEN $fact
+            WHEN $div = 1.0 THEN $acc
+            WHEN $div < 0.00001 THEN 0.0
+            ELSE $acc / $div END"""
       }
       s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
             FROM (SELECT unnest(generate_series(0, $maxG)) AS gx) xs

@@ -1979,6 +1979,63 @@ object Queries3 {
           cc AS (SELECT node, min(lbl) AS canon FROM reach GROUP BY node)
           SELECT CAST(node AS BIGINT) AS doc_id, CAST(canon AS BIGINT) AS canon
           FROM cc ORDER BY doc_id"""
+    }),
+
+    // -- gdalwarp bilinear with srcnodata (GWKBilinearResample4Sample
+    // renormalization): valid-weighted accumulate, divisor renormalize,
+    // all-invalid -> 0. Scale 1.25 keeps every weight an exact eighth, so
+    // engine and oracle arithmetic is dyadic-exact and the checksum cannot
+    // sit on a rounding boundary.
+    ("r40_warp_bilinear_nodata", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = engine.Raster.syntheticTiles(s, 3) { (gx, gy) =>
+        val v = ((gx * 7919 + gy * 104729) % 9973).toDouble
+        if (v % 13.0 == 0.0) -1.0 else v
+      }
+      val masked = engine.Raster.maskNodata(base, -1.0)
+      val aff = engine.Raster.WarpAffine(1.25, 1.25, 0.0, 0.0)
+      engine.Raster.warpAffine(masked, 2, 4, 4, aff, "bilinear", 2048, 2048)
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks")
+        .withColumn("z", lit(2).cast("long"))
+        .select("z", "x", "y", "cks")
+        .orderBy("x", "y")
+    }, Some {
+      val maxG = 1023
+      // sxp = (g + 0.5) * 1.25 - 0.5 (exact eighths); x0 = floor, w = frac
+      def raw(cx: String, cy: String) = s"CAST((($cx) * 7919 + ($cy) * 104729) % 9973 AS DOUBLE)"
+      def ok(cx: String, cy: String) = s"((($cx) * 7919 + ($cy) * 104729) % 9973) % 13 <> 0"
+      val pre = """px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 1023)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS gy) ys),
+          m AS (SELECT gx, gy,
+            CAST(floor((gx + 0.5) * 1.25 - 0.5) AS BIGINT) AS x0,
+            CAST(floor((gy + 0.5) * 1.25 - 0.5) AS BIGINT) AS y0,
+            ((gx + 0.5) * 1.25 - 0.5) - floor((gx + 0.5) * 1.25 - 0.5) AS wx,
+            ((gy + 0.5) * 1.25 - 0.5) - floor((gy + 0.5) * 1.25 - 0.5) AS wy FROM px)"""
+      val (v00, v10) = (raw("x0", "y0"), raw("x0 + 1", "y0"))
+      val (v01, v11) = (raw("x0", "y0 + 1"), raw("x0 + 1", "y0 + 1"))
+      val (k00, k10) = (ok("x0", "y0"), ok("x0 + 1", "y0"))
+      val (k01, k11) = (ok("x0", "y0 + 1"), ok("x0 + 1", "y0 + 1"))
+      val fact = s"((1.0 - wy) * ((1.0 - wx) * $v00 + wx * $v10) + wy * ((1.0 - wx) * $v01 + wx * $v11))"
+      val acc = s"((CASE WHEN $k00 THEN $v00 * ((1.0 - wx) * (1.0 - wy)) ELSE 0.0 END) + " +
+        s"(CASE WHEN $k10 THEN $v10 * (wx * (1.0 - wy)) ELSE 0.0 END) + " +
+        s"(CASE WHEN $k01 THEN $v01 * ((1.0 - wx) * wy) ELSE 0.0 END) + " +
+        s"(CASE WHEN $k11 THEN $v11 * (wx * wy) ELSE 0.0 END))"
+      val div = s"((CASE WHEN $k00 THEN (1.0 - wx) * (1.0 - wy) ELSE 0.0 END) + " +
+        s"(CASE WHEN $k10 THEN wx * (1.0 - wy) ELSE 0.0 END) + " +
+        s"(CASE WHEN $k01 THEN (1.0 - wx) * wy ELSE 0.0 END) + " +
+        s"(CASE WHEN $k11 THEN wx * wy ELSE 0.0 END))"
+      val value = s"(CASE WHEN $k00 AND $k10 AND $k01 AND $k11 THEN $fact " +
+        s"WHEN $div = 1.0 THEN $acc WHEN $div < 0.00001 THEN 0.0 ELSE $acc / $div END)"
+      s"""WITH $pre,
+          v AS (SELECT gx, gy, ${toInt(value)} AS iv FROM m),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy, iv
+            FROM v)
+          SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y, ${cksCol("iv")} AS cks
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
     })
   )
 }

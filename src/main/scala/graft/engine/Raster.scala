@@ -488,10 +488,33 @@ object Raster {
                   val wx = sxp - x0; val wy = syp - y0
                   val v00 = pix(x0.toLong, y0.toLong); val v10 = pix(x0.toLong + 1, y0.toLong)
                   val v01 = pix(x0.toLong, y0.toLong + 1); val v11 = pix(x0.toLong + 1, y0.toLong + 1)
-                  if (java.lang.Double.isNaN(v00) || java.lang.Double.isNaN(v10) ||
-                      java.lang.Double.isNaN(v01) || java.lang.Double.isNaN(v11)) 0.0
-                  else (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) +
-                    wy * ((1.0 - wx) * v01 + wx * v11)
+                  val anyNaN = java.lang.Double.isNaN(v00) || java.lang.Double.isNaN(v10) ||
+                    java.lang.Double.isNaN(v01) || java.lang.Double.isNaN(v11)
+                  if (!anyNaN)
+                    (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) +
+                      wy * ((1.0 - wx) * v01 + wx * v11)
+                  else {
+                    // mask-aware path (GWKBilinearResample4Sample,
+                    // alg/gdalwarpkernel.cpp:2952-3030): accumulate valid
+                    // samples UL,UR,LL,LR with their weights, renormalize
+                    // by the valid-weight divisor; all-invalid -> nodata 0
+                    var acc = 0.0; var div = 0.0
+                    if (!java.lang.Double.isNaN(v00)) {
+                      val m = (1.0 - wx) * (1.0 - wy); acc += v00 * m; div += m
+                    }
+                    if (!java.lang.Double.isNaN(v10)) {
+                      val m = wx * (1.0 - wy); acc += v10 * m; div += m
+                    }
+                    if (!java.lang.Double.isNaN(v01)) {
+                      val m = (1.0 - wx) * wy; acc += v01 * m; div += m
+                    }
+                    if (!java.lang.Double.isNaN(v11)) {
+                      val m = wx * wy; acc += v11 * m; div += m
+                    }
+                    if (div == 1.0) acc
+                    else if (div < 0.00001) 0.0
+                    else acc / div
+                  }
                 case "cubic" =>
                   val r = convolve(sxp, syp, cubicWeights, 2, normalize = false)
                   if (java.lang.Double.isNaN(r)) 0.0 else r
