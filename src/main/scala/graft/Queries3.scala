@@ -2036,6 +2036,71 @@ object Queries3 {
             FROM v)
           SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y, ${cksCol("iv")} AS cks
           FROM cells GROUP BY 2, 3 ORDER BY x, y"""
+    }),
+
+    // -- gdalwarp cubic with srcnodata (GWKResample mask semantics,
+    // gdalwarpkernel.cpp:4027-4180): nodata pixels drop from both
+    // accumulators, result renormalizes by the surviving weight unless it
+    // is within 1e-5 of 1; weight < 1e-6 -> dstnodata; windows crossing
+    // the source edge keep the out-of-source -> 0 convention. Scale 1.25
+    // keeps every Keys weight dyadic-exact.
+    ("r41_warp_cubic_nodata", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = engine.Raster.syntheticTiles(s, 3) { (gx, gy) =>
+        val v = ((gx * 7919 + gy * 104729) % 9973).toDouble
+        if (v % 13.0 == 0.0) -1.0 else v
+      }
+      val masked = engine.Raster.maskNodata(base, -1.0)
+      val aff = engine.Raster.WarpAffine(1.25, 1.25, 0.0, 0.0)
+      engine.Raster.warpAffine(masked, 2, 4, 4, aff, "cubic", 2048, 2048)
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks")
+        .withColumn("z", lit(2).cast("long"))
+        .select("z", "x", "y", "cks")
+        .orderBy("x", "y")
+    }, Some {
+      val maxG2 = 2047
+      def w(f: String, i: Int): String = i match {
+        case 0 => s"((0.5 * $f) * (-1.0 + $f * (2.0 - $f)))"
+        case 1 => s"(1.0 + ((0.5 * $f) * $f) * (-5.0 + 3.0 * $f))"
+        case 2 => s"((0.5 * $f) * (1.0 + $f * (4.0 - 3.0 * $f)))"
+        case _ => s"(((0.5 * $f) * $f) * (-1.0 + $f))"
+      }
+      def raw(xe: String, ye: String) = s"CAST((($xe) * 7919 + ($ye) * 104729) % 9973 AS DOUBLE)"
+      def ok(xe: String, ye: String) = s"((($xe) * 7919 + ($ye) * 104729) % 9973) % 13 <> 0"
+      val acc = (0 until 4).map { j =>
+        val row = (0 until 4).map { i =>
+          val (xe, ye) = (s"bx + ${i - 1}", s"by + ${j - 1}")
+          s"(CASE WHEN ${ok(xe, ye)} THEN ${w("fx", i)} * ${raw(xe, ye)} ELSE 0.0 END)"
+        }.mkString(" + ")
+        s"${w("fy", j)} * ($row)"
+      }.mkString(" + ")
+      val wsum = (0 until 4).map { j =>
+        val row = (0 until 4).map { i =>
+          val (xe, ye) = (s"bx + ${i - 1}", s"by + ${j - 1}")
+          s"(CASE WHEN ${ok(xe, ye)} THEN ${w("fx", i)} ELSE 0.0 END)"
+        }.mkString(" + ")
+        s"${w("fy", j)} * ($row)"
+      }.mkString(" + ")
+      val value = s"""CASE WHEN bx - 1 < 0 OR by - 1 < 0 OR bx + 2 > $maxG2 OR by + 2 > $maxG2 THEN 0.0
+          WHEN ($wsum) < 0.000001 THEN 0.0
+          WHEN ($wsum) < 0.99999 OR ($wsum) > 1.00001 THEN ($acc) / ($wsum)
+          ELSE ($acc) END"""
+      s"""WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 1023)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS gy) ys),
+          m AS (SELECT gx, gy,
+            CAST(floor((gx + 0.5) * 1.25 - 0.5) AS BIGINT) AS bx,
+            CAST(floor((gy + 0.5) * 1.25 - 0.5) AS BIGINT) AS by,
+            ((gx + 0.5) * 1.25 - 0.5) - floor((gx + 0.5) * 1.25 - 0.5) AS fx,
+            ((gy + 0.5) * 1.25 - 0.5) - floor((gy + 0.5) * 1.25 - 0.5) AS fy FROM px),
+          v AS (SELECT gx, gy, ${toInt(value)} AS iv FROM m),
+          cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy, iv
+            FROM v)
+          SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y, ${cksCol("iv")} AS cks
+          FROM cells GROUP BY 2, 3 ORDER BY x, y"""
     })
   )
 }

@@ -454,6 +454,42 @@ object Raster {
           } else acc
         }
 
+        // GWKResample mask semantics for the convolution kernels
+        // (alg/gdalwarpkernel.cpp:4027-4180): in-source nodata pixels drop
+        // from both accumulators and the result renormalizes by the
+        // surviving weight unless it is within 1e-5 of 1; surviving weight
+        // < 1e-6 -> dstnodata. Windows crossing the SOURCE EDGE keep the
+        // engine's out-of-source -> 0 convention (GDAL's no-mask kernels;
+        // the masks-enabled reference path renormalizes there too --
+        // documented deviation, bilinear implements that variant).
+        def convolveMasked(sxp: Double, syp: Double, wOf: Double => Array[Double],
+                           halfWidth: Int): Double = {
+          val bx = math.floor(sxp); val by = math.floor(syp)
+          val x0 = bx.toLong - (halfWidth - 1); val y0 = by.toLong - (halfWidth - 1)
+          if (x0 < 0 || y0 < 0 || bx.toLong + halfWidth >= srcW ||
+              by.toLong + halfWidth >= srcH) return 0.0
+          val fx = sxp - bx; val fy = syp - by
+          val wx = wOf(fx); val wy = wOf(fy)
+          val n = 2 * halfWidth
+          var acc = 0.0; var wsum = 0.0
+          var j = 0
+          while (j < n) {
+            var rowAcc = 0.0; var rowW = 0.0
+            var i = 0
+            while (i < n) {
+              val v = pix(x0 + i, y0 + j)
+              if (!java.lang.Double.isNaN(v)) { rowAcc += wx(i) * v; rowW += wx(i) }
+              i += 1
+            }
+            acc += wy(j) * rowAcc
+            wsum += wy(j) * rowW
+            j += 1
+          }
+          if (wsum < 0.000001) 0.0
+          else if (wsum < 0.99999 || wsum > 1.00001) acc / wsum
+          else acc
+        }
+
         val eps = 1e-10
         val outs = Array.fill(kernels.length)(new Array[Double](ts * ts))
         val vbuf = new scala.collection.mutable.ArrayBuffer[Double](64)
@@ -517,18 +553,18 @@ object Raster {
                   }
                 case "cubic" =>
                   val r = convolve(sxp, syp, cubicWeights, 2, normalize = false)
-                  if (java.lang.Double.isNaN(r)) 0.0 else r
+                  if (java.lang.Double.isNaN(r)) convolveMasked(sxp, syp, cubicWeights, 2) else r
                 case "cubicspline" =>
-                  val r = convolve(sxp, syp,
-                    f => Array(bspline(f + 1.0), bspline(f), bspline(f - 1.0), bspline(f - 2.0)),
-                    2, normalize = true)
-                  if (java.lang.Double.isNaN(r)) 0.0 else r
+                  val wOf = (f: Double) =>
+                    Array(bspline(f + 1.0), bspline(f), bspline(f - 1.0), bspline(f - 2.0))
+                  val r = convolve(sxp, syp, wOf, 2, normalize = true)
+                  if (java.lang.Double.isNaN(r)) convolveMasked(sxp, syp, wOf, 2) else r
                 case "lanczos" =>
-                  val r = convolve(sxp, syp,
-                    f => Array(lanczosSinc(f + 2.0), lanczosSinc(f + 1.0), lanczosSinc(f),
-                      lanczosSinc(f - 1.0), lanczosSinc(f - 2.0), lanczosSinc(f - 3.0)),
-                    3, normalize = true)
-                  if (java.lang.Double.isNaN(r)) 0.0 else r
+                  val wOf = (f: Double) =>
+                    Array(lanczosSinc(f + 2.0), lanczosSinc(f + 1.0), lanczosSinc(f),
+                      lanczosSinc(f - 1.0), lanczosSinc(f - 2.0), lanczosSinc(f - 3.0))
+                  val r = convolve(sxp, syp, wOf, 3, normalize = true)
+                  if (java.lang.Double.isNaN(r)) convolveMasked(sxp, syp, wOf, 3) else r
               }
               outs(ki)(pidx) = v
               pi2 += 1
