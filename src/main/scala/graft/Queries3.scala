@@ -1737,20 +1737,24 @@ object Queries3 {
     // the closed-form band value. Every arithmetic step is IEEE-identical
     // on both sides (dyadic /64, then /5 and floor on the same double).
     ("r37_contour_poly", (s, dir) => {
-      val base = engine.Raster.syntheticTiles(s, 2, tileSize = 16) { (gx, gy) =>
-        ((gx - 32.0) * (gx - 32.0) + (gy - 32.0) * (gy - 32.0)) / 64.0
+      // 32x32 fixture: the annulus components' recursive-CTE closure in
+      // the oracle is O(sum |comp| * diameter) — at 64x64 the big rings
+      // cost the oracle minutes; 32x32 keeps identical semantics at
+      // seconds (the ENGINE side is size-indifferent: hash-min CC)
+      val base = engine.Raster.syntheticTiles(s, 1, tileSize = 16) { (gx, gy) =>
+        ((gx - 16.0) * (gx - 16.0) + (gy - 16.0) * (gy - 16.0)) / 16.0
       }
-      engine.Contour.contourPolygons(base, interval = 5.0, width = 64)
+      engine.Contour.contourPolygons(base, interval = 5.0, width = 32)
         .select(col("label"), col("value"), col("size").cast("long").as("size"),
           col("elev_min"), col("elev_max"))
         .orderBy("label")
     }, Some("""
       WITH RECURSIVE px AS (
         SELECT xs.gx AS gx, ys.gy AS gy,
-               floor((((xs.gx - 32.0) * (xs.gx - 32.0) + (ys.gy - 32.0) * (ys.gy - 32.0)) / 64.0) / 5.0) AS v,
-               ys.gy * 64 + xs.gx AS idx
-        FROM (SELECT unnest(generate_series(0, 63)) AS gx) xs
-        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS gy) ys),
+               floor((((xs.gx - 16.0) * (xs.gx - 16.0) + (ys.gy - 16.0) * (ys.gy - 16.0)) / 16.0) / 5.0) AS v,
+               ys.gy * 32 + xs.gx AS idx
+        FROM (SELECT unnest(generate_series(0, 31)) AS gx) xs
+        CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS gy) ys),
       reach(gx, gy, lbl) AS (
         SELECT gx, gy, idx FROM px
         UNION
