@@ -2105,6 +2105,45 @@ object Queries3 {
             FROM v)
           SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y, ${cksCol("iv")} AS cks
           FROM cells GROUP BY 2, 3 ORDER BY x, y"""
-    })
+    }),
+
+    // -- gdal_grid elliptical search window (radius1/radius2/angle,
+    // alg/gdalgrid.cpp:124-160): rotated-ellipse membership, IDW weight on
+    // the unrotated distance, minPoints nodata rule. r1=6, r2=3, 30 deg.
+    ("g47_grid_ellipse", (s, dir) => {
+      val pts = t(s, dir, "events").select(
+        col("event_id").as("pid"), col("value"),
+        expr(lonOf("event_id")).as("lon"), expr(latOf("event_id")).as("lat"))
+      val nodes = engine.GridInterp.gridNodes(s, 64, 64, -180.0, 180.0, -85.0, 85.0)
+      engine.GridInterp.invdistEllipse(nodes, pts, radius1 = 6.0, radius2 = 3.0,
+          angleDeg = 30.0, power = 2.0, smoothing = 0.0, minPoints = 2)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("val_micro"))
+        .orderBy("i", "j")
+    }, Some(s"""
+      WITH nodes AS (SELECT xs.i AS i, ys.j AS j,
+            -180.0 + (CAST(xs.i AS DOUBLE) + 0.5) * 5.625 AS nlon,
+            -85.0 + (CAST(ys.j AS DOUBLE) + 0.5) * 2.65625 AS nlat
+          FROM (SELECT unnest(generate_series(0, 63)) AS i) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) ys),
+      pts AS (SELECT event_id AS pid, value, ${lonOf("event_id")} AS lon,
+              ${latOf("event_id")} AS lat FROM events),
+      c AS (SELECT i, j, pid, value,
+            (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) AS r2,
+            ((lon - nlon) * cos((30.0 * pi()) / 180.0) + (lat - nlat) * sin((30.0 * pi()) / 180.0)) AS rx,
+            ((lat - nlat) * cos((30.0 * pi()) / 180.0) - (lon - nlon) * sin((30.0 * pi()) / 180.0)) AS ry
+          FROM nodes JOIN pts
+          ON (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) <= 36.0),
+      e AS (SELECT * FROM c WHERE 9.0 * rx * rx + 36.0 * ry * ry <= 324.0),
+      inv AS (SELECT i, j, count(*) AS n,
+            sum(value / r2) / sum(1.0 / r2) AS value
+          FROM e GROUP BY i, j)
+      SELECT CAST(n.i AS BIGINT) AS i, CAST(n.j AS BIGINT) AS j,
+        COALESCE(inv.n, 0) AS n,
+        CASE WHEN COALESCE(inv.n, 0) >= 2
+             THEN CAST(floor(inv.value * 1000000.0 + 0.5) AS BIGINT) END AS val_micro
+      FROM nodes n LEFT JOIN inv ON n.i = inv.i AND n.j = inv.j
+      ORDER BY i, j"""))
   )
 }

@@ -103,6 +103,47 @@ object GridInterp {
       .na.fill(0L, Seq("n"))
   }
 
+  /** Elliptical search window IDW (gdal_grid radius1/radius2/angle,
+    * alg/gdalgrid.cpp:124-160): candidates come from the bounding circle
+    * of the rotated ellipse (cells sized max(r1,r2)); the refine is the
+    * reference's rotated test r2²·RX² + r1²·RY² ≤ r1²·r2² with
+    * RX = dx·cosA + dy·sinA, RY = dy·cosA − dx·sinA, while the IDW weight
+    * keeps the UNROTATED smoothed distance (dfR2 is computed before the
+    * rotation, :145-155). Same singularity / minPoints semantics as
+    * [[invdist]]. */
+  def invdistEllipse(nodes: DataFrame, pts: DataFrame,
+                     radius1: Double, radius2: Double, angleDeg: Double,
+                     power: Double = 2.0, smoothing: Double = 0.0,
+                     minPoints: Int = 0): DataFrame = {
+    val rmax = math.max(radius1, radius2)
+    val cosA = math.cos(angleDeg * math.Pi / 180.0)
+    val sinA = math.sin(angleDeg * math.Pi / 180.0)
+    val r1sq = radius1 * radius1; val r2sq = radius2 * radius2
+    val dx = col("lon") - col("nlon"); val dy = col("lat") - col("nlat")
+    val rx = dx * lit(cosA) + dy * lit(sinA)
+    val ry = dy * lit(cosA) - dx * lit(sinA)
+    val cand = radiusCandidates(nodes, pts, rmax)
+      .where(lit(r2sq) * rx * rx + lit(r1sq) * ry * ry <= lit(r1sq * r2sq))
+      .withColumn("r2s", col("dist2") + lit(smoothing * smoothing))
+    val invw =
+      if (power == 2.0) lit(1.0) / col("r2s")
+      else lit(1.0) / pow(col("r2s"), lit(power / 2.0))
+    val metrics = cand
+      .withColumn("invw", invw)
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("invw") * col("value")).as("nom"),
+        sum(col("invw")).as("den"),
+        min(when(col("r2s") < 1e-13, struct(col("pid"), col("value")))).as("sing"))
+      .withColumn("value",
+        when(col("sing").isNotNull, col("sing.value"))
+          .when(col("n") < minPoints || col("den") === 0.0, lit(null))
+          .otherwise(col("nom") / col("den")))
+      .select("i", "j", "n", "value")
+    nodes.select("i", "j").join(metrics, Seq("i", "j"), "left")
+      .na.fill(0L, Seq("n"))
+  }
+
   /** Radius-search interpolation. pts needs (pid, lon, lat, value).
     * Returns one row per grid node (gdal_grid nodata semantics: nodes with
     * no point in radius are kept with n=0 and null sum/nearest): n (count
