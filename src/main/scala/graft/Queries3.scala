@@ -2144,6 +2144,49 @@ object Queries3 {
         CASE WHEN COALESCE(inv.n, 0) >= 2
              THEN CAST(floor(inv.value * 1000000.0 + 0.5) AS BIGINT) END AS val_micro
       FROM nodes n LEFT JOIN inv ON n.i = inv.i AND n.j = inv.j
+      ORDER BY i, j""")),
+
+    // -- gdal_grid data metrics (-a minimum/maximum/range/count/
+    // average_distance, alg/gdalgrid.cpp:1024-1171): per-node value
+    // extremes + mean node->point distance with the minPoints nodata rule.
+    ("g48_grid_metrics", (s, dir) => {
+      val pts = t(s, dir, "events").select(
+        col("event_id").as("pid"), col("value"),
+        expr(lonOf("event_id")).as("lon"), expr(latOf("event_id")).as("lat"))
+      val nodes = engine.GridInterp.gridNodes(s, 64, 64, -180.0, 180.0, -85.0, 85.0)
+      engine.GridInterp.dataMetrics(nodes, pts, radius = 5.0, minPoints = 2)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"),
+          expr("CAST(floor(vmin * 100.0 + 0.5) AS BIGINT)").as("vmin_c"),
+          expr("CAST(floor(vmax * 100.0 + 0.5) AS BIGINT)").as("vmax_c"),
+          expr("CAST(floor(vrange * 100.0 + 0.5) AS BIGINT)").as("vrange_c"),
+          expr("CAST(floor(avgdist * 1000000.0 + 0.5) AS BIGINT)").as("avgdist_u"))
+        .orderBy("i", "j")
+    }, Some(s"""
+      WITH nodes AS (SELECT xs.i AS i, ys.j AS j,
+            -180.0 + (CAST(xs.i AS DOUBLE) + 0.5) * 5.625 AS nlon,
+            -85.0 + (CAST(ys.j AS DOUBLE) + 0.5) * 2.65625 AS nlat
+          FROM (SELECT unnest(generate_series(0, 63)) AS i) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) ys),
+      pts AS (SELECT event_id AS pid, value, ${lonOf("event_id")} AS lon,
+              ${latOf("event_id")} AS lat FROM events),
+      c AS (SELECT i, j, value,
+            (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) AS r2
+          FROM nodes JOIN pts
+          ON (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) <= 25.0),
+      m AS (SELECT i, j, count(*) AS n, min(value) AS vmin, max(value) AS vmax,
+            sum(sqrt(r2)) / count(*) AS avgdist FROM c GROUP BY i, j)
+      SELECT CAST(n.i AS BIGINT) AS i, CAST(n.j AS BIGINT) AS j,
+        COALESCE(m.n, 0) AS n,
+        CASE WHEN COALESCE(m.n, 0) >= 2
+             THEN CAST(floor(m.vmin * 100.0 + 0.5) AS BIGINT) END AS vmin_c,
+        CASE WHEN COALESCE(m.n, 0) >= 2
+             THEN CAST(floor(m.vmax * 100.0 + 0.5) AS BIGINT) END AS vmax_c,
+        CASE WHEN COALESCE(m.n, 0) >= 2
+             THEN CAST(floor((m.vmax - m.vmin) * 100.0 + 0.5) AS BIGINT) END AS vrange_c,
+        CASE WHEN COALESCE(m.n, 0) >= 2
+             THEN CAST(floor(m.avgdist * 1000000.0 + 0.5) AS BIGINT) END AS avgdist_u
+      FROM nodes n LEFT JOIN m ON n.i = m.i AND n.j = m.j
       ORDER BY i, j"""))
   )
 }

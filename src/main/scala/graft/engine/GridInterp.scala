@@ -144,6 +144,30 @@ object GridInterp {
       .na.fill(0L, Seq("n"))
   }
 
+  /** gdal_grid data-metric algorithms (-a minimum/maximum/range/count/
+    * average_distance; GDALGridDataMetricMinimum..AverageDistance,
+    * alg/gdalgrid.cpp:1024-1171 and the average-distance accumulator
+    * above :995): per node over the search circle — min/max/range of
+    * values, member count, and the mean node→point distance; fewer than
+    * minPoints members → nodata (null). Same one-equi-join candidate
+    * shape as the interpolators. */
+  def dataMetrics(nodes: DataFrame, pts: DataFrame, radius: Double,
+                  minPoints: Int = 0): DataFrame = {
+    val cand = radiusCandidates(nodes, pts, radius)
+    val m = cand.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("vmin0"), max("value").as("vmax0"),
+        sum(sqrt(col("dist2"))).as("distsum"))
+      .withColumn("ok", col("n") >= minPoints)
+      .select(col("i"), col("j"), col("n"),
+        when(col("ok"), col("vmin0")).as("vmin"),
+        when(col("ok"), col("vmax0")).as("vmax"),
+        when(col("ok"), col("vmax0") - col("vmin0")).as("vrange"),
+        when(col("ok"), col("distsum") / col("n")).as("avgdist"))
+    nodes.select("i", "j").join(m, Seq("i", "j"), "left")
+      .na.fill(0L, Seq("n"))
+  }
+
   /** Radius-search interpolation. pts needs (pid, lon, lat, value).
     * Returns one row per grid node (gdal_grid nodata semantics: nodes with
     * no point in radius are kept with n=0 and null sum/nearest): n (count
