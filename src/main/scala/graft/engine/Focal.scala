@@ -332,6 +332,20 @@ object Focal {
     }
   }
 
+  /** Aspect in trigonometric convention (gdaldem aspect WITHOUT
+    * -azimuth; gdaldem_lib.cpp:1466-1472 bAngleAsAzimuth=false): raw
+    * atan2 degrees, negatives folded +360, 360 → 0, flat → nodata. */
+  def aspectTrigWindow(flat: Double = -9999.0)(w: Array[Double]): Double = {
+    val dx = (w(2) + 2.0 * w(5) + w(8)) - (w(0) + 2.0 * w(3) + w(6))
+    val dy = (w(6) + 2.0 * w(7) + w(8)) - (w(0) + 2.0 * w(1) + w(2))
+    if (dx == 0.0 && dy == 0.0) flat
+    else {
+      var a = math.atan2(dy, -dx) * 180.0 / math.Pi
+      if (a < 0.0) a += 360.0
+      if (a == 360.0) 0.0 else a
+    }
+  }
+
   /** Standard hillshade over either gradient, reference's rationalized
     * one-sqrt form (gdaldem_lib.cpp:1016-1039): cang = (sin α − (y·cos A −
     * x·sin A)·cos α·zf) / √(1 + zf²(x²+y²)), scaled to 1..255 with ≤0 → 1. */

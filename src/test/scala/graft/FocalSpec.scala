@@ -65,6 +65,10 @@ class FocalSpec extends AnyFunSuite {
     assert(math.abs(Focal.slopePercentWindow(plane) - 200.0) < 1e-9)
     assert(math.abs(Focal.slopeZTWindow(plane) - math.atan(2.0) * 180.0 / math.Pi) < 1e-9)
     assert(math.abs(Focal.aspectZTWindow()(plane) - 270.0) < 1e-9)
+    // trigonometric convention on the same plane: azimuth 270 (west) =
+    // trig 180 (atan2(0, -dx>0... downslope -x) -> 180 deg, CCW-from-east)
+    assert(math.abs(Focal.aspectTrigWindow()(plane) - 180.0) < 1e-9)
+    assert(Focal.aspectTrigWindow()(flat) == -9999.0)
 
     // corner spike: ZT gradient (edge midpoints only) is flat, Horn is not
     // — the two algorithm variants genuinely diverge
