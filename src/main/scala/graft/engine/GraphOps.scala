@@ -46,36 +46,80 @@ object GraphOps {
     dist
   }
 
-  /** Undirected connected components via hash-min label propagation
-    * (the distributed CC also used conceptually by the sieve/nearblack
-    * merges): component id = min node id reachable. `edges` needs
-    * (src, dst); both directions are derived. */
+  /** Undirected connected components via alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): component id = MIN node id reachable — the same
+    * output contract as hash-min label propagation, but convergence is
+    * O(log n) ROUNDS INDEPENDENT OF GRAPH DIAMETER. Hash-min needs
+    * O(diameter) rounds, and the adversarial case the distributed merge
+    * path exists for (stripe/snake rasters whose label graph is one long
+    * path) has diameter proportional to the raster perimeter — exactly
+    * the input that would blow a fixed round cap. Star operations double
+    * the "reach" of the minimum each alternation instead of extending it
+    * by one hop.
+    *
+    * Each round is two agg+join passes (no collect_list — per-node minima
+    * via groupBy.min, then a join back onto the edge list), so per-round
+    * cost is a bounded number of shuffles on the CURRENT edge set, which
+    * the paper proves never grows beyond 2·|E| and shrinks geometrically.
+    *
+    * Non-convergence within maxIter now THROWS (IllegalStateException)
+    * rather than warning: four shipped operators (polygonize, sieve,
+    * nearblack, near-dup clustering) consume these labels, and a
+    * partially-merged result is silent data corruption. With O(log n)
+    * convergence, maxIter=64 covers graphs of ~2^64 nodes, so hitting the
+    * cap means a bug, not a big input.
+    *
+    * `edges` needs (src, dst); direction is ignored. Returns (node, comp)
+    * covering every node that appears in an edge. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 64): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .union(edges.select(col("dst").cast("long"), col("src").cast("long")))
-      .toDF("a", "b").cache()
-    // localCheckpoint severs lineage from `und` so the propagation join
-    // below is not an ambiguous self-join
-    var comp = und.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint(true)
-    var changed = 1L
+    val raw = edges.select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+    // every node that appears in ANY edge (incl. self-loops) must be labeled
+    val nodes = raw.select(col("s").as("node"))
+      .union(raw.select(col("d").as("node"))).distinct().localCheckpoint(true)
+    // canonical undirected edge form (hi > lo); self-loops dropped
+    var e = raw.where(col("s") =!= col("d"))
+      .select(greatest(col("s"), col("d")).as("hi"), least(col("s"), col("d")).as("lo"))
+      .distinct().localCheckpoint(true)
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      val prop = comp.as("c").join(und.as("u"), col("c.node") === col("u.a"))
-        .select(col("u.b").as("node"), col("c.comp").as("comp"))
-      val next = comp.unionByName(prop)
-        .groupBy("node").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
-      changed = next.as("n").join(comp.as("o"), Seq("node"))
-        .where(col("n.comp") < col("o.comp")).count()
-      comp.unpersist()
-      comp = next
+    var converged = e.isEmpty
+    while (!converged && it < maxIter) {
+      // large-star: group by each node u over BOTH directions; every
+      // strictly-larger neighbor v of u re-attaches to m(u) = min(N(u) ∪ {u}).
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val lmins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = sym.join(lmins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star: group by the LARGER endpoint u; all (< u) neighbors and
+      // u itself re-attach to the minimum neighbor.
+      val smins = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
+      val half = afterLarge.join(smins, "hi")
+      val next = half.where(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(half.select(col("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint(true)
+      // converged when the canonical edge set is a fixpoint (stars only)
+      converged =
+        next.count() == e.count() &&
+        next.join(e, Seq("hi", "lo"), "left_anti").isEmpty
+      e.unpersist()
+      e = next
       it += 1
     }
-    if (changed > 0) warnNoConverge("connectedComponents", it)
-    comp
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in maxIter=$maxIter star rounds; " +
+        "this indicates a bug (star convergence is O(log n) rounds)")
+    // at the fixpoint each component is a star rooted at its minimum node:
+    // children are (hi=child, lo=root); roots and isolated/self-loop nodes
+    // label themselves.
+    val labels = e.select(col("hi").as("node"), col("lo").as("comp"))
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
   }
 
   /** Connected components over typed Long edges with an automatic

