@@ -2187,6 +2187,40 @@ object Queries3 {
         CASE WHEN COALESCE(m.n, 0) >= 2
              THEN CAST(floor(m.avgdist * 1000000.0 + 0.5) AS BIGINT) END AS avgdist_u
       FROM nodes n LEFT JOIN m ON n.i = m.i AND n.j = m.j
-      ORDER BY i, j"""))
+      ORDER BY i, j""")),
+
+    // -- polygonize with ring geometries (alg/polygonize.cpp:455-498 +
+    // polygonize_polygonizer.cpp ring assembly): per-tile boundary arcs,
+    // distributed CC label merge, per-component ring assembly with holes in
+    // canonical form. Fixture: background + rectangle + donut-with-filler +
+    // L shape on a 32×32 raster spanning 16 tiles; oracle = the closed-form
+    // expected polygons (hand-assembled, verified tiling-invariant in
+    // PolygonizeRingsSpec).
+    ("r42_polygonize_rings", (s, dir) => {
+      val base = engine.Raster.syntheticTiles(s, 2, tileSize = 8) { (gx, gy) =>
+        if (gx >= 4 && gx < 12 && gy >= 4 && gy < 10) 1.0
+        else if (gx >= 16 && gx < 28 && gy >= 16 && gy < 28) {
+          if (gx >= 20 && gx < 24 && gy >= 20 && gy < 24) 3.0 else 2.0
+        } else if ((gx >= 2 && gx < 6 && gy >= 20 && gy < 22) ||
+                   (gx >= 2 && gx < 4 && gy >= 22 && gy < 26)) 4.0
+        else 0.0
+      }
+      engine.Polygonize.polygons(base, width = 32)
+        .select(col("label"), col("value"), col("size").cast("long").as("size"),
+          col("wkt"))
+        .orderBy("label")
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(816 AS BIGINT),
+         'POLYGON ((0 0,32 0,32 32,0 32,0 0),(2 20,2 26,4 26,4 22,6 22,6 20,2 20),(4 4,4 10,12 10,12 4,4 4),(16 16,16 28,28 28,28 16,16 16))'),
+        (CAST(132 AS BIGINT), CAST(1.0 AS DOUBLE), CAST(48 AS BIGINT),
+         'POLYGON ((4 4,12 4,12 10,4 10,4 4))'),
+        (CAST(528 AS BIGINT), CAST(2.0 AS DOUBLE), CAST(128 AS BIGINT),
+         'POLYGON ((16 16,28 16,28 28,16 28,16 16),(20 20,20 24,24 24,24 20,20 20))'),
+        (CAST(642 AS BIGINT), CAST(4.0 AS DOUBLE), CAST(16 AS BIGINT),
+         'POLYGON ((2 20,6 20,6 22,4 22,4 26,2 26,2 20))'),
+        (CAST(660 AS BIGINT), CAST(3.0 AS DOUBLE), CAST(16 AS BIGINT),
+         'POLYGON ((20 20,24 20,24 24,20 24,20 20))')
+      ) AS t(label, value, size, wkt) ORDER BY label"""))
   )
 }
