@@ -202,8 +202,23 @@ object Sieve {
       .join(clusters.select(col("label").as("a"), col("cluster")), Seq("a"))
       .select(col("cluster"), col("a"), col("b")).as[(Long, Long, Long)]
     val thr = threshold
+    // Adversarial-cluster guard: a checkerboard of sub-threshold components
+    // makes ONE merge cluster = the whole raster, and the (inherently
+    // sequential, reference-semantics) mergePolicy would run as a single
+    // giant executor task. Same contract as the LSH hot-bucket cap:
+    // report-and-refuse, never a silent degradation.
+    val maxCluster =
+      try spark.conf.get("spark.graft.sieve.maxClusterNodes", "1000000").toLong
+      catch { case _: Exception => 1000000L }
     val changedDs = nodeStats.groupByKey(_._1).cogroup(edgeC.groupByKey(_._1)) { (_, ns, es) =>
       val comps0 = ns.map(n => n._2 -> (n._3, n._4)).toMap
+      if (comps0.size > maxCluster)
+        throw new IllegalStateException(
+          s"sieve merge cluster has ${comps0.size} components > " +
+          s"spark.graft.sieve.maxClusterNodes=$maxCluster; the smallest-first " +
+          "absorb order is sequential within a cluster (GDALSieveFilter " +
+          "semantics, alg/gdalsievefilter.cpp:178), so this would run as one " +
+          "giant executor task — raise the cap explicitly if intended")
       val edges0 = es.map(e => (e._2, e._3)).toSet
       val fv = mergePolicy(comps0, edges0, thr)
       fv.iterator.filter { case (l, v) => comps0(l)._1 != v }
