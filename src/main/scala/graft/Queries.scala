@@ -885,6 +885,42 @@ object Queries {
              to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS head_b64
       FROM documents ORDER BY doc_id""")),
 
+    // -- multimodal REAL image decode (JDK ImageIO, PNG driver analog
+    // frmts/png/pngdataset.cpp): deterministic gray-PNG payloads per doc,
+    // decoded dims + exact luminance-histogram counts; oracle = the same
+    // closed-form pixel pattern in SQL. Zero bins dropped on both sides.
+    ("m03_media_decode", (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 200).as[Long].map { id =>
+          val w = 16 + (id % 8).toInt; val h = 16 + (id % 5).toInt
+          val png = engine.Multimodal.grayPng(w, h) { (x, y) =>
+            ((id * 31 + x * 7 + y * 13) % 256).toInt
+          }
+          engine.Multimodal.MediaRow(id, s"media/$id.png", "image", png)
+        }
+      engine.Multimodal.extractFeatures(media)
+        .flatMap { f =>
+          // counts are exact: float32 of c/n times n rounds back to c
+          f.features.iterator.zipWithIndex.map { case (v, b) =>
+            (f.doc_id, f.width.toLong, f.height.toLong, b.toLong,
+              math.floor(v * f.width * f.height + 0.5).toLong)
+          }.filter(_._5 > 0L)
+        }
+        .toDF("doc_id", "width", "height", "bin", "cnt")
+        .orderBy("doc_id", "bin")
+    }, Some("""
+      WITH d AS (SELECT doc_id, 16 + doc_id % 8 AS w, 16 + doc_id % 5 AS h
+                 FROM documents WHERE doc_id < 200),
+      g AS (SELECT d.doc_id, d.w, d.h,
+              ((d.doc_id * 31 + xs.x * 7 + ys.y * 13) % 256) // 16 AS bin
+            FROM d
+            JOIN (SELECT unnest(generate_series(0, 23)) AS x) xs ON xs.x < d.w
+            JOIN (SELECT unnest(generate_series(0, 20)) AS y) ys ON ys.y < d.h)
+      SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(bin AS BIGINT) AS bin, count(*) AS cnt
+      FROM g GROUP BY doc_id, w, h, bin ORDER BY doc_id, bin""")),
+
     // -- hilbert-order clustering key (alg/hilbert.cpp; gdalalg_vector_sort)
     // no SQL oracle (rows-only check); exactness pinned in GeomCoreSpec
     ("g13_hilbert_order", (s, dir) => {

@@ -8,15 +8,19 @@ import org.apache.spark.sql.functions._
   * decode/feature steps run as typed batch transforms over
   * `Dataset[MediaBatch]` rows (the Scala analog of `mapInPandas` batches).
   *
-  * The actual codec decode is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` produces a deterministic fake feature vector
-  * from the payload bytes, so the Spark-side plumbing — schema, batch
-  * shape, partitioning, join-back — is real and tested while the codec is
-  * swappable. Reference analog: GDAL treats raster payloads as opaque
-  * blocks behind a driver boundary (gcore/gdal_rasterband.h:247); the
-  * driver is the swappable codec.
-  */
+  * Image decode is REAL for the formats the JDK ships codecs for
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — no external dependency), the
+  * way the GDAL PNG/BMP drivers are always-available built-ins
+  * (frmts/png/pngdataset.cpp). Payloads ImageIO cannot read (audio/video/
+  * exotic codecs, which this container has no libraries for) fall back to
+  * `decodeStub`, a deterministic fake, so the Spark-side plumbing —
+  * schema, batch shape, partitioning, join-back — always runs end-to-end.
+  * Reference analog: GDAL treats raster payloads as opaque blocks behind a
+  * driver boundary (gcore/gdal_rasterband.h:247); the driver is the
+  * swappable codec. */
 object Multimodal {
+
+  javax.imageio.ImageIO.setUseCache(false) // never spill decode to tmp files
 
   case class MediaRow(doc_id: Long, media_ref: String, kind: String,
                       payload: Array[Byte])
@@ -43,13 +47,70 @@ object Multimodal {
     MediaFeatures(r.doc_id, r.media_ref, r.kind, r.payload.length, w, hgt, bins)
   }
 
+  /** Real image decode: JDK ImageIO for PNG/BMP/GIF/JPEG; anything it
+    * cannot read falls back to [[decodeStub]]. Features = 16-bin luminance
+    * histogram normalized by pixel count; width/height are the decoded
+    * dimensions. Single-band (grayscale) rasters are sampled directly —
+    * `getRGB` would run the gray→sRGB color-space curve and destroy
+    * sample exactness — multi-band images use integer BT.601 luminance
+    * ((299R+587G+114B)/1000, exact for R=G=B). */
+  def decode(r: MediaRow): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      catch { case _: Exception => null }
+    if (img == null) decodeStub(r)
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val bins = new Array[Float](16)
+      val raster = img.getRaster
+      val gray = raster.getNumBands == 1
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val lum =
+            if (gray) raster.getSample(x, y, 0) & 0xff
+            else {
+              val rgb = img.getRGB(x, y)
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+            }
+          bins(lum >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(1, w * h).toFloat
+      var j = 0
+      while (j < 16) { bins(j) /= n; j += 1 }
+      MediaFeatures(r.doc_id, r.media_ref, r.kind, r.payload.length, w, h, bins)
+    }
+  }
+
+  /** Deterministic grayscale PNG fixture encoder (the m03 gate and specs
+    * build payloads with it; 8-bit gray PNG round-trips samples exactly). */
+  def grayPng(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, f(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** media table (doc_id, media_ref, kind, payload:binary) → features.
     * Runs as a typed map — one narrow stage, codegen-friendly schema on
     * both sides, no driver collect. Partitioning of the input is
     * preserved (repartition upstream by doc_id for joins back to docs). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.map(decodeStub)
+    media.map(decode)
   }
 
   /** Batch-shaped variant: mapPartitions so a real codec can amortize
@@ -60,7 +121,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       batchSetup()
-      rows.map(decodeStub)
+      rows.map(decode)
     }
   }
 }

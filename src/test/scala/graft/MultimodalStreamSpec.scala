@@ -39,6 +39,26 @@ class MultimodalStreamSpec extends AnyFunSuite {
     assert(feats.zip(batched).forall { case (a, b) => a == b || a.features.toSeq == b.features.toSeq })
   }
 
+  test("multimodal: REAL PNG decode via JDK ImageIO — exact dims + luminance histogram") {
+    val s = spark
+    import s.implicits._
+    // 20×10 gray ramp: pixel v = (x*7 + y*13) % 256, closed-form histogram
+    val png = Multimodal.grayPng(20, 10)((x, y) => (x * 7 + y * 13) % 256)
+    val expected = new Array[Long](16)
+    for (y <- 0 until 10; x <- 0 until 20) expected(((x * 7 + y * 13) % 256) >> 4) += 1
+    val media = Seq(MediaRow(7L, "media://p.png", "image", png)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.width == 20 && f.height == 10)
+    assert(f.n_bytes == png.length)
+    val counts = f.features.map(v => math.floor(v * 200.0 + 0.5).toLong).toSeq
+    assert(counts == expected.toSeq)
+    // corrupt payload falls back to the deterministic stub, never throws
+    val bad = png.take(11) ++ Array[Byte](1, 2, 3)
+    val fb = Multimodal.extractFeatures(
+      Seq(MediaRow(8L, "media://bad", "image", bad)).toDS()).collect().head
+    assert(fb.n_bytes == bad.length && fb.width >= 16)
+  }
+
   test("streaming windowed counts == batch query on same rows") {
     val s = spark
     import s.implicits._
