@@ -2221,6 +2221,99 @@ object Queries3 {
          'POLYGON ((2 20,6 20,6 22,4 22,4 26,2 26,2 20))'),
         (CAST(660 AS BIGINT), CAST(3.0 AS DOUBLE), CAST(16 AS BIGINT),
          'POLYGON ((20 20,24 20,24 24,20 24,20 20))')
-      ) AS t(label, value, size, wkt) ORDER BY label"""))
+      ) AS t(label, value, size, wkt) ORDER BY label""")),
+
+    // -- ellipsoidal geodesic measures: ST_Length(geom,1) / ST_Area(geom,1)
+    // (ogrsqlitesqlfunctions.cpp:630,675 -> ogrlinestring.cpp:3225-3262).
+    // Length = fixed-8-iteration Vincenty inverse per segment; area =
+    // authalic-sphere polygon area (Snyder 3-11/3-12 + Van Oosterom-
+    // Strackee fan). Both closed-form expression trees, so the DuckDB twin
+    // evaluates the IDENTICAL arithmetic (8 unrolled iteration CTEs).
+    // Geometry goes through WKT concat -> st_geomfromtext -> WKB to
+    // exercise the full parse/decode path (Double.toString round-trips).
+    ("g49_geodesic", (s, dir) => {
+      prep(s)
+      t(s, dir, "events").where(col("event_id") < 2000)
+        .select(col("event_id"),
+          expr(lonOf("event_id")).as("lon"), expr(latOf("event_id")).as("lat"))
+        .withColumn("line", expr(
+          "st_geomfromtext(concat('LINESTRING(', lon, ' ', lat, ',', lon + 2.0, ' ', lat + 1.5, ')'))"))
+        .withColumn("quad", expr(
+          "st_geomfromtext(concat('POLYGON((', lon, ' ', lat, ',', lon + 0.25, ' ', lat, ',', " +
+            "lon + 0.25, ' ', lat + 0.25, ',', lon, ' ', lat + 0.25, ',', lon, ' ', lat, '))'))"))
+        .select(col("event_id"),
+          expr("CAST(floor(st_geodesic_length(line) * 1000.0 + 0.5) AS BIGINT)").as("len_mm"),
+          expr("CAST(floor(st_geodesic_area(quad) + 0.5) AS BIGINT)").as("area_m2"))
+        .orderBy("event_id")
+    }, Some {
+      import graft.geom.Geodesic
+      val fl = dlit(Geodesic.F); val al = dlit(Geodesic.A); val bl = dlit(Geodesic.B)
+      val el = dlit(Geodesic.E); val e2l = dlit(Geodesic.E2)
+      val qpl = dlit(Geodesic.qPole); val rql = dlit(Geodesic.AuthalicR)
+      val d2rl = dlit(math.Pi / 180.0)
+      // one Vincenty lambda-relaxation iteration (mirrors Geodesic.vincenty's
+      // loop body op-for-op; i{n}h carries the post-iteration state forward)
+      def vit(n: Int): String = {
+        val prev = if (n == 1) "w0" else s"i${n - 1}h"
+        s"""
+      i${n}a AS (SELECT event_id, l, su1, cu1, su2, cu2, lam,
+                 sin(lam) AS sl, cos(lam) AS cl FROM $prev),
+      i${n}b AS (SELECT *, cu2 * sl AS t1, cu1 * su2 - su1 * cu2 * cl AS t2 FROM i${n}a),
+      i${n}c AS (SELECT *, sqrt(t1 * t1 + t2 * t2) AS ss,
+                 su1 * su2 + cu1 * cu2 * cl AS cs FROM i${n}b),
+      i${n}d AS (SELECT *, atan2(ss, cs) AS sig,
+                 CASE WHEN ss = 0.0 THEN 0.0 ELSE cu1 * cu2 * sl / ss END AS sa FROM i${n}c),
+      i${n}e AS (SELECT *, 1.0 - sa * sa AS c2a FROM i${n}d),
+      i${n}f AS (SELECT *, CASE WHEN c2a = 0.0 THEN 0.0
+                 ELSE cs - 2.0 * su1 * su2 / c2a END AS c2m FROM i${n}e),
+      i${n}g AS (SELECT *, $fl / 16.0 * c2a * (4.0 + $fl * (4.0 - 3.0 * c2a)) AS cc FROM i${n}f),
+      i${n}h AS (SELECT event_id, l, su1, cu1, su2, cu2, ss, cs, sig, c2a, c2m,
+                 l + (1.0 - cc) * $fl * sa * (sig + cc * ss * (c2m + cc * cs *
+                   (-1.0 + 2.0 * c2m * c2m))) AS lam FROM i${n}g)"""
+      }
+      // authalic q(phi) for a sin(phi) column (Geodesic.qOf)
+      def qOf(sn: String): String =
+        s"(1.0 - $e2l) * ($sn / (1.0 - $e2l * $sn * $sn) - (1.0 / (2.0 * $el)) * " +
+          s"ln((1.0 - $el * $sn) / (1.0 + $el * $sn)))"
+      s"""
+      WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events WHERE event_id < 2000),
+      v0 AS (SELECT event_id, lon, lat,
+             atan((1.0 - $fl) * tan(lat * $d2rl)) AS u1,
+             atan((1.0 - $fl) * tan((lat + 1.5) * $d2rl)) AS u2,
+             ((lon + 2.0) - lon) * $d2rl AS l FROM pts),
+      w0 AS (SELECT event_id, l, sin(u1) AS su1, cos(u1) AS cu1,
+             sin(u2) AS su2, cos(u2) AS cu2, l AS lam FROM v0),
+      ${(1 to 8).map(vit).mkString(",")},
+      fin AS (SELECT event_id, ss, cs, sig, c2m,
+              c2a * ($al * $al - $bl * $bl) / ($bl * $bl) AS uu FROM i8g),
+      fin2 AS (SELECT *, 1.0 + uu / 16384.0 * (4096.0 + uu * (-768.0 + uu *
+               (320.0 - 175.0 * uu))) AS biga,
+               uu / 1024.0 * (256.0 + uu * (-128.0 + uu * (74.0 - 47.0 * uu))) AS bigb FROM fin),
+      fin3 AS (SELECT event_id, $bl * biga * (sig - bigb * ss * (c2m + bigb / 4.0 *
+               (cs * (-1.0 + 2.0 * c2m * c2m) - bigb / 6.0 * c2m *
+                (-3.0 + 4.0 * ss * ss) * (-3.0 + 4.0 * c2m * c2m)))) AS dist FROM fin2),
+      b0 AS (SELECT event_id, lon * $d2rl AS lo0, (lon + 0.25) * $d2rl AS lo1,
+             sin(lat * $d2rl) AS sna, sin((lat + 0.25) * $d2rl) AS snb FROM pts),
+      b2 AS (SELECT event_id, lo0, lo1, ${qOf("sna")} AS qa, ${qOf("snb")} AS qb FROM b0),
+      b3 AS (SELECT event_id, lo0, lo1,
+             asin(greatest(-1.0, least(1.0, qa / $qpl))) AS xa,
+             asin(greatest(-1.0, least(1.0, qb / $qpl))) AS xb FROM b2),
+      b4 AS (SELECT event_id,
+             cos(xa) * cos(lo0) AS x0, cos(xa) * sin(lo0) AS y0, sin(xa) AS z0,
+             cos(xa) * cos(lo1) AS x1, cos(xa) * sin(lo1) AS y1, sin(xa) AS z1,
+             cos(xb) * cos(lo1) AS x2, cos(xb) * sin(lo1) AS y2, sin(xb) AS z2,
+             cos(xb) * cos(lo0) AS x3, cos(xb) * sin(lo0) AS y3, sin(xb) AS z3 FROM b3),
+      b5 AS (SELECT event_id,
+             2.0 * atan2(x0 * (y1 * z2 - z1 * y2) + y0 * (z1 * x2 - x1 * z2) + z0 * (x1 * y2 - y1 * x2),
+                         1.0 + (x0 * x1 + y0 * y1 + z0 * z1) + (x1 * x2 + y1 * y2 + z1 * z2) + (x2 * x0 + y2 * y0 + z2 * z0))
+             + 2.0 * atan2(x0 * (y2 * z3 - z2 * y3) + y0 * (z2 * x3 - x2 * z3) + z0 * (x2 * y3 - y2 * x3),
+                         1.0 + (x0 * x2 + y0 * y2 + z0 * z2) + (x2 * x3 + y2 * y3 + z2 * z3) + (x3 * x0 + y3 * y0 + z3 * z0)) AS omega
+             FROM b4)
+      SELECT f.event_id,
+             CAST(floor(f.dist * 1000.0 + 0.5) AS BIGINT) AS len_mm,
+             CAST(floor(abs(b5.omega) * $rql * $rql + 0.5) AS BIGINT) AS area_m2
+      FROM fin3 f JOIN b5 ON f.event_id = b5.event_id ORDER BY f.event_id"""
+    })
   )
 }

@@ -89,6 +89,8 @@ object GeoKernel {
 
   def area(wkb: Array[Byte]): Double = GeoOps.area(decode(wkb))
   def length(wkb: Array[Byte]): Double = GeoOps.length(decode(wkb))
+  def geodesicArea(wkb: Array[Byte]): Double = Geodesic.area(decode(wkb))
+  def geodesicLength(wkb: Array[Byte]): Double = Geodesic.length(decode(wkb))
   def distance(a: Array[Byte], b: Array[Byte]): Double = GeoOps.distance(decode(a), decode(b))
 
   def envelope(wkb: Array[Byte]): Array[Double] = {

@@ -143,6 +143,34 @@ case class StArea(child: Expression) extends GeoUnary {
   protected override def withNewChildInternal(n: Expression): StArea = copy(child = n)
 }
 
+/** st_geodesic_area(wkb) — ellipsoidal (WGS84) polygon area in m², the
+  * engine twin of ST_Area(geom, 1) → OGR_G_GeodesicArea
+  * (ogrsqlitesqlfunctions.cpp:630, ogrlinestring.cpp:3225). Authalic-sphere
+  * algorithm; see graft.geom.Geodesic. */
+case class StGeodesicArea(child: Expression) extends GeoUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_geodesic_area"
+  protected def method = "geodesicArea"
+  protected override def nullSafeEval(w: Any): Any =
+    GeoKernel.geodesicArea(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.geodesicArea($c)"
+  protected override def withNewChildInternal(n: Expression): StGeodesicArea = copy(child = n)
+}
+
+/** st_geodesic_length(wkb) — ellipsoidal (WGS84) length in meters, the
+  * engine twin of ST_Length(geom, 1) → OGR_G_GeodesicLength
+  * (ogrsqlitesqlfunctions.cpp:675, ogrlinestring.cpp:3244). Fixed-iteration
+  * Vincenty; see graft.geom.Geodesic. */
+case class StGeodesicLength(child: Expression) extends GeoUnary {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "st_geodesic_length"
+  protected def method = "geodesicLength"
+  protected override def nullSafeEval(w: Any): Any =
+    GeoKernel.geodesicLength(w.asInstanceOf[Array[Byte]])
+  protected def genCall(c: String): String = s"${K.N}.geodesicLength($c)"
+  protected override def withNewChildInternal(n: Expression): StGeodesicLength = copy(child = n)
+}
+
 /** st_length(wkb). Ref: ST_Length (ogrsqlitesqlfunctions.cpp:978). */
 case class StLength(child: Expression) extends GeoUnary {
   override def dataType: DataType = DoubleType
