@@ -2314,6 +2314,66 @@ object Queries3 {
              CAST(floor(f.dist * 1000.0 + 0.5) AS BIGINT) AS len_mm,
              CAST(floor(abs(b5.omega) * $rql * $rql + 0.5) AS BIGINT) AS area_m2
       FROM fin3 f JOIN b5 ON f.event_id = b5.event_id ORDER BY f.event_id"""
-    })
+    }),
+
+    // -- index DDL through the OGR SQL text path: CREATE INDEX ON t USING f
+    // / DROP INDEX ON t [USING f] / DROP TABLE / ALTER TABLE RENAME TO
+    // (gdaldataset.cpp:6683,6768,6875,7505), replaying ogr_index_test.py's
+    // join_t/index_p fixture: the join's six VALUE hits must be IDENTICAL
+    // before indexing, with both indexes live, and after rename+drop — an
+    // index is a side structure, never a semantic change. *_state rows pin
+    // the registry bookkeeping (which fields are indexed, which layers
+    // survive DROP TABLE).
+    ("q27_ogrsql_index", (s, _) => {
+      import s.implicits._
+      prep(s)
+      val joinT = (0 until 20).map(i => (i.toLong, i, s"Value $i"))
+        .toDF("rid", "skey", "value")
+      val indexP = Seq(5, 10, 9, 4, 3, 1).zipWithIndex
+        .map { case (k, i) => (i.toLong, k) }.toDF("rid", "pkey")
+      var ls = Map("join_t" -> Layer(joinT, fid = Some("rid")),
+                   "index_p" -> Layer(indexP, fid = Some("rid")))
+      def join(phase: String, tn: String): DataFrame =
+        OgrSql.execute(s,
+          s"SELECT index_p.pkey AS pkey, $tn.value AS val " +
+            s"FROM index_p LEFT JOIN $tn ON index_p.pkey = $tn.skey", ls)
+          .select(lit(phase).as("phase"), col("pkey").cast("long").as("pkey"),
+            col("val"))
+      def state(phase: String, key: String): DataFrame = {
+        val idx = ls(key).indexed.toSeq.sorted
+        Seq((phase, idx.size.toLong, idx.mkString(",")))
+          .toDF("phase", "pkey", "val")
+      }
+      val a = join("a_noidx", "join_t")
+      ls = OgrSql.executeDdl(s, "CREATE INDEX ON join_t USING VALUE", ls)
+      ls = OgrSql.executeDdl(s, "CREATE INDEX ON join_t USING skey", ls)
+      val b = state("b_state", "join_t")
+      val c = join("c_indexed", "join_t")
+      ls = OgrSql.executeDdl(s, "DROP INDEX ON join_t USING value", ls)
+      val d = state("d_state", "join_t")
+      ls = OgrSql.executeDdl(s, "DROP INDEX ON join_t", ls)
+      val e = state("e_state", "join_t")
+      ls = OgrSql.executeDdl(s, "ALTER TABLE join_t RENAME TO join_u", ls)
+      val f = join("f_renamed", "join_u")
+      ls = OgrSql.executeDdl(s, "DROP TABLE join_u", ls)
+      val g = Seq(("g_state", ls.size.toLong, ls.keys.toSeq.sorted.mkString(",")))
+        .toDF("phase", "pkey", "val")
+      a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+        .unionByName(f).unionByName(g).orderBy("phase", "pkey")
+    }, Some("""
+      WITH j AS (SELECT * FROM (VALUES
+          (CAST(5 AS BIGINT), 'Value 5'), (CAST(10 AS BIGINT), 'Value 10'),
+          (CAST(9 AS BIGINT), 'Value 9'), (CAST(4 AS BIGINT), 'Value 4'),
+          (CAST(3 AS BIGINT), 'Value 3'), (CAST(1 AS BIGINT), 'Value 1'))
+          AS t(pkey, val))
+      SELECT phase, pkey, val FROM (
+        SELECT 'a_noidx' AS phase, pkey, val FROM j
+        UNION ALL SELECT 'b_state', CAST(2 AS BIGINT), 'skey,value'
+        UNION ALL SELECT 'c_indexed', pkey, val FROM j
+        UNION ALL SELECT 'd_state', CAST(1 AS BIGINT), 'skey'
+        UNION ALL SELECT 'e_state', CAST(0 AS BIGINT), ''
+        UNION ALL SELECT 'f_renamed', pkey, val FROM j
+        UNION ALL SELECT 'g_state', CAST(1 AS BIGINT), 'index_p'
+      ) ORDER BY phase, pkey"""))
   )
 }

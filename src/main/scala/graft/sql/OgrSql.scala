@@ -48,8 +48,17 @@ object OgrSql {
 
   /** A registered layer: the DataFrame plus (optionally) which column is the
     * FID — excluded from `*` expansion, addressable as `FID`, and used as the
-    * deterministic scan-order key (GDAL reads features in FID order). */
-  final case class Layer(df: DataFrame, fid: Option[String] = None)
+    * deterministic scan-order key (GDAL reads features in FID order).
+    *
+    * `indexed` is the attribute-index registry — the analog of the
+    * reference's per-layer OGRLayerAttrIndex side files (.ind/.idm,
+    * ogrsf_frmts/generic/ogrlayerattrindex built by CREATE INDEX,
+    * gcore/gdaldataset.cpp:6683). Like the reference, an index never
+    * changes feature content or scan order; it only records which fields
+    * have a lookup structure. [[OgrSql.clusterByIndex]] is the physical
+    * counterpart for materialized layers. Field names are stored lowercase. */
+  final case class Layer(df: DataFrame, fid: Option[String] = None,
+                         indexed: Set[String] = Set.empty)
 
   // =====================================================================
   // Lexer
@@ -868,20 +877,29 @@ object OgrSql {
     new Planner(spark, layers, ordered).plan(ast)
   }
 
-  /** DDL surface of ExecuteSQL — the ALTER TABLE family the reference
+  /** DDL surface of ExecuteSQL — the statement families the reference
     * special-cases before the swq parser
-    * (/root/reference/gcore/gdaldataset.cpp:5600-5900,
-    * ProcessSQLAlterTableAddColumn / DropColumn / AlterColumn /
-    * RenameColumn):
+    * (/root/reference/gcore/gdaldataset.cpp:7460-7540):
     *   ALTER TABLE <layer> ADD    [COLUMN] <name> <type>[(w[,p])]
     *   ALTER TABLE <layer> DROP   [COLUMN] <name>
     *   ALTER TABLE <layer> RENAME [COLUMN] <old> TO <new>
     *   ALTER TABLE <layer> ALTER  [COLUMN] <name> TYPE <type>[(w[,p])]
+    *   ALTER TABLE <layer> RENAME TO <newname>       (layer rename)
+    *   DROP TABLE <layer>
+    *   CREATE INDEX ON <layer> USING <field>         (gdaldataset.cpp:6683)
+    *   DROP INDEX ON <layer> [USING <field>]         (gdaldataset.cpp:6768)
     * DataFrames are immutable, so the statement returns an UPDATED layer
     * registry (narrow column ops — no shuffle, no data rewrite; the
     * reference rewrites the attribute section in place, which is the one
     * semantic we intentionally trade for Spark's lazy columnar relayout).
-    * Identifier matching is case-insensitive like the reference. */
+    * CREATE/DROP INDEX maintain [[Layer.indexed]]: like the reference's
+    * .ind side files they never alter feature content or order — query
+    * results are identical with or without the index (ogr_index_test.py
+    * asserts exactly this). The physical speed-up analog for materialized
+    * layers is [[clusterByIndex]] (range-clustered parquet gets row-group
+    * min/max skipping on the indexed field, the Spark twin of an attribute
+    * B-tree probe). Identifier matching is case-insensitive like the
+    * reference. */
   def executeDdl(spark: SparkSession, sql: String,
                  layers: Map[String, Layer]): Map[String, Layer] = {
     val toks = lex(sql)
@@ -921,37 +939,123 @@ object OgrSql {
       }
     }
 
+    def layerKey(lname: String): String =
+      layers.keys.find(_.equalsIgnoreCase(lname)).getOrElse(
+        throw new IllegalArgumentException(s"unknown layer $lname"))
+
+    if (maybeKw("CREATE")) {
+      // CREATE INDEX ON <layer> USING <field> (ProcessSQLCreateIndex,
+      // gdaldataset.cpp:6683; double-create is an error like :6733)
+      expectKw("INDEX"); expectKw("ON")
+      val key = layerKey(ident()); expectKw("USING")
+      val layer = layers(key)
+      val f = ident()
+      val name = layer.df.columns.find(_.equalsIgnoreCase(f)).getOrElse(
+        throw new IllegalArgumentException(s"unknown column $f in $key"))
+      if (cur != TEnd) throw new IllegalArgumentException(
+        s"trailing tokens after CREATE INDEX statement: $cur")
+      if (layer.indexed.contains(name.toLowerCase))
+        throw new IllegalArgumentException(s"index already exists on $key.$name")
+      return layers.updated(key,
+        layer.copy(indexed = layer.indexed + name.toLowerCase))
+    }
+
+    if (isKw("DROP") && (toks.lift(p + 1) match {
+          case Some(TId(t)) => t.equalsIgnoreCase("INDEX") ||
+            t.equalsIgnoreCase("TABLE")
+          case _ => false
+        })) {
+      p += 1
+      if (maybeKw("INDEX")) {
+        // DROP INDEX ON <layer> [USING <field>] (ProcessSQLDropIndex,
+        // gdaldataset.cpp:6768; missing index is an error like :6840)
+        expectKw("ON")
+        val key = layerKey(ident())
+        val layer = layers(key)
+        if (maybeKw("USING")) {
+          val f = ident().toLowerCase
+          if (cur != TEnd) throw new IllegalArgumentException(
+            s"trailing tokens after DROP INDEX statement: $cur")
+          if (!layer.indexed.contains(f))
+            throw new IllegalArgumentException(s"no index on $key.$f to drop")
+          return layers.updated(key, layer.copy(indexed = layer.indexed - f))
+        }
+        if (cur != TEnd) throw new IllegalArgumentException(
+          s"trailing tokens after DROP INDEX statement: $cur")
+        return layers.updated(key, layer.copy(indexed = Set.empty))
+      }
+      // DROP TABLE <layer> (ProcessSQLDropTable, gdaldataset.cpp:6875)
+      expectKw("TABLE")
+      val key = layerKey(ident())
+      if (cur != TEnd) throw new IllegalArgumentException(
+        s"trailing tokens after DROP TABLE statement: $cur")
+      return layers - key
+    }
+
     expectKw("ALTER"); expectKw("TABLE")
     val lname = ident()
-    val key = layers.keys.find(_.equalsIgnoreCase(lname)).getOrElse(
-      throw new IllegalArgumentException(s"unknown layer $lname"))
+    val key = layerKey(lname)
     val layer = layers(key)
     def resolve(c: String): String =
       layer.df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"unknown column $c in $lname"))
+    def dropIdx(c: String): Set[String] = layer.indexed - c.toLowerCase
+
+    // ALTER TABLE <layer> RENAME TO <new> — layer-level rename, dispatched
+    // before the column forms exactly like the reference's nTokens==6 case
+    // (gdaldataset.cpp:7505-7521)
+    if (isKw("RENAME") && (toks.lift(p + 1) match {
+          case Some(TId(t)) => t.equalsIgnoreCase("TO")
+          case _ => false
+        })) {
+      p += 2
+      val nw = ident()
+      if (cur != TEnd) throw new IllegalArgumentException(
+        s"trailing tokens after ALTER TABLE RENAME statement: $cur")
+      return (layers - key).updated(nw, layer)
+    }
 
     val updated: Layer =
       if (maybeKw("ADD")) {
         maybeKw("COLUMN")
         val name = ident(); val ty = sqlType()
-        Layer(layer.df.withColumn(name, lit(null).cast(ty)), layer.fid)
+        layer.copy(df = layer.df.withColumn(name, lit(null).cast(ty)))
       } else if (maybeKw("DROP")) {
         maybeKw("COLUMN")
         val name = resolve(ident())
-        Layer(layer.df.drop(name), layer.fid.filterNot(_.equalsIgnoreCase(name)))
+        Layer(layer.df.drop(name), layer.fid.filterNot(_.equalsIgnoreCase(name)),
+          dropIdx(name))
       } else if (maybeKw("RENAME")) {
         maybeKw("COLUMN")
         val old = resolve(ident()); expectKw("TO"); val nw = ident()
         Layer(layer.df.withColumnRenamed(old, nw),
-          layer.fid.map(f => if (f.equalsIgnoreCase(old)) nw else f))
+          layer.fid.map(f => if (f.equalsIgnoreCase(old)) nw else f),
+          if (layer.indexed.contains(old.toLowerCase)) dropIdx(old) + nw.toLowerCase
+          else layer.indexed)
       } else if (maybeKw("ALTER")) {
         maybeKw("COLUMN")
         val name = resolve(ident()); expectKw("TYPE"); val ty = sqlType()
-        Layer(layer.df.withColumn(name, col(name).cast(ty)), layer.fid)
+        layer.copy(df = layer.df.withColumn(name, col(name).cast(ty)))
       } else throw new IllegalArgumentException(
         s"expected ADD/DROP/RENAME/ALTER after ALTER TABLE $lname, got $cur")
     if (cur != TEnd) throw new IllegalArgumentException(
       s"trailing tokens after ALTER TABLE statement: $cur")
     layers.updated(key, updated)
+  }
+
+  /** Physical counterpart of CREATE INDEX for layers about to be
+    * materialized: range-cluster the rows on the indexed fields
+    * (`repartitionByRange` + `sortWithinPartitions`). Parquet written from
+    * this layout carries tight per-row-group min/max stats on those fields,
+    * so an equality or range probe — the reference's attribute-index hit
+    * path (ogrlayerattrindex, ogr_gensql.cpp first-match join probe) —
+    * skips every non-matching row group at scan time. Lazy (no job runs
+    * here); one shuffle when materialized, same as the reference's full
+    * scan to build the .ind file. No-op for layers with no index. */
+  def clusterByIndex(layer: Layer): DataFrame = {
+    val fields = layer.df.columns.filter(c => layer.indexed.contains(c.toLowerCase))
+    if (fields.isEmpty) layer.df
+    else layer.df.repartitionByRange(fields.map(col).toIndexedSeq: _*)
+      .sortWithinPartitions(fields.map(col).toIndexedSeq: _*)
   }
 }

@@ -175,4 +175,56 @@ class OgrSqlSpec extends AnyFunSuite {
     assert(runW("SELECT * FROM words WHERE word ILIKE 'alpha'").count() === 1L)
     assert(runW("SELECT * FROM words WHERE word ILIKE 'BE%'").count() === 1L)
   }
+
+  test("index DDL: create/drop bookkeeping + error cases (gdaldataset.cpp:6683,6768)") {
+    var ls = layers
+    ls = OgrSql.executeDdl(spark, "CREATE INDEX ON poly USING eas_id", ls)
+    assert(ls("poly").indexed === Set("eas_id"))
+    // double-create is an error (reference: "Cannot re-create an existing index")
+    intercept[IllegalArgumentException] {
+      OgrSql.executeDdl(spark, "CREATE INDEX ON poly USING EAS_ID", ls)
+    }
+    // unknown column / unknown layer
+    intercept[IllegalArgumentException] {
+      OgrSql.executeDdl(spark, "CREATE INDEX ON poly USING nope", ls)
+    }
+    intercept[IllegalArgumentException] {
+      OgrSql.executeDdl(spark, "CREATE INDEX ON nolayer USING eas_id", ls)
+    }
+    // drop of a non-existent index is an error (gdaldataset.cpp:6840)
+    intercept[IllegalArgumentException] {
+      OgrSql.executeDdl(spark, "DROP INDEX ON poly USING prfedea", ls)
+    }
+    // RENAME COLUMN carries the index entry; DROP COLUMN removes it
+    ls = OgrSql.executeDdl(spark, "ALTER TABLE poly RENAME COLUMN eas_id TO eid", ls)
+    assert(ls("poly").indexed === Set("eid"))
+    ls = OgrSql.executeDdl(spark, "DROP INDEX ON poly USING eid", ls)
+    assert(ls("poly").indexed === Set.empty)
+    // DROP INDEX without USING clears everything
+    ls = OgrSql.executeDdl(spark, "CREATE INDEX ON idlink USING eas_id", ls)
+    ls = OgrSql.executeDdl(spark, "CREATE INDEX ON idlink USING name", ls)
+    ls = OgrSql.executeDdl(spark, "DROP INDEX ON idlink", ls)
+    assert(ls("idlink").indexed === Set.empty)
+    // DROP TABLE removes the layer; queries against it then fail
+    ls = OgrSql.executeDdl(spark, "DROP TABLE idlink", ls)
+    assert(!ls.contains("idlink"))
+    intercept[IllegalArgumentException] {
+      OgrSql.execute(spark, "SELECT * FROM idlink", ls)
+    }
+  }
+
+  test("clusterByIndex range-clusters on the indexed field (physical analog)") {
+    var ls = layers
+    // no index -> same plan (no exchange added)
+    assert(OgrSql.clusterByIndex(ls("poly")) eq ls("poly").df)
+    ls = OgrSql.executeDdl(spark, "CREATE INDEX ON poly USING eas_id", ls)
+    val clustered = OgrSql.clusterByIndex(ls("poly"))
+    // plan carries a range repartition + local sort on the indexed field
+    val plan = clustered.queryExecution.optimizedPlan.toString
+    assert(plan.contains("RepartitionByExpression") || plan.contains("Sort"),
+      s"expected range-cluster operators in:\n$plan")
+    // content is unchanged — an index never alters features
+    assert(clustered.select(clustered("eas_id").cast("long")).as[Long].collect().sorted ===
+      ls("poly").df.select(ls("poly").df("eas_id").cast("long")).as[Long].collect().sorted)
+  }
 }
