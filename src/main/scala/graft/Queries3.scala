@@ -2374,6 +2374,92 @@ object Queries3 {
         UNION ALL SELECT 'e_state', CAST(0 AS BIGINT), ''
         UNION ALL SELECT 'f_renamed', pkey, val FROM j
         UNION ALL SELECT 'g_state', CAST(1 AS BIGINT), 'index_p'
-      ) ORDER BY phase, pkey"""))
+      ) ORDER BY phase, pkey""")),
+
+    // -- tile sink E2E: PNG files in the z/x/y.png layout + --resume +
+    // metadata.json (gdalalg_raster_tile.cpp GenerateTile :667-680, resume
+    // stat-and-skip :675, GenerateLeaflet variables :2176). Phase a: full
+    // write, every tile read BACK from disk and checksummed (encode→file→
+    // decode round-trip). Phase b: delete a deterministic subset, rerun
+    // with resume=true — exactly the missing tiles are regenerated. Phase
+    // c: post-resume re-read — checksums identical to phase a, so the
+    // regenerated bytes decode to the same pixels. Phase m: metadata.json
+    // read back and pinned. Oracle recomputes the GDALChecksumImage sums
+    // from the closed-form pixel pattern.
+    ("u04_tile_sink", (s, _) => {
+      import s.implicits._
+      prep(s)
+      val ts = 64
+      def pix(z: Int, x: Int, y: Int): Array[Double] =
+        Array.tabulate(ts * ts)(i =>
+          (((i % ts) * 7919 + (i / ts) * 104729 + z * 37 + x * 11 + y * 13) % 251).toDouble)
+      val tiles = for { z <- 0 to 2; x <- 0 until (1 << z); y <- 0 until (1 << z) }
+        yield engine.Tile(z, x, y, 0, ts, ts, pix(z, x, y))
+      val out = java.nio.file.Files.createTempDirectory("graft_u04").toString
+      val ds = s.createDataset(tiles)
+      // phase a: full write, then round-trip checksum from the files
+      val w1 = engine.TileSink.writeTiles(ds, out).collect()
+      require(w1.length == 21 && w1.forall(_.getBoolean(4)), "full write must write all 21")
+      def readBack(phase: String): Seq[(String, Long, Long, Long, Long)] =
+        engine.TileSink.readTiles(s, out)
+          .map(t => (t.z.toLong, t.x.toLong, t.y.toLong,
+            engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+          .collect().toSeq.map { case (z, x, y, c) => (phase, z, x, y, c) }
+      val a = readBack("a_full")
+      // delete the z0 root + the odd-parity half of z2, then resume
+      val conf = s.sparkContext.hadoopConfiguration
+      val victims = Seq((0, 0, 0)) ++
+        (for { x <- 0 until 4; y <- 0 until 4 if (x + y) % 2 == 1 } yield (2, x, y))
+      victims.foreach { case (z, x, y) =>
+        val p = new org.apache.hadoop.fs.Path(s"$out/$z/$x/$y.png")
+        p.getFileSystem(conf).delete(p, false)
+      }
+      val w2 = engine.TileSink.writeTiles(ds, out, resume = true).collect()
+      val b = w2.filter(_.getBoolean(4)).map(r =>
+        ("b_resumed", r.getInt(0).toLong, r.getInt(1).toLong, r.getInt(2).toLong, -1L)).toSeq
+      val c = readBack("c_after")
+      // phase m: metadata descriptor, read back and flattened
+      engine.TileSink.writeMetadata(s, out, "u04", -180.0, -85.0, 180.0, 85.0,
+        minZoom = 0, maxZoom = 2, tileSize = ts)
+      val md = s.read.option("multiLine", "true").json(s"$out/metadata.json").collect().head
+      def num(f: String): Double = md.get(md.fieldIndex(f)) match {
+        case l: java.lang.Long => l.toDouble
+        case d: java.lang.Double => d
+        case o => o.toString.toDouble
+      }
+      val m = Seq(("m_meta", num("minzoom").toLong, num("maxzoom").toLong,
+        num("tile_size").toLong,
+        (num("east") - num("west") + num("north") - num("south")).toLong + num("tms").toLong))
+      (a ++ b ++ c ++ m).toDF("phase", "z", "x", "y", "cks")
+        .orderBy("phase", "z", "x", "y")
+    }, Some("""
+      WITH tiles AS (
+        SELECT z, x.x AS x, y.y AS y
+        FROM (SELECT unnest(generate_series(0, 2)) AS z) zz
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS x) x
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS y) y
+        WHERE x.x < (1 << z) AND y.y < (1 << z)),
+      px AS (SELECT unnest(generate_series(0, 63)) AS p),
+      cks AS (
+        SELECT t.z, t.x, t.y,
+          ((SUM(((i.p * 7919 + j.p * 104729 + t.z * 37 + t.x * 11 + t.y * 13) % 251)
+                % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((j.p * 64 + i.p) % 11 AS INT) + 1])
+            % 65536) + 65536) % 65536 AS cks
+        FROM tiles t CROSS JOIN px i CROSS JOIN px j
+        GROUP BY t.z, t.x, t.y),
+      victims AS (
+        SELECT 0 AS z, 0 AS x, 0 AS y
+        UNION ALL
+        SELECT 2, x, y FROM (SELECT x.x AS x, y.y AS y
+          FROM (SELECT unnest(generate_series(0, 3)) AS x) x
+          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS y) y)
+        WHERE (x + y) % 2 = 1)
+      SELECT phase, CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x,
+             CAST(y AS BIGINT) AS y, CAST(cks AS BIGINT) AS cks FROM (
+        SELECT 'a_full' AS phase, z, x, y, cks FROM cks
+        UNION ALL SELECT 'b_resumed', z, x, y, -1 FROM victims
+        UNION ALL SELECT 'c_after', z, x, y, cks FROM cks
+        UNION ALL SELECT 'm_meta', 0, 2, 64, 530
+      ) ORDER BY phase, z, x, y"""))
   )
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Tile, TileSink}
+
+/** Tile PNG sink — layout, conventions, resume, and crash-debris semantics
+  * (apps/gdalalg_raster_tile.cpp GenerateTile :667-680, GetFileY :1485).
+  * The full E2E (write → delete subset → resume → round-trip checksums →
+  * metadata.json) is the u04 oracle gate; this spec pins the corners the
+  * gate doesn't reach. */
+class TileSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def mkTiles(z: Int): Seq[Tile] =
+    for { x <- 0 until (1 << z); y <- 0 until (1 << z) }
+      yield Tile(z, x, y, 0, 8, 8,
+        Array.tabulate(64)(i => ((i * 31 + x * 7 + y * 3) % 256).toDouble))
+
+  test("xyz layout writes z/x/y.png; tms flips y (GetFileY)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ts_xyz").toString
+    TileSink.writeTiles(spark.createDataset(mkTiles(1)), out).collect()
+    assert(new java.io.File(s"$out/1/0/1.png").isFile)
+    val outT = java.nio.file.Files.createTempDirectory("ts_tms").toString
+    TileSink.writeTiles(spark.createDataset(mkTiles(1)), outT, convention = "tms").collect()
+    // tile y=0 lands in file y=2^z-1-0=1 and vice versa
+    assert(new java.io.File(s"$outT/1/0/1.png").isFile)
+    // readTiles undoes the flip: logical tile sets identical across conventions
+    val xyz = TileSink.readTiles(spark, out).collect().map(t => (t.z, t.x, t.y)).sorted
+    val tms = TileSink.readTiles(spark, outT, convention = "tms").collect()
+      .map(t => (t.z, t.x, t.y)).sorted
+    assert(xyz.toSeq === tms.toSeq)
+  }
+
+  test("resume skips existing files and does not rewrite them") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ts_resume").toString
+    val ds = spark.createDataset(mkTiles(1))
+    TileSink.writeTiles(ds, out).collect()
+    val f = new java.io.File(s"$out/1/1/1.png")
+    val mtime0 = f.lastModified()
+    Thread.sleep(20)
+    val again = TileSink.writeTiles(ds, out, resume = true).collect()
+    assert(again.forall(!_.getBoolean(4)), "resume over a complete set writes nothing")
+    assert(f.lastModified() === mtime0, "existing file must not be touched")
+    // non-resume mode overwrites idempotently
+    val full = TileSink.writeTiles(ds, out).collect()
+    assert(full.forall(_.getBoolean(4)))
+  }
+
+  test("crash debris (*.inprogress) is neither resumed over nor read back") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ts_crash").toString
+    val ds = spark.createDataset(mkTiles(1))
+    TileSink.writeTiles(ds, out).collect()
+    // simulate a kill mid-write of tile (1,0,0): half-written tmp, final gone
+    new java.io.File(s"$out/1/0/0.png").delete()
+    val debris = new java.io.FileOutputStream(s"$out/1/0/0.png.inprogress")
+    debris.write(Array[Byte](1, 2, 3)); debris.close()
+    val again = TileSink.writeTiles(ds, out, resume = true).collect()
+    val rewritten = again.filter(_.getBoolean(4)).map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(rewritten.toSeq === Seq((1, 0, 0)), "only the killed tile regenerates")
+    // the regenerated file decodes to the source pixels
+    val t = TileSink.readTiles(spark, out).collect().find(t => t.x == 0 && t.y == 0).get
+    assert(t.pixels.toSeq === mkTiles(1).find(t => t.x == 0 && t.y == 0).get.pixels.toSeq)
+  }
+
+  test("pixel clamp: non-finite -> 0, out-of-range clamped to [0,255]") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ts_clamp").toString
+    val px = Array(Double.NaN, -5.0, 300.0, 254.6) ++ Array.fill(60)(7.0)
+    TileSink.writeTiles(spark.createDataset(Seq(Tile(0, 0, 0, 0, 8, 8, px))), out).collect()
+    val back = TileSink.readTiles(spark, out).collect().head.pixels
+    assert(back.take(4).toSeq === Seq(0.0, 0.0, 255.0, 255.0))
+  }
+}
