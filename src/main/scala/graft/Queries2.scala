@@ -547,7 +547,7 @@ object Queries2 {
       import sp.implicits._
       def dem(gx: Long, gy: Long): Double = if (gx == 135) 3.0 else 0.0
       val tiles = engine.Raster.syntheticTiles(s, 2, tileSize = 64)(dem)
-      engine.Viewshed.viewsheds(tiles, Seq((1L, 128, 128, 5.0)), 4, 4)
+      engine.Viewshed.viewshedsSplit(tiles, Seq((1L, 128, 128, 5.0)), 4, 4)
         .map { case (_, t) =>
           val out = new Array[Double](t.pixels.length)
           var i = 0

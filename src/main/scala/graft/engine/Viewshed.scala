@@ -116,7 +116,11 @@ object Viewshed {
     * its window overlaps (ONE shuffle; replication = windows per tile),
     * runs the exact window algorithm, and re-emits its window as tiles
     * keyed by observer id. Window is the full extent given here; bound it
-    * with maxDist windows in production use. */
+    * with maxDist windows in production use.
+    *
+    * One observer = one task here; see [[viewshedsSplit]] for the
+    * intra-observer quadrant decomposition (4 tasks per observer, each
+    * holding only a quarter of the window). */
   def viewsheds(tiles: Dataset[Tile], observers: Seq[(Long, Int, Int, Double)],
                 nTilesX: Int, nTilesY: Int,
                 targetHeight: Double = 0.0): Dataset[(Long, Tile)] = {
@@ -154,6 +158,115 @@ object Viewshed {
             (oid, Tile(z, tx, ty, 1, tw, th, px))
           }).iterator
         }
+      }
+  }
+
+  /** Intra-observer parallel viewsheds: one observer becomes FOUR quadrant
+    * tasks instead of one whole-window task.
+    *
+    * Exactness: this is the reference's own parallel structure taken to its
+    * limit — ViewshedExecutor splits each line into left-of-observer /
+    * right-of-observer jobs and runs the up/down sweeps as two jobs
+    * (viewshed_executor.cpp:1031,1162). The recurrence justifies a full
+    * quadrant split: rightward pixels (x > ox) read only prev(x-1), prev(x),
+    * cur(x-1) — all with index >= ox — and the up-sweep reads only rows
+    * <= oy, so the upper-right quadrant (columns >= ox, rows <= oy) is
+    * closed under the dependence relation given the observer row, which
+    * each quadrant recomputes locally for its half (one row, O(w)).
+    * Mirrored for the other three. Each quadrant therefore equals
+    * [[computeWindow]] run on the quadrant sub-DEM with the observer at
+    * its corner, and the stitched result is bit-identical to the
+    * whole-window run (ViewshedSplitSpec asserts this at two tile sizes
+    * and for edge/corner observers).
+    *
+    * Scale shape: a continental single-observer viewshed is no longer one
+    * executor task holding the full window — it is 4 tasks each gathering
+    * only its quadrant's tiles (¼ the memory, 4× the parallelism — the
+    * same factor the reference's 4-thread pool extracts, but across
+    * executors). Two shuffles: quadrant gather (tile replication ≈ 1 per
+    * observer, boundary tiles up to 4) and the small output-tile stitch. */
+  def viewshedsSplit(tiles: Dataset[Tile], observers: Seq[(Long, Int, Int, Double)],
+                     nTilesX: Int, nTilesY: Int,
+                     targetHeight: Double = 0.0): Dataset[(Long, Tile)] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val obs = spark.sparkContext.broadcast(observers)
+
+    // quadrant q gather rect (inclusive, global px): x side 0/2 -> [ox, W-1],
+    // 1/3 -> [0, ox]; y side 0/1 -> [0, oy], 2/3 -> [oy, H-1]
+    val keyed = tiles.flatMap { t =>
+      val tx0 = t.x * t.w; val ty0 = t.y * t.h
+      val tx1 = tx0 + t.w - 1; val ty1 = ty0 + t.h - 1
+      obs.value.iterator.flatMap { case (oid, ox, oy, _) =>
+        (0 until 4).filter { q =>
+          val inX = if (q % 2 == 0) tx1 >= ox else tx0 <= ox
+          val inY = if (q < 2) ty0 <= oy else ty1 >= oy
+          inX && inY
+        }.map(q => (oid, q, t))
+      }
+    }
+
+    val partials = keyed.groupByKey(k => (k._1, k._2)).flatMapGroups { (key, it) =>
+      val (oid, q) = key
+      val ts = it.map(_._3).toArray
+      val tw = ts(0).w; val th = ts(0).h; val z = ts(0).z
+      val bigW = nTilesX * tw; val bigH = nTilesY * th
+      val (_, ox, oy, oz) = obs.value.find(_._1 == oid).get
+      // sub-window bounds (inclusive)
+      val gx0 = if (q % 2 == 0) ox else 0
+      val gx1 = if (q % 2 == 0) bigW - 1 else ox
+      val gy0 = if (q < 2) 0 else oy
+      val gy1 = if (q < 2) oy else bigH - 1
+      val sw = gx1 - gx0 + 1; val sh = gy1 - gy0 + 1
+      val dem = new Array[Double](sw * sh)
+      ts.foreach { t =>
+        val tgx0 = t.x * tw; val tgy0 = t.y * th
+        val ix0 = math.max(gx0, tgx0); val ix1 = math.min(gx1, tgx0 + tw - 1)
+        val iy0 = math.max(gy0, tgy0); val iy1 = math.min(gy1, tgy0 + th - 1)
+        var gy = iy0
+        while (gy <= iy1) {
+          System.arraycopy(t.pixels, (gy - tgy0) * tw + (ix0 - tgx0),
+            dem, (gy - gy0) * sw + (ix0 - gx0), ix1 - ix0 + 1)
+          gy += 1
+        }
+      }
+      val vis = computeWindow(dem, sw, sh, ox - gx0, oy - gy0, oz, targetHeight)
+      // emission rect: partition of the window (observer row to the upper
+      // quadrants, observer column to the right ones)
+      val ex0 = if (q % 2 == 0) ox else 0
+      val ex1 = if (q % 2 == 0) bigW - 1 else ox - 1
+      val ey0 = if (q < 2) 0 else oy + 1
+      val ey1 = if (q < 2) oy else bigH - 1
+      if (ex1 < ex0 || ey1 < ey0) Iterator.empty
+      else (for (tX <- ex0 / tw to ex1 / tw; tY <- ey0 / th to ey1 / th) yield {
+        val px = Array.fill(tw * th)(Double.NaN)
+        val ix0 = math.max(ex0, tX * tw); val ix1 = math.min(ex1, tX * tw + tw - 1)
+        val iy0 = math.max(ey0, tY * th); val iy1 = math.min(ey1, tY * th + th - 1)
+        var gy = iy0
+        while (gy <= iy1) {
+          System.arraycopy(vis, (gy - gy0) * sw + (ix0 - gx0),
+            px, (gy - tY * th) * tw + (ix0 - tX * tw), ix1 - ix0 + 1)
+          gy += 1
+        }
+        (oid, tX, tY, z, tw, th, px)
+      }).iterator
+    }
+
+    // stitch: <=4 disjoint NaN-marked partials per output tile
+    partials.groupByKey(p => (p._1, p._2, p._3))
+      .mapGroups { (key, it) =>
+        val (oid, tx, ty) = key
+        var z = 0; var tw = 0; var th = 0
+        var out: Array[Double] = null
+        it.foreach { case (_, _, _, pz, pw, ph, px) =>
+          if (out == null) { z = pz; tw = pw; th = ph; out = Array.fill(pw * ph)(Double.NaN) }
+          var i = 0
+          while (i < px.length) {
+            if (!java.lang.Double.isNaN(px(i))) out(i) = px(i)
+            i += 1
+          }
+        }
+        (oid, Tile(z, tx, ty, 1, tw, th, out))
       }
   }
 }
