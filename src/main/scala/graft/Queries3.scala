@@ -2154,13 +2154,19 @@ object Queries3 {
         col("event_id").as("pid"), col("value"),
         expr(lonOf("event_id")).as("lon"), expr(latOf("event_id")).as("lat"))
       val nodes = engine.GridInterp.gridNodes(s, 64, 64, -180.0, 180.0, -85.0, 85.0)
-      engine.GridInterp.dataMetrics(nodes, pts, radius = 5.0, minPoints = 2)
+      val circ = engine.GridInterp.dataMetrics(nodes, pts, radius = 5.0, minPoints = 2)
+      val ell = engine.GridInterp.dataMetricsEllipse(nodes, pts,
+          radius1 = 5.0, radius2 = 2.5, angleDeg = 30.0, minPoints = 2)
+        .select(col("i"), col("j"), col("cnt").as("cnt_e"),
+          expr("CAST(floor(vrange * 100.0 + 0.5) AS BIGINT)").as("vrange_e_c"))
+      circ.join(ell, Seq("i", "j"))
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          col("n"),
+          col("n"), col("cnt"),
           expr("CAST(floor(vmin * 100.0 + 0.5) AS BIGINT)").as("vmin_c"),
           expr("CAST(floor(vmax * 100.0 + 0.5) AS BIGINT)").as("vmax_c"),
           expr("CAST(floor(vrange * 100.0 + 0.5) AS BIGINT)").as("vrange_c"),
-          expr("CAST(floor(avgdist * 1000000.0 + 0.5) AS BIGINT)").as("avgdist_u"))
+          expr("CAST(floor(avgdist * 1000000.0 + 0.5) AS BIGINT)").as("avgdist_u"),
+          col("cnt_e"), col("vrange_e_c"))
         .orderBy("i", "j")
     }, Some(s"""
       WITH nodes AS (SELECT xs.i AS i, ys.j AS j,
@@ -2175,9 +2181,19 @@ object Queries3 {
           FROM nodes JOIN pts
           ON (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) <= 25.0),
       m AS (SELECT i, j, count(*) AS n, min(value) AS vmin, max(value) AS vmax,
-            sum(sqrt(r2)) / count(*) AS avgdist FROM c GROUP BY i, j)
+            sum(sqrt(r2)) / count(*) AS avgdist FROM c GROUP BY i, j),
+      ce AS (SELECT i, j, value FROM (
+          SELECT i, j, value,
+            ((lon - nlon) * cos((30.0 * pi()) / 180.0) + (lat - nlat) * sin((30.0 * pi()) / 180.0)) AS rx,
+            ((lat - nlat) * cos((30.0 * pi()) / 180.0) - (lon - nlon) * sin((30.0 * pi()) / 180.0)) AS ry
+          FROM nodes JOIN pts
+          ON (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) <= 25.0)
+        WHERE 6.25 * rx * rx + 25.0 * ry * ry <= 156.25),
+      me AS (SELECT i, j, count(*) AS n, max(value) - min(value) AS vrange
+          FROM ce GROUP BY i, j)
       SELECT CAST(n.i AS BIGINT) AS i, CAST(n.j AS BIGINT) AS j,
         COALESCE(m.n, 0) AS n,
+        CASE WHEN COALESCE(m.n, 0) >= 2 THEN m.n END AS cnt,
         CASE WHEN COALESCE(m.n, 0) >= 2
              THEN CAST(floor(m.vmin * 100.0 + 0.5) AS BIGINT) END AS vmin_c,
         CASE WHEN COALESCE(m.n, 0) >= 2
@@ -2185,8 +2201,12 @@ object Queries3 {
         CASE WHEN COALESCE(m.n, 0) >= 2
              THEN CAST(floor((m.vmax - m.vmin) * 100.0 + 0.5) AS BIGINT) END AS vrange_c,
         CASE WHEN COALESCE(m.n, 0) >= 2
-             THEN CAST(floor(m.avgdist * 1000000.0 + 0.5) AS BIGINT) END AS avgdist_u
+             THEN CAST(floor(m.avgdist * 1000000.0 + 0.5) AS BIGINT) END AS avgdist_u,
+        CASE WHEN COALESCE(me.n, 0) >= 2 THEN me.n END AS cnt_e,
+        CASE WHEN COALESCE(me.n, 0) >= 2
+             THEN CAST(floor(me.vrange * 100.0 + 0.5) AS BIGINT) END AS vrange_e_c
       FROM nodes n LEFT JOIN m ON n.i = m.i AND n.j = m.j
+      LEFT JOIN me ON n.i = me.i AND n.j = me.j
       ORDER BY i, j""")),
 
     // -- polygonize with ring geometries (alg/polygonize.cpp:455-498 +

@@ -63,16 +63,22 @@ object Contour {
     * distributed polygonize CCL — the same regions the reference's ring
     * writer traces, as labeled components with band bounds. One extra
     * map over the tiles; the CCL's cross-tile merge is already the
-    * distributed hash-min path. */
+    * distributed large-star/small-star path.
+    *
+    * Nodata: NaN pixels (e.g. from Raster.maskNodata) band to NaN; since
+    * NaN != NaN every such pixel is its own CCL singleton, and they are
+    * dropped after labeling — nodata areas emit NO polygons, matching
+    * gdal_contour's skip of nodata pixels (contour.cpp nodata guard). */
   def contourPolygons(tiles: Dataset[Tile], interval: Double, width: Long,
                       conn: Int = 4): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, isnan, not}
     val banded = tiles.map { t =>
       t.copy(pixels = t.pixels.map(v => math.floor(v / interval)))
     }
     Polygonize.components(banded, width, conn)
+      .where(not(isnan(col("value"))))
       .withColumn("elev_min", col("value") * interval)
       .withColumn("elev_max", (col("value") + 1.0) * interval)
   }

@@ -110,7 +110,16 @@ object GridInterp {
     * RX = dx·cosA + dy·sinA, RY = dy·cosA − dx·sinA, while the IDW weight
     * keeps the UNROTATED smoothed distance (dfR2 is computed before the
     * rotation, :145-155). Same singularity / minPoints semantics as
-    * [[invdist]]. */
+    * [[invdist]].
+    *
+    * Documented deviations from the reference: (1) the <1e-13 coincident-
+    * point singularity resolves by MIN pid (a deterministic, partitioning-
+    * independent tie-break), whereas the reference takes the first
+    * coincident point in scan order (gdalgrid.cpp:163) — results differ
+    * only when multiple coincident points with different values sit
+    * exactly on a node; (2) the reference's nMaxPoints cap for the ellipse
+    * variant is not implemented here (use [[invdist]] with maxPoints for
+    * the capped circular form). */
   def invdistEllipse(nodes: DataFrame, pts: DataFrame,
                      radius1: Double, radius2: Double, angleDeg: Double,
                      power: Double = 2.0, smoothing: Double = 0.0,
@@ -146,20 +155,45 @@ object GridInterp {
 
   /** gdal_grid data-metric algorithms (-a minimum/maximum/range/count/
     * average_distance; GDALGridDataMetricMinimum..AverageDistance,
-    * alg/gdalgrid.cpp:1024-1171 and the average-distance accumulator
+    * alg/gdalgrid.cpp:1024-1171,1937 and the average-distance accumulator
     * above :995): per node over the search circle — min/max/range of
     * values, member count, and the mean node→point distance; fewer than
-    * minPoints members → nodata (null). Same one-equi-join candidate
-    * shape as the interpolators. */
+    * minPoints members → nodata (null). `cnt` is the COUNT METRIC (null
+    * under minPoints like every other metric, gdalgrid.cpp:1937-1940);
+    * `n` is the raw member count kept as bookkeeping (0 for empty nodes).
+    * Same one-equi-join candidate shape as the interpolators. */
   def dataMetrics(nodes: DataFrame, pts: DataFrame, radius: Double,
-                  minPoints: Int = 0): DataFrame = {
-    val cand = radiusCandidates(nodes, pts, radius)
+                  minPoints: Int = 0): DataFrame =
+    metricAgg(nodes, radiusCandidates(nodes, pts, radius), minPoints)
+
+  /** Elliptical-window data metrics — the reference's metric functions all
+    * carry the same rotated-ellipse membership test as the interpolators
+    * (e.g. GDALGridDataMetricCount, alg/gdalgrid.cpp:1888-1931); this is
+    * the dfRadius1/dfRadius2/dfAngle path of [[dataMetrics]], candidate
+    * cells sized by the bounding circle like [[invdistEllipse]]. */
+  def dataMetricsEllipse(nodes: DataFrame, pts: DataFrame,
+                         radius1: Double, radius2: Double, angleDeg: Double,
+                         minPoints: Int = 0): DataFrame = {
+    val rmax = math.max(radius1, radius2)
+    val cosA = math.cos(angleDeg * math.Pi / 180.0)
+    val sinA = math.sin(angleDeg * math.Pi / 180.0)
+    val r1sq = radius1 * radius1; val r2sq = radius2 * radius2
+    val dx = col("lon") - col("nlon"); val dy = col("lat") - col("nlat")
+    val rx = dx * lit(cosA) + dy * lit(sinA)
+    val ry = dy * lit(cosA) - dx * lit(sinA)
+    val cand = radiusCandidates(nodes, pts, rmax)
+      .where(lit(r2sq) * rx * rx + lit(r1sq) * ry * ry <= lit(r1sq * r2sq))
+    metricAgg(nodes, cand, minPoints)
+  }
+
+  private def metricAgg(nodes: DataFrame, cand: DataFrame, minPoints: Int): DataFrame = {
     val m = cand.groupBy("i", "j")
       .agg(count(lit(1)).as("n"),
         min("value").as("vmin0"), max("value").as("vmax0"),
         sum(sqrt(col("dist2"))).as("distsum"))
       .withColumn("ok", col("n") >= minPoints)
       .select(col("i"), col("j"), col("n"),
+        when(col("ok"), col("n")).as("cnt"),
         when(col("ok"), col("vmin0")).as("vmin"),
         when(col("ok"), col("vmax0")).as("vmax"),
         when(col("ok"), col("vmax0") - col("vmin0")).as("vrange"),

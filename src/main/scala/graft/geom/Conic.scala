@@ -214,7 +214,11 @@ object Conic {
   // the semi-major sphere, +R=a). Polar research grids / "distance from
   // here" maps. Ellipsoidal aeqd (geodesic-based) is documented out.
 
-  /** Forward: k' = c / sin c around (lat0, lon0). */
+  /** Forward: k' = c / sin c around (lat0, lon0). (Near-)antipodal points
+    * (c within ~1e-7 of π) are a projection error — PROJ's aeqd fails the
+    * "tolerance condition" there and Snyder leaves the antipode undefined
+    * (k' → ∞) — so they map to (NaN, NaN) instead of the astronomically
+    * large finite coordinates c/sin(c) would otherwise produce. */
   def aeqdForward(lonDeg: Double, latDeg: Double, lat0Deg: Double,
                   lon0Deg: Double): (Double, Double) = {
     val phi = latDeg * d2r; val lam = lonDeg * d2r
@@ -222,6 +226,7 @@ object Conic {
     val cosC = math.sin(phi0) * math.sin(phi) +
       math.cos(phi0) * math.cos(phi) * math.cos(lam - lam0)
     val c = math.acos(math.max(-1.0, math.min(1.0, cosC)))
+    if (math.Pi - c < 1e-7) return (Double.NaN, Double.NaN)
     val kp = if (c == 0.0) 1.0 else c / math.sin(c)
     val x = A * kp * math.cos(phi) * math.sin(lam - lam0)
     val y = A * kp * (math.cos(phi0) * math.sin(phi) -

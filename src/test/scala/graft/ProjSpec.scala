@@ -94,6 +94,18 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("aeqd: (near-)antipodal points are a projection error (NaN, like PROJ)") {
+    val (lat0, lon0) = (40.0, 10.0)
+    // exact antipode and a point within ~1e-8 rad of it
+    for ((lon, lat) <- Seq((-170.0, -40.0), (-170.0 + 1e-9, -40.0 + 1e-9))) {
+      val (x, y) = Conic.aeqdForward(lon, lat, lat0, lon0)
+      assert(x.isNaN && y.isNaN, s"($lon,$lat) -> ($x,$y)")
+    }
+    // just OUTSIDE the guard still projects finitely and round-trips
+    val (x, y) = Conic.aeqdForward(-170.001, -40.001, lat0, lon0)
+    assert(java.lang.Double.isFinite(x) && java.lang.Double.isFinite(y))
+  }
+
   test("mollweide: pole/equator anchors, round-trip, equal-area element") {
     val sqrt2A = math.sqrt(2.0) * Conic.A
     assert(math.abs(Conic.mollForward(0.0, 90.0, 0.0)._2 - sqrt2A) < 1e-6)
