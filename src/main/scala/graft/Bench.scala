@@ -177,9 +177,17 @@ object Bench {
 
     val s = session(cpus)
     val all = SparkEntry.queries
+    // The four queries whose round-over-round deltas historically whipsaw
+    // with the sandbox's background-load bursts run 3x and report the
+    // MEDIAN; the rest run once (their variance is small relative to cost).
+    val noisy = Set("g03_pip_join", "g06_knn", "q03_groupby", "q04_join_agg")
     val results = headline.filter(all.contains).map { name =>
-      val t = try secs(all(name)(s, sfDir).count())
-              catch { case _: Throwable => -1.0 }
+      def once(): Double = try secs(all(name)(s, sfDir).count())
+                           catch { case _: Throwable => -1.0 }
+      val t = if (noisy(name)) {
+        val v = Seq(once(), once(), once()).sorted
+        if (v.head < 0) -1.0 else v(1)
+      } else once()
       name -> t
     }
     s.stop()

@@ -2480,6 +2480,66 @@ object Queries3 {
         UNION ALL SELECT 'b_resumed', z, x, y, -1 FROM victims
         UNION ALL SELECT 'c_after', z, x, y, cks FROM cks
         UNION ALL SELECT 'm_meta', 0, 2, 64, 530
-      ) ORDER BY phase, z, x, y"""))
+      ) ORDER BY phase, z, x, y""")),
+
+    // -- 7-parameter Helmert datum shift (TOWGS84 / EPSG 9606 position-
+    // vector; ogrct.cpp:1788-2122 builds the same cart+helmert PROJ
+    // pipeline from the SRS TOWGS84 node). Events treated as OSGB36
+    // (Airy 1830) coordinates shifted to WGS84 through the full WKB
+    // geometry path; the DuckDB twin evaluates the IDENTICAL arithmetic —
+    // geodetic→ECEF, Helmert, then the engine's fixed-6-iteration
+    // ECEF→geodetic — so values match at the 1e-7 deg (cm) rounding.
+    ("g50_datum_shift", (s, dir) => {
+      prep(s)
+      t(s, dir, "events").where(col("event_id") < 3000)
+        .select(col("event_id"),
+          expr(lonOf("event_id")).as("lon"), expr(latOf("event_id")).as("lat"))
+        .withColumn("pt", expr("st_point(lon, lat)"))
+        .withColumn("sh", expr(
+          "st_towgs84(pt, 6377563.396, 299.3249646, 446.448, -125.157, 542.060, " +
+            "0.1502, 0.2470, 0.8421, -20.4894)"))
+        .select(col("event_id"),
+          expr("CAST(floor(st_x(sh) * 10000000.0 + 0.5) AS BIGINT)").as("lon_e7"),
+          expr("CAST(floor(st_y(sh) * 10000000.0 + 0.5) AS BIGINT)").as("lat_e7"))
+        .orderBy("event_id")
+    }, Some {
+      val d2r = dlit(math.Pi / 180.0)
+      val as2r = dlit(math.Pi / (180.0 * 3600.0))
+      val aA = dlit(graft.geom.Datum.Airy1830.a); val e2A = dlit(graft.geom.Datum.Airy1830.e2)
+      val aW = dlit(graft.geom.Datum.WGS84.a); val e2W = dlit(graft.geom.Datum.WGS84.e2)
+      // one fixed-point iteration of phi = atan2(z + e2*nu*sin(phi), p)
+      def it(n: Int): String = {
+        val prev = if (n == 1) "g0" else s"g${n - 1}"
+        s"""g$n AS (SELECT event_id, xw, yw, zw, p,
+            atan2(zw + $e2W * ($aW / sqrt(1.0 - $e2W * sin(phi) * sin(phi))) * sin(phi), p) AS phi
+          FROM $prev)"""
+      }
+      s"""
+      WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events WHERE event_id < 3000),
+      e AS (SELECT event_id,
+            ($aA / sqrt(1.0 - $e2A * sin(lat * $d2r) * sin(lat * $d2r)))
+              * cos(lat * $d2r) * cos(lon * $d2r) AS x,
+            ($aA / sqrt(1.0 - $e2A * sin(lat * $d2r) * sin(lat * $d2r)))
+              * cos(lat * $d2r) * sin(lon * $d2r) AS y,
+            (($aA / sqrt(1.0 - $e2A * sin(lat * $d2r) * sin(lat * $d2r)))
+              * (1.0 - $e2A)) * sin(lat * $d2r) AS z
+          FROM pts),
+      h AS (SELECT event_id,
+            446.448 + (1.0 + (-20.4894) * 1e-6) *
+              (x - (0.8421 * $as2r) * y + (0.2470 * $as2r) * z) AS xw,
+            (-125.157) + (1.0 + (-20.4894) * 1e-6) *
+              ((0.8421 * $as2r) * x + y - (0.1502 * $as2r) * z) AS yw,
+            542.060 + (1.0 + (-20.4894) * 1e-6) *
+              (-(0.2470 * $as2r) * x + (0.1502 * $as2r) * y + z) AS zw
+          FROM e),
+      g0 AS (SELECT event_id, xw, yw, zw, sqrt(xw * xw + yw * yw) AS p,
+            atan2(zw, sqrt(xw * xw + yw * yw) * (1.0 - $e2W)) AS phi FROM h),
+      ${(1 to 6).map(it).mkString(",\n      ")}
+      SELECT event_id,
+        CAST(floor((atan2(yw, xw) / $d2r) * 10000000.0 + 0.5) AS BIGINT) AS lon_e7,
+        CAST(floor((phi / $d2r) * 10000000.0 + 0.5) AS BIGINT) AS lat_e7
+      FROM g6 ORDER BY event_id"""
+    })
   )
 }

@@ -160,6 +160,13 @@ object GeoKernel {
   def validityDetail(wkb: Array[Byte]): (String, Double, Double) =
     CheckGeometry.validityDetail(decode(wkb)).map { case (r, x, y) => (r, x, y) }.orNull
 
+  def toWgs84Datum(wkb: Array[Byte], ps: Array[Double]): Array[Byte] =
+    Wkb.write(Datum.toWgs84Geom(decode(wkb), ps(0), ps(1), ps(2), ps(3), ps(4),
+      ps(5), ps(6), ps(7), ps(8)))
+  def fromWgs84Datum(wkb: Array[Byte], ps: Array[Double]): Array[Byte] =
+    Wkb.write(Datum.fromWgs84Geom(decode(wkb), ps(0), ps(1), ps(2), ps(3), ps(4),
+      ps(5), ps(6), ps(7), ps(8)))
+
   def toLcc(wkb: Array[Byte], lat1: Double, lat2: Double, lat0: Double, lon0: Double): Array[Byte] =
     Wkb.write(Conic.lccGeom(decode(wkb), lat1, lat2, lat0, lon0))
   def fromLcc(wkb: Array[Byte], lat1: Double, lat2: Double, lat0: Double, lon0: Double): Array[Byte] =

@@ -836,6 +836,39 @@ case class StTransformConic(children: Seq[Expression], which: Int)
     copy(children = ns)
 }
 
+/** st_towgs84(wkb, a, inv_f, tx, ty, tz, rx, ry, rz, ds_ppm) /
+  * st_fromwgs84(...) — 7-parameter Helmert datum shift in TOWGS84
+  * parameter order (EPSG 9606 position-vector; geom/Datum.scala). The
+  * reference builds the same cart+helmert pipeline from the SRS TOWGS84
+  * node (ogr/ogrct.cpp:1788-2122). Batch reprojection → CodegenFallback. */
+case class StDatumShift(children: Seq[Expression], inverse: Boolean)
+    extends Expression with ImplicitCastInputTypes with CodegenFallback {
+  require(children.length == 10,
+    "st_towgs84(wkb, a, inv_f, tx, ty, tz, rx, ry, rz, ds_ppm)")
+  override def inputTypes: Seq[AbstractDataType] =
+    BinaryType +: Seq.fill(9)(DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = if (inverse) "st_fromwgs84" else "st_towgs84"
+  override def eval(input: InternalRow): Any = {
+    val w = children(0).eval(input)
+    if (w == null) return null
+    val ps = new Array[Double](9)
+    var i = 0
+    while (i < 9) {
+      val v = children(i + 1).eval(input)
+      if (v == null) return null
+      ps(i) = v.asInstanceOf[Double]
+      i += 1
+    }
+    val wkb = w.asInstanceOf[Array[Byte]]
+    if (inverse) GeoKernel.fromWgs84Datum(wkb, ps)
+    else GeoKernel.toWgs84Datum(wkb, ps)
+  }
+  protected override def withNewChildrenInternal(ns: IndexedSeq[Expression]): StDatumShift =
+    copy(children = ns)
+}
+
 /** st_transform_ps(wkb, lat_ts, lon0) / st_transform_sinu(wkb, lon0)
   * family — native Polar Stereographic variant B (Snyder §21; PROJ stere,
   * EPSG:3413/3031), ellipsoidal Sinusoidal (Snyder §30; PROJ sinu, the

@@ -87,6 +87,8 @@ object GraftFunctions {
     arity("st_transform_eqc_inv", 2)(a => StTransformProj(a, 7)),
     arity("st_transform_moll", 2)(a => StTransformProj(a, 8)),
     arity("st_transform_moll_inv", 2)(a => StTransformProj(a, 9)),
+    arity("st_towgs84", 10)(a => StDatumShift(a, inverse = false)),
+    arity("st_fromwgs84", 10)(a => StDatumShift(a, inverse = true)),
     arity("st_simplify", 2)(a => StSimplify(a(0), a(1))),
     arity("st_segmentize", 2)(a => StSegmentize(a(0), a(1))),
     arity("st_cover", 2)(a => StCover(a(0), a(1))),
