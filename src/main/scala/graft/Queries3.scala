@@ -2540,6 +2540,38 @@ object Queries3 {
         CAST(floor((atan2(yw, xw) / $d2r) * 10000000.0 + 0.5) AS BIGINT) AS lon_e7,
         CAST(floor((phi / $d2r) * 10000000.0 + 0.5) AS BIGINT) AS lat_e7
       FROM g6 ORDER BY event_id"""
-    })
+    }),
+
+    // -- Arrow IPC batch export (ogrlayerarrow.cpp GetArrowStream): the
+    // events layer exported as per-partition Arrow record-batch streams in
+    // executors, then decoded back from the REAL IPC bytes — the values the
+    // external consumer would see are what the oracle checks.
+    ("m04_arrow_export", (s, dir) => {
+      import s.implicits._
+      prep(s)
+      val df = t(s, dir, "events").where(col("event_id") < 2000)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("value").cast("double").as("value"),
+          expr(lonOf("event_id")).as("lon"))
+      val streams = engine.ArrowExport.toIpcStreams(df.repartition(4), batchRows = 128)
+        .collect()
+      val rows = streams.toSeq.flatMap { case (_, bytes) =>
+        val (_, cols) = engine.ArrowExport.readIpc(bytes)
+        cols("event_id").indices.map { r =>
+          (cols("event_id")(r).asInstanceOf[Long],
+           cols("value")(r).asInstanceOf[Double],
+           cols("lon")(r).asInstanceOf[Double])
+        }
+      }
+      rows.toDF("event_id", "value", "lon")
+        .select(col("event_id"),
+          expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("value_c"),
+          expr("CAST(floor(lon * 10000000.0 + 0.5) AS BIGINT)").as("lon_e7"))
+        .orderBy("event_id")
+    }, Some(s"""
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_c,
+             CAST(floor((${lonOf("event_id")}) * 10000000.0 + 0.5) AS BIGINT) AS lon_e7
+      FROM events WHERE event_id < 2000 ORDER BY event_id"""))
   )
 }
