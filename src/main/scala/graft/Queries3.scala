@@ -2572,6 +2572,24 @@ object Queries3 {
       SELECT CAST(event_id AS BIGINT) AS event_id,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_c,
              CAST(floor((${lonOf("event_id")}) * 10000000.0 + 0.5) AS BIGINT) AS lon_e7
-      FROM events WHERE event_id < 2000 ORDER BY event_id"""))
+      FROM events WHERE event_id < 2000 ORDER BY event_id""")),
+
+    // -- gdal raster as-features (gdalalg_raster_as_features.cpp): raster →
+    // one point feature per pixel, global coords + value, with -skip-nodata.
+    // Narrow flatMap; gated over the closed-form synthetic raster.
+    ("r43_as_features", (s, _) => {
+      prep(s)
+      val tiles = engine.Raster.syntheticTiles(s, 1, tileSize = 64)((gx, gy) =>
+        if ((gx + gy) % 17 == 0) Double.NaN
+        else ((gx * 7919 + gy * 104729) % 9973).toDouble)
+      engine.Raster.asFeatures(tiles, skipNodata = true)
+        .select(col("gx"), col("gy"), col("v").cast("long").as("v"))
+        .orderBy("gx", "gy")
+    }, Some("""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+          FROM (SELECT unnest(generate_series(0, 127)) AS gx) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS gy) ys)
+      SELECT gx, gy, (gx * 7919 + gy * 104729) % 9973 AS v
+      FROM px WHERE (gx + gy) % 17 <> 0 ORDER BY gx, gy"""))
   )
 }

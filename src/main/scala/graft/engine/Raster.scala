@@ -947,6 +947,23 @@ object Raster {
       }
   }
 
+  /** `gdal raster as-features`: tiles → one row per pixel with global
+    * coordinates and value (gdalalg_raster_as_features.cpp; the raster →
+    * point-feature bridge). Narrow flatMap — no shuffle; downstream callers
+    * filter/aggregate before anything wide. `skipNodata` drops NaN pixels
+    * (the alg's -skip-nodata flag). */
+  def asFeatures(tiles: Dataset[Tile], skipNodata: Boolean = false): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.flatMap { t =>
+      val base = (0 until t.w * t.h).iterator.map { i =>
+        (t.z, t.band, t.x.toLong * t.w + i % t.w, t.y.toLong * t.h + i / t.w,
+          t.pixels(i))
+      }
+      if (skipNodata) base.filter(r => !java.lang.Double.isNaN(r._5)) else base
+    }.toDF("z", "band", "gx", "gy", "v")
+  }
+
   /** Exact port of GDALChecksumImage for one tile's pixel window
     * (/root/reference/alg/gdalchecksum.cpp:36-57,175-188):
     * primes {7,...,43}; value += int(v) % prime[(y*W+x) % 11]; accumulator
