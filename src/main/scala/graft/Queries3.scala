@@ -2590,6 +2590,34 @@ object Queries3 {
           FROM (SELECT unnest(generate_series(0, 127)) AS gx) xs
           CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS gy) ys)
       SELECT gx, gy, (gx * 7919 + gy * 104729) % 9973 AS v
-      FROM px WHERE (gx + gy) % 17 <> 0 ORDER BY gx, gy"""))
+      FROM px WHERE (gx + gy) % 17 <> 0 ORDER BY gx, gy""")),
+
+    // -- cumulative viewshed (gdal_viewshed -mode cumulative,
+    // alg/viewshed/cumulative.cpp): 16 observers on the 64-px grid, counts
+    // summed, floor(255/max) scaled. Fixture is closed-form derivable: a
+    // full-height wall column at gx=200 with every observer west of it —
+    // flat ground (and the wall top) is visible to all 16 observers
+    // (count 16 → 255), everything east of the wall is visible to none
+    // (0). The occlusion engine itself is pinned by r20 + the brute-sum
+    // spec in ViewshedSplitSpec; this gates the grid/rollup/scale E2E.
+    ("r44_viewshed_cumulative", (s, _) => {
+      val sp = s
+      import sp.implicits._
+      prep(s)
+      val tiles = engine.Raster.syntheticTiles(s, 2, tileSize = 64)((gx, _) =>
+        if (gx == 200) 1000.0 else 0.0)
+      engine.Viewshed.cumulative(tiles, 4, 4, 64, observerSpacing = 64, observerZ = 5.0)
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks").orderBy("x", "y")
+    }, Some(s"""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+          FROM (SELECT unnest(generate_series(0, 255)) AS gx) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS gy) ys),
+      cells AS (SELECT gx >> 6 AS tx, gy >> 6 AS ty, gx % 64 AS cx, gy % 64 AS cy,
+          CASE WHEN gx <= 200 THEN 255 ELSE 0 END AS iv FROM px)
+      SELECT tx AS x, ty AS y,
+        CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks
+      FROM cells GROUP BY 1, 2 ORDER BY x, y"""))
   )
 }

@@ -187,7 +187,9 @@ object Viewshed {
     * observer, boundary tiles up to 4) and the small output-tile stitch. */
   def viewshedsSplit(tiles: Dataset[Tile], observers: Seq[(Long, Int, Int, Double)],
                      nTilesX: Int, nTilesY: Int,
-                     targetHeight: Double = 0.0): Dataset[(Long, Tile)] = {
+                     targetHeight: Double = 0.0,
+                     visibleVal: Double = 255.0,
+                     invisibleVal: Double = 0.0): Dataset[(Long, Tile)] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val obs = spark.sparkContext.broadcast(observers)
@@ -230,7 +232,8 @@ object Viewshed {
           gy += 1
         }
       }
-      val vis = computeWindow(dem, sw, sh, ox - gx0, oy - gy0, oz, targetHeight)
+      val vis = computeWindow(dem, sw, sh, ox - gx0, oy - gy0, oz, targetHeight,
+        visibleVal, invisibleVal)
       // emission rect: partition of the window (observer row to the upper
       // quadrants, observer column to the right ones)
       val ex0 = if (q % 2 == 0) ox else 0
@@ -268,5 +271,51 @@ object Viewshed {
         }
         (oid, Tile(z, tx, ty, 1, tw, th, out))
       }
+  }
+
+  /** Cumulative viewshed (`gdal_viewshed -mode cumulative`; reference:
+    * alg/viewshed/cumulative.cpp): observers on a grid every
+    * `observerSpacing` pixels starting at (0,0) (:66-68), each runs a
+    * NORMAL viewshed with visibleVal=1 (:47-48), the per-pixel counts sum
+    * (combiner.cpp:46), and the result is scaled
+    * `floor(255/max · count)` where max is the global count maximum
+    * (scaleOutput, :201-214; max==0 leaves the zeros).
+    *
+    * Spark shape: the observer fan-out is [[viewshedsSplit]] (4 quadrant
+    * tasks per observer), the count rollup is one groupByKey over output
+    * tiles (pixel-wise integer sum — the combiner tree, distributed), and
+    * the scale pass needs the global max first: one extra action over the
+    * cached counts, the same two-phase structure as the reference's
+    * rollup-then-scale. */
+  def cumulative(tiles: Dataset[Tile], nTilesX: Int, nTilesY: Int,
+                 tileSize: Int, observerSpacing: Int, observerZ: Double,
+                 targetHeight: Double = 0.0): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val bigW = nTilesX * tileSize; val bigH = nTilesY * tileSize
+    val obs = (for {
+      x <- 0 until bigW by observerSpacing
+      y <- 0 until bigH by observerSpacing
+    } yield (x.toLong * bigH + y, x, y, observerZ)).toSeq
+    val vs = viewshedsSplit(tiles, obs, nTilesX, nTilesY, targetHeight,
+      visibleVal = 1.0, invisibleVal = 0.0)
+    val counts = vs.groupByKey(p => (p._2.x, p._2.y))
+      .mapGroups { (key, it) =>
+        val (tx, ty) = key
+        var z = 0; var tw = 0; var th = 0
+        var acc: Array[Double] = null
+        it.foreach { case (_, t) =>
+          if (acc == null) { z = t.z; tw = t.w; th = t.h; acc = new Array[Double](tw * th) }
+          var i = 0
+          while (i < acc.length) { acc(i) += t.pixels(i); i += 1 }
+        }
+        Tile(z, tx, ty, 1, tw, th, acc)
+      }.persist()
+    val mx = counts.map(t => t.pixels.max).reduce(math.max)
+    if (mx == 0.0) counts
+    else {
+      val factor = 255.0 / mx
+      counts.map(t => t.copy(pixels = t.pixels.map(v => math.floor(factor * v))))
+    }
   }
 }

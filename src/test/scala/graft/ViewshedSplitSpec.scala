@@ -41,6 +41,31 @@ class ViewshedSplitSpec extends AnyFunSuite {
   test("multiple observers in one pass, off-center") {
     check(Seq((1L, 31, 200, 4.0), (2L, 222, 33, 6.0), (3L, 128, 129, 0.0)), 32)
   }
+
+  test("cumulative viewshed == brute per-observer sum + floor(255/max) scale") {
+    val ts = 64; val n = 256 / ts
+    val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
+    val spacing = 96; val oz = 5.0
+    val got = Viewshed.cumulative(tiles, n, n, ts, spacing, oz).collect()
+      .map(t => ((t.x, t.y), t.pixels)).toMap
+    // brute: assemble the full DEM, run computeWindow per observer, sum, scale
+    val w = 256; val h = 256
+    val demArr = Array.tabulate(w * h)(i => ViewshedSplitSpec.dem(i % w, i / w))
+    val acc = new Array[Double](w * h)
+    for (ox <- 0 until w by spacing; oy <- 0 until h by spacing) {
+      val v = Viewshed.computeWindow(demArr, w, h, ox, oy, oz,
+        visibleVal = 1.0, invisibleVal = 0.0)
+      var i = 0
+      while (i < acc.length) { acc(i) += v(i); i += 1 }
+    }
+    val mx = acc.max
+    val expect = acc.map(v => math.floor(255.0 / mx * v))
+    for (ty <- 0 until n; tx <- 0 until n; py <- 0 until ts; px <- 0 until ts) {
+      val g = got((tx, ty))(py * ts + px)
+      val e = expect((ty * ts + py) * w + tx * ts + px)
+      assert(g === e, s"tile ($tx,$ty) px ($px,$py)")
+    }
+  }
 }
 
 object ViewshedSplitSpec {
