@@ -24,13 +24,42 @@ object Viewshed {
   private def calcHeightEdge(i: Int, j: Int, za: Double, zb: Double): Double =
     (za * i + zb * (j - i)) / (j - 1)
 
+  /** CalcHeightDiagonal (viewshed_executor.cpp:85): plane through the
+    * origin and the two predecessor points. */
+  private def calcHeightDiagonal(i: Int, j: Int, za: Double, zb: Double): Double =
+    (za * i + zb * j) / (i + j - 1)
+
+  /** Cell-mode calculators (-cm edge|diagonal|min|max;
+    * viewshed_executor.cpp doEdge/doDiagonal/doMin/doMax :100-132).
+    * Arguments mirror the reference: (nX, nY) offsets from the observer,
+    * thisPrev = cur row previous column, last = prev row same column,
+    * lastPrev = prev row previous column. Diagonal cells (nX == nY) use
+    * CalcHeightLine regardless of mode (:949-959). */
+  val ModeEdge = 0; val ModeDiagonal = 1; val ModeMin = 2; val ModeMax = 3
+
+  private def zOffDiag(mode: Int, nx: Int, ny: Int, thisPrev: Double,
+                       last: Double, lastPrev: Double): Double = {
+    def edge: Double =
+      if (nx >= ny) calcHeightEdge(ny, nx, lastPrev, thisPrev)
+      else calcHeightEdge(nx, ny, lastPrev, last)
+    def diag: Double = calcHeightDiagonal(nx, ny, thisPrev, last)
+    mode match {
+      case 0 => edge
+      case 1 => diag
+      case 2 => math.min(edge, diag)
+      case _ => math.max(edge, diag)
+    }
+  }
+
   /** Exact single-window viewshed. `dem` row-major w×h; observer at
     * (ox, oy) with eye `observerZ` above the surface. Returns
-    * visibleVal/invisibleVal per pixel. */
+    * visibleVal/invisibleVal per pixel. `mode` is the -cm cell mode
+    * (ModeEdge default, the reference's default). */
   def computeWindow(dem: Array[Double], w: Int, h: Int, ox: Int, oy: Int,
                     observerZ: Double, targetHeight: Double = 0.0,
                     visibleVal: Double = 255.0,
-                    invisibleVal: Double = 0.0): Array[Double] = {
+                    invisibleVal: Double = 0.0,
+                    mode: Int = ModeEdge): Array[Double] = {
     val zObs = observerZ + dem(oy * w + ox)
     val result = new Array[Double](w * h)
     // observer-relative heights for the current and previous rows
@@ -83,8 +112,7 @@ object Viewshed {
             if (nx == ny) {
               if (ny == 1) cur(xx) // adjacent diagonal: always visible
               else calcHeightLine(ny, prev(xx - 1))
-            } else if (nx > ny) calcHeightEdge(ny, nx, prev(xx - 1), cur(xx - 1))
-            else calcHeightEdge(nx, ny, prev(xx - 1), prev(xx))
+            } else zOffDiag(mode, nx, ny, cur(xx - 1), prev(xx), prev(xx - 1))
           setOut(cur, res, xx, z)
           xx += 1
         }
@@ -96,8 +124,7 @@ object Viewshed {
             if (nx == ny) {
               if (ny == 1) cur(xx)
               else calcHeightLine(ny, prev(xx + 1))
-            } else if (nx > ny) calcHeightEdge(ny, nx, prev(xx + 1), cur(xx + 1))
-            else calcHeightEdge(nx, ny, prev(xx + 1), prev(xx))
+            } else zOffDiag(mode, nx, ny, cur(xx + 1), prev(xx), prev(xx + 1))
           setOut(cur, res, xx, z)
           xx -= 1
         }
@@ -189,7 +216,8 @@ object Viewshed {
                      nTilesX: Int, nTilesY: Int,
                      targetHeight: Double = 0.0,
                      visibleVal: Double = 255.0,
-                     invisibleVal: Double = 0.0): Dataset[(Long, Tile)] = {
+                     invisibleVal: Double = 0.0,
+                     mode: Int = ModeEdge): Dataset[(Long, Tile)] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val obs = spark.sparkContext.broadcast(observers)
@@ -233,7 +261,7 @@ object Viewshed {
         }
       }
       val vis = computeWindow(dem, sw, sh, ox - gx0, oy - gy0, oz, targetHeight,
-        visibleVal, invisibleVal)
+        visibleVal, invisibleVal, mode)
       // emission rect: partition of the window (observer row to the upper
       // quadrants, observer column to the right ones)
       val ex0 = if (q % 2 == 0) ox else 0

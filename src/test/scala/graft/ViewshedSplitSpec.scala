@@ -42,6 +42,35 @@ class ViewshedSplitSpec extends AnyFunSuite {
     check(Seq((1L, 31, 200, 4.0), (2L, 222, 33, 6.0), (3L, 128, 129, 0.0)), 32)
   }
 
+  test("cell modes (-cm edge/diagonal/min/max): split==whole per mode, visibility ordering") {
+    import graft.engine.Viewshed._
+    val n = 4; val ts = 64
+    val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
+    val obs = Seq((1L, 120, 140, 5.0))
+    def visCount(mode: Int): Long = {
+      val split = collectMap(viewshedsSplit(tiles, obs, n, n, mode = mode))
+      // split == whole-window for every mode
+      val w = 256
+      val demArr = Array.tabulate(w * w)(i => ViewshedSplitSpec.dem(i % w, i / w))
+      val whole = computeWindow(demArr, w, w, 120, 140, 5.0, mode = mode)
+      for (((_, tx, ty), px) <- split; i <- px.indices) {
+        val g = whole((ty * ts + i / ts) * w + tx * ts + i % ts)
+        assert(px(i) === g, s"mode $mode tile ($tx,$ty) idx $i")
+      }
+      split.values.map(_.count(_ == 255.0).toLong).sum
+    }
+    val cEdge = visCount(ModeEdge)
+    val cDiag = visCount(ModeDiagonal)
+    val cMin = visCount(ModeMin)
+    val cMax = visCount(ModeMax)
+    // min takes the lower required height -> sees at least as much as any;
+    // max the higher -> at most as much (monotone propagation)
+    assert(cMin >= cEdge && cMin >= cDiag, s"min=$cMin edge=$cEdge diag=$cDiag")
+    assert(cMax <= cEdge && cMax <= cDiag, s"max=$cMax edge=$cEdge diag=$cDiag")
+    // modes genuinely differ on rough terrain
+    assert(Set(cEdge, cDiag, cMin, cMax).size >= 2)
+  }
+
   test("cumulative viewshed == brute per-observer sum + floor(255/max) scale") {
     val ts = 64; val n = 256 / ts
     val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
