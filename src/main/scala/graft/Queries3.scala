@@ -2618,6 +2618,60 @@ object Queries3 {
           CASE WHEN gx <= 200 THEN 255 ELSE 0 END AS iv FROM px)
       SELECT tx AS x, ty AS y,
         CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks
+      FROM cells GROUP BY 1, 2 ORDER BY x, y""")),
+
+    // -- gdal_viewshed -om ground / -om dem height modes (setOutputNormal,
+    // viewshed_executor.cpp:228-245: result = base + max(0, requiredZ −
+    // relHeight); base = 0 for ground, raw DEM for dem). Same wall fixture
+    // as r20: terrain is y-invariant, so inside the |dx| ≥ |dy| wedge the
+    // 2D edge interpolation collapses to the 1D line recursion z(n) =
+    // −2n/7 behind the wall, giving the closed form min-height
+    // 5 − 2n/7 for n ∈ [8,17] (0 elsewhere; + raw 3 at the wall column in
+    // dem mode). Out-of-wedge pixels are masked with a marker like r20. */
+    ("r45_viewshed_heights", (s, _) => {
+      val sp = s
+      import sp.implicits._
+      prep(s)
+      val tiles = engine.Raster.syntheticTiles(s, 2, tileSize = 64)((gx, _) =>
+        if (gx == 135) 3.0 else 0.0)
+      def heights(om: Int) =
+        engine.Viewshed.viewshedsSplit(tiles, Seq((1L, 128, 128, 5.0)), 4, 4,
+            outputMode = om)
+          .map { case (_, t) =>
+            val out = new Array[Double](t.pixels.length)
+            var i = 0
+            while (i < out.length) {
+              val gx = t.x.toLong * t.w + i % t.w
+              val gy = t.y.toLong * t.h + i / t.w
+              out(i) = if (math.abs(gx - 128) >= math.abs(gy - 128))
+                math.floor(t.pixels(i) * 10000.0 + 0.5) else 77777.0
+              i += 1
+            }
+            (t.x.toLong, t.y.toLong,
+              engine.Raster.checksum(out, t.w, t.h).toLong)
+          }.toDF("x", "y", "cks")
+      val gr = heights(engine.Viewshed.OutGround).withColumnRenamed("cks", "cks_ground")
+      val dm = heights(engine.Viewshed.OutDem).withColumnRenamed("cks", "cks_dem")
+      gr.join(dm, Seq("x", "y")).orderBy("x", "y")
+    }, Some(s"""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+          FROM (SELECT unnest(generate_series(0, 255)) AS gx) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS gy) ys),
+      v AS (SELECT gx, gy,
+        CASE WHEN abs(gx - 128) < abs(gy - 128) THEN 77777
+             WHEN gx - 128 BETWEEN 8 AND 17
+               THEN floor((5.0 - 2.0 * (gx - 128) / 7.0) * 10000.0 + 0.5)
+             ELSE 0 END AS gu,
+        CASE WHEN abs(gx - 128) < abs(gy - 128) THEN 77777
+             WHEN gx = 135 THEN 30000
+             WHEN gx - 128 BETWEEN 8 AND 17
+               THEN floor((5.0 - 2.0 * (gx - 128) / 7.0) * 10000.0 + 0.5)
+             ELSE 0 END AS du FROM px),
+      cells AS (SELECT gx >> 6 AS tx, gy >> 6 AS ty, gx % 64 AS cx, gy % 64 AS cy,
+          CAST(gu AS BIGINT) AS gu, CAST(du AS BIGINT) AS du FROM v)
+      SELECT tx AS x, ty AS y,
+        CAST(((sum(gu % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks_ground,
+        CAST(((sum(du % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks_dem
       FROM cells GROUP BY 1, 2 ORDER BY x, y"""))
   )
 }

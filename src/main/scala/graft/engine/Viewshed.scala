@@ -51,15 +51,26 @@ object Viewshed {
     }
   }
 
+  /** Output modes (-om normal|dem|ground; viewshed_executor.cpp:316-320,
+    * setOutputNormal :228-245): Normal emits visible/invisible values; DEM
+    * emits the minimum ABSOLUTE height a target must have at each cell to
+    * be visible (base = raw DEM, plus any positive required-height excess);
+    * Ground emits the minimum height ABOVE GROUND (base = 0). In the
+    * non-normal modes targetHeight/visibleVal/invisibleVal are unused,
+    * matching the reference. */
+  val OutNormal = 0; val OutDem = 1; val OutGround = 2
+
   /** Exact single-window viewshed. `dem` row-major w×h; observer at
     * (ox, oy) with eye `observerZ` above the surface. Returns
-    * visibleVal/invisibleVal per pixel. `mode` is the -cm cell mode
-    * (ModeEdge default, the reference's default). */
+    * visibleVal/invisibleVal per pixel (or min-height rasters — see
+    * `outputMode`). `mode` is the -cm cell mode (ModeEdge default, the
+    * reference's default). */
   def computeWindow(dem: Array[Double], w: Int, h: Int, ox: Int, oy: Int,
                     observerZ: Double, targetHeight: Double = 0.0,
                     visibleVal: Double = 255.0,
                     invisibleVal: Double = 0.0,
-                    mode: Int = ModeEdge): Array[Double] = {
+                    mode: Int = ModeEdge,
+                    outputMode: Int = OutNormal): Array[Double] = {
     val zObs = observerZ + dem(oy * w + ox)
     val result = new Array[Double](w * h)
     // observer-relative heights for the current and previous rows
@@ -69,22 +80,35 @@ object Viewshed {
       while (x < w) { r(x) = dem(y * w + x) - zObs; x += 1 }
       r
     }
+    // result-line base: raw DEM in DEM mode (:317), zero otherwise (:319)
+    def baseRow(y: Int): Array[Double] =
+      if (outputMode == OutDem) Array.tabulate(w)(x => dem(y * w + x))
+      else new Array[Double](w)
     def setOut(cur: Array[Double], res: Array[Double], x: Int, z: Double): Unit = {
-      res(x) = if (cur(x) + targetHeight < z) invisibleVal else visibleVal
+      if (outputMode == OutNormal)
+        res(x) = if (cur(x) + targetHeight < z) invisibleVal else visibleVal
+      else {
+        val adj = z - cur(x)
+        if (adj > 0) res(x) += adj
+      }
       if (z > cur(x)) cur(x) = z
     }
+    // cells the reference marks visible directly in Normal mode keep their
+    // base in the height modes (dfZ would equal cur → zero adjustment)
+    def seed(res: Array[Double], x: Int): Unit =
+      if (outputMode == OutNormal) res(x) = visibleVal
 
     // ---- observer row
     val obsCur = rowRel(oy)
-    val obsRes = new Array[Double](w)
-    obsRes(ox) = visibleVal
-    if (ox + 1 < w) obsRes(ox + 1) = visibleVal
+    val obsRes = baseRow(oy)
+    seed(obsRes, ox)
+    if (ox + 1 < w) seed(obsRes, ox + 1)
     var x = ox + 2
     while (x < w) {
       setOut(obsCur, obsRes, x, calcHeightLine(x - ox, obsCur(x - 1)))
       x += 1
     }
-    if (ox - 1 >= 0) obsRes(ox - 1) = visibleVal
+    if (ox - 1 >= 0) seed(obsRes, ox - 1)
     x = ox - 2
     while (x >= 0) {
       setOut(obsCur, obsRes, x, calcHeightLine(ox - x, obsCur(x + 1)))
@@ -100,9 +124,9 @@ object Viewshed {
       var y = oy + dirY
       while (y >= 0 && y < h) {
         val cur = rowRel(y)
-        val res = new Array[Double](w)
+        val res = baseRow(y)
         // center column: pure vertical line
-        if (ny == 1) res(ox) = visibleVal
+        if (ny == 1) seed(res, ox)
         else setOut(cur, res, ox, calcHeightLine(ny, prev(ox)))
         // rightward
         var xx = ox + 1
@@ -217,7 +241,8 @@ object Viewshed {
                      targetHeight: Double = 0.0,
                      visibleVal: Double = 255.0,
                      invisibleVal: Double = 0.0,
-                     mode: Int = ModeEdge): Dataset[(Long, Tile)] = {
+                     mode: Int = ModeEdge,
+                     outputMode: Int = OutNormal): Dataset[(Long, Tile)] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val obs = spark.sparkContext.broadcast(observers)
@@ -261,7 +286,7 @@ object Viewshed {
         }
       }
       val vis = computeWindow(dem, sw, sh, ox - gx0, oy - gy0, oz, targetHeight,
-        visibleVal, invisibleVal, mode)
+        visibleVal, invisibleVal, mode, outputMode)
       // emission rect: partition of the window (observer row to the upper
       // quadrants, observer column to the right ones)
       val ex0 = if (q % 2 == 0) ox else 0
