@@ -235,28 +235,47 @@ object Viewshed {
     * only its quadrant's tiles (¼ the memory, 4× the parallelism — the
     * same factor the reference's 4-thread pool extracts, but across
     * executors). Two shuffles: quadrant gather (tile replication ≈ 1 per
-    * observer, boundary tiles up to 4) and the small output-tile stitch. */
+    * observer, boundary tiles up to 4) and the small output-tile stitch.
+    *
+    * `maxDistance` (> 0) is gdal_viewshed -md with `outOfRangeVal` (-ov):
+    * pixels farther than maxDistance from the observer take outOfRangeVal
+    * (viewshed_executor.cpp adjustHeight LineLimits / maskLine*), and —
+    * the scale point — the GATHER is pruned to the observer's disc bbox,
+    * so a fleet of bounded observers ships each tile only to the
+    * observers whose window touches it, never world×observers. Tiles
+    * entirely out of range are NOT emitted (callers treat missing tiles
+    * as all-outOfRangeVal). Exactness of post-masking: every recurrence
+    * dependency is strictly closer to the observer, so in-range values
+    * never read out-of-range cells. */
   def viewshedsSplit(tiles: Dataset[Tile], observers: Seq[(Long, Int, Int, Double)],
                      nTilesX: Int, nTilesY: Int,
                      targetHeight: Double = 0.0,
                      visibleVal: Double = 255.0,
                      invisibleVal: Double = 0.0,
                      mode: Int = ModeEdge,
-                     outputMode: Int = OutNormal): Dataset[(Long, Tile)] = {
+                     outputMode: Int = OutNormal,
+                     maxDistance: Double = 0.0,
+                     outOfRangeVal: Double = 0.0): Dataset[(Long, Tile)] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val obs = spark.sparkContext.broadcast(observers)
+    val md = maxDistance
+    val mdC = if (md > 0.0) math.ceil(md).toInt else Int.MaxValue
+    val md2 = md * md
 
     // quadrant q gather rect (inclusive, global px): x side 0/2 -> [ox, W-1],
-    // 1/3 -> [0, ox]; y side 0/1 -> [0, oy], 2/3 -> [oy, H-1]
+    // 1/3 -> [0, ox]; y side 0/1 -> [0, oy], 2/3 -> [oy, H-1]; with -md,
+    // intersected with the observer disc bbox
     val keyed = tiles.flatMap { t =>
       val tx0 = t.x * t.w; val ty0 = t.y * t.h
       val tx1 = tx0 + t.w - 1; val ty1 = ty0 + t.h - 1
       obs.value.iterator.flatMap { case (oid, ox, oy, _) =>
+        val inDisc = md <= 0.0 ||
+          (tx1 >= ox - mdC && tx0 <= ox + mdC && ty1 >= oy - mdC && ty0 <= oy + mdC)
         (0 until 4).filter { q =>
           val inX = if (q % 2 == 0) tx1 >= ox else tx0 <= ox
           val inY = if (q < 2) ty0 <= oy else ty1 >= oy
-          inX && inY
+          inDisc && inX && inY
         }.map(q => (oid, q, t))
       }
     }
@@ -267,11 +286,13 @@ object Viewshed {
       val tw = ts(0).w; val th = ts(0).h; val z = ts(0).z
       val bigW = nTilesX * tw; val bigH = nTilesY * th
       val (_, ox, oy, oz) = obs.value.find(_._1 == oid).get
-      // sub-window bounds (inclusive)
-      val gx0 = if (q % 2 == 0) ox else 0
-      val gx1 = if (q % 2 == 0) bigW - 1 else ox
-      val gy0 = if (q < 2) 0 else oy
-      val gy1 = if (q < 2) oy else bigH - 1
+      // sub-window bounds (inclusive), clamped to the -md disc bbox
+      val gx0 = math.max(if (q % 2 == 0) ox else 0, if (md > 0) ox - mdC else 0)
+      val gx1 = math.min(if (q % 2 == 0) bigW - 1 else ox,
+        if (md > 0) ox + mdC else bigW - 1)
+      val gy0 = math.max(if (q < 2) 0 else oy, if (md > 0) oy - mdC else 0)
+      val gy1 = math.min(if (q < 2) oy else bigH - 1,
+        if (md > 0) oy + mdC else bigH - 1)
       val sw = gx1 - gx0 + 1; val sh = gy1 - gy0 + 1
       val dem = new Array[Double](sw * sh)
       ts.foreach { t =>
@@ -288,11 +309,12 @@ object Viewshed {
       val vis = computeWindow(dem, sw, sh, ox - gx0, oy - gy0, oz, targetHeight,
         visibleVal, invisibleVal, mode, outputMode)
       // emission rect: partition of the window (observer row to the upper
-      // quadrants, observer column to the right ones)
-      val ex0 = if (q % 2 == 0) ox else 0
-      val ex1 = if (q % 2 == 0) bigW - 1 else ox - 1
-      val ey0 = if (q < 2) 0 else oy + 1
-      val ey1 = if (q < 2) oy else bigH - 1
+      // quadrants, observer column to the right ones), clamped to the disc
+      // bbox under -md
+      val ex0 = math.max(if (q % 2 == 0) ox else 0, gx0)
+      val ex1 = math.min(if (q % 2 == 0) bigW - 1 else ox - 1, gx1)
+      val ey0 = math.max(if (q < 2) 0 else oy + 1, gy0)
+      val ey1 = math.min(if (q < 2) oy else bigH - 1, gy1)
       if (ex1 < ex0 || ey1 < ey0) Iterator.empty
       else (for (tX <- ex0 / tw to ex1 / tw; tY <- ey0 / th to ey1 / th) yield {
         val px = Array.fill(tw * th)(Double.NaN)
@@ -300,8 +322,19 @@ object Viewshed {
         val iy0 = math.max(ey0, tY * th); val iy1 = math.min(ey1, tY * th + th - 1)
         var gy = iy0
         while (gy <= iy1) {
-          System.arraycopy(vis, (gy - gy0) * sw + (ix0 - gx0),
-            px, (gy - tY * th) * tw + (ix0 - tX * tw), ix1 - ix0 + 1)
+          if (md <= 0.0)
+            System.arraycopy(vis, (gy - gy0) * sw + (ix0 - gx0),
+              px, (gy - tY * th) * tw + (ix0 - tX * tw), ix1 - ix0 + 1)
+          else {
+            var gx = ix0
+            while (gx <= ix1) {
+              val dx = (gx - ox).toDouble; val dy = (gy - oy).toDouble
+              px((gy - tY * th) * tw + (gx - tX * tw)) =
+                if (dx * dx + dy * dy > md2) outOfRangeVal
+                else vis((gy - gy0) * sw + (gx - gx0))
+              gx += 1
+            }
+          }
           gy += 1
         }
         (oid, tX, tY, z, tw, th, px)
@@ -319,6 +352,15 @@ object Viewshed {
           var i = 0
           while (i < px.length) {
             if (!java.lang.Double.isNaN(px(i))) out(i) = px(i)
+            i += 1
+          }
+        }
+        // with -md, tile corners beyond the disc bbox were never emitted by
+        // any quadrant: they are out of range
+        if (md > 0.0) {
+          var i = 0
+          while (i < out.length) {
+            if (java.lang.Double.isNaN(out(i))) out(i) = outOfRangeVal
             i += 1
           }
         }

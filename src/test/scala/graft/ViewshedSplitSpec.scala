@@ -71,6 +71,34 @@ class ViewshedSplitSpec extends AnyFunSuite {
     assert(Set(cEdge, cDiag, cMin, cMax).size >= 2)
   }
 
+  test("-md max distance: bounded == unbounded post-masked; far tiles pruned") {
+    import graft.engine.Viewshed._
+    val n = 4; val ts = 64
+    val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
+    val obs = Seq((1L, 40, 50, 5.0))
+    val md = 70.0; val oor = -9.0
+    val bounded = collectMap(viewshedsSplit(tiles, obs, n, n,
+      maxDistance = md, outOfRangeVal = oor))
+    val unbounded = collectMap(viewshedsSplit(tiles, obs, n, n))
+    // tiles whose bbox is entirely outside the disc bbox are not emitted
+    assert(!bounded.contains((1L, 3, 3)), "far corner tile must be pruned")
+    assert(bounded.size < unbounded.size)
+    for (((oid, tx, ty), px) <- bounded; i <- px.indices) {
+      val gx = tx * ts + i % ts; val gy = ty * ts + i / ts
+      val dx = (gx - 40).toDouble; val dy = (gy - 50).toDouble
+      val expect =
+        if (dx * dx + dy * dy > md * md) oor
+        else unbounded((oid, tx, ty))(i)
+      assert(px(i) === expect, s"tile ($tx,$ty) px ($gx,$gy)")
+    }
+    // unemitted tiles are fully out of range
+    for (((_, tx, ty), _) <- unbounded if !bounded.contains((1L, tx, ty));
+         py <- 0 until ts; pxi <- 0 until ts) {
+      val dx = (tx * ts + pxi - 40).toDouble; val dy = (ty * ts + py - 50).toDouble
+      assert(dx * dx + dy * dy > md * md, s"tile ($tx,$ty) wrongly pruned")
+    }
+  }
+
   test("cumulative viewshed == brute per-observer sum + floor(255/max) scale") {
     val ts = 64; val n = 256 / ts
     val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
