@@ -65,19 +65,33 @@ object Viewshed {
     * visibleVal/invisibleVal per pixel (or min-height rasters — see
     * `outputMode`). `mode` is the -cm cell mode (ModeEdge default, the
     * reference's default). */
+  /** `heightAdjFactor` is the earth-curvature drop per squared pixel
+    * distance — gdal_viewshed -cc: the reference computes
+    * curveCoeff/(2·semiMajor) in georeferenced units
+    * (viewshed_executor.cpp:198-216) and subtracts adj·dist² from each
+    * cell height before propagation (:403,428); pass
+    * curveCoeff/(2·a)·cellSize² here for the same effect in pixel space.
+    * 0 (default) disables the adjustment. */
   def computeWindow(dem: Array[Double], w: Int, h: Int, ox: Int, oy: Int,
                     observerZ: Double, targetHeight: Double = 0.0,
                     visibleVal: Double = 255.0,
                     invisibleVal: Double = 0.0,
                     mode: Int = ModeEdge,
-                    outputMode: Int = OutNormal): Array[Double] = {
+                    outputMode: Int = OutNormal,
+                    heightAdjFactor: Double = 0.0): Array[Double] = {
     val zObs = observerZ + dem(oy * w + ox)
     val result = new Array[Double](w * h)
-    // observer-relative heights for the current and previous rows
+    // observer-relative heights for the current and previous rows, with
+    // the curvature drop adj·dist² applied pre-propagation (:403)
     def rowRel(y: Int): Array[Double] = {
       val r = new Array[Double](w)
+      val dy2 = (y - oy).toDouble * (y - oy)
       var x = 0
-      while (x < w) { r(x) = dem(y * w + x) - zObs; x += 1 }
+      while (x < w) {
+        val dx = (x - ox).toDouble
+        r(x) = dem(y * w + x) - heightAdjFactor * (dx * dx + dy2) - zObs
+        x += 1
+      }
       r
     }
     // result-line base: raw DEM in DEM mode (:317), zero otherwise (:319)
@@ -255,7 +269,8 @@ object Viewshed {
                      mode: Int = ModeEdge,
                      outputMode: Int = OutNormal,
                      maxDistance: Double = 0.0,
-                     outOfRangeVal: Double = 0.0): Dataset[(Long, Tile)] = {
+                     outOfRangeVal: Double = 0.0,
+                     heightAdjFactor: Double = 0.0): Dataset[(Long, Tile)] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val obs = spark.sparkContext.broadcast(observers)
@@ -307,7 +322,7 @@ object Viewshed {
         }
       }
       val vis = computeWindow(dem, sw, sh, ox - gx0, oy - gy0, oz, targetHeight,
-        visibleVal, invisibleVal, mode, outputMode)
+        visibleVal, invisibleVal, mode, outputMode, heightAdjFactor)
       // emission rect: partition of the window (observer row to the upper
       // quadrants, observer column to the right ones), clamped to the disc
       // bbox under -md

@@ -99,6 +99,33 @@ class ViewshedSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("-cc curvature: horizon appears on flat terrain, split == whole") {
+    import graft.engine.Viewshed._
+    val n = 4; val ts = 64
+    val flat = Raster.syntheticTiles(spark, 2, tileSize = ts)((_, _) => 0.0)
+    val adj = 0.002 // curvature drop per pixel² — exaggerated earth
+    val split = collectMap(viewshedsSplit(flat, Seq((1L, 128, 128, 5.0)), n, n,
+      heightAdjFactor = adj))
+    val w = 256
+    val whole = computeWindow(new Array[Double](w * w), w, w, 128, 128, 5.0,
+      heightAdjFactor = adj)
+    for (((_, tx, ty), px) <- split; i <- px.indices)
+      assert(px(i) === whole((ty * ts + i / ts) * w + tx * ts + i % ts))
+    // along the observer row east: visible up to a horizon, invisible after
+    val row = (129 until 256).map(x => whole(128 * w + x))
+    val firstInvisible = row.indexWhere(_ == 0.0)
+    assert(firstInvisible > 5, s"horizon too close: $firstInvisible")
+    assert(row.drop(firstInvisible).forall(_ == 0.0), "visibility must not resume")
+    // without curvature the whole flat row is visible
+    val flatRow = computeWindow(new Array[Double](w * w), w, w, 128, 128, 5.0)
+    assert((129 until 256).forall(x => flatRow(128 * w + x) == 255.0))
+    // stronger curvature -> nearer horizon
+    val nearer = computeWindow(new Array[Double](w * w), w, w, 128, 128, 5.0,
+      heightAdjFactor = adj * 4)
+    val fi2 = (129 until 256).map(x => nearer(128 * w + x)).indexWhere(_ == 0.0)
+    assert(fi2 < firstInvisible && fi2 > 0, s"$fi2 vs $firstInvisible")
+  }
+
   test("cumulative viewshed == brute per-observer sum + floor(255/max) scale") {
     val ts = 64; val n = 256 / ts
     val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
