@@ -2672,6 +2672,61 @@ object Queries3 {
       SELECT tx AS x, ty AS y,
         CAST(((sum(gu % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks_ground,
         CAST(((sum(du % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks_dem
-      FROM cells GROUP BY 1, 2 ORDER BY x, y"""))
+      FROM cells GROUP BY 1, 2 ORDER BY x, y""")),
+
+    // -- OGR_STYLE feature-style strings (ogr/ogrfeaturestyle.cpp; grammar,
+    // quoted values, unit suffixes, GetParamDbl unit conversion,
+    // GetRGBFromString). Fixture replays the reference's own test literals
+    // (test_ogr.cpp:531 pen, ogr_style.py SYMBOL with a ':' inside the
+    // quoted id) plus the unit table corners; the oracle is the
+    // hand-computed expected VALUES (px conversions at micro rounding:
+    // 2px→2, 5px→5, 12pt→12, 1in→72, 3[mm]→3·72·39.37/1000).
+    ("q28_ogr_style", (s, _) => {
+      import s.implicits._
+      prep(s)
+      val styles = Seq(
+        (1L, """PEN(w:2px,c:#000000,id:"mapinfo-pen-2,ogr-pen-0")"""),
+        (2L, """SYMBOL(id:"http://style1_normal",c:#67452301)"""),
+        (3L, """PEN(c:#FF0000,w:5px);BRUSH(fc:#0000FF)"""),
+        (4L, """LABEL(f:"Arial",s:12pt,t:"Hello, World",bo:1)"""),
+        (5L, """BRUSH(fc:#00FF007F,s:1in)"""),
+        (6L, """PEN(w:3)"""))
+      styles.toDF("id", "style")
+        .select(col("id"),
+          expr("st_style_part_count(style)").cast("long").as("cnt"),
+          expr("st_style_tool(style, 0)").as("t0"),
+          expr("st_style_tool(style, 1)").as("t1"),
+          expr("CAST(floor(st_style_param_dbl(style, 0, 'w', 'px') * 1000000.0 + 0.5) AS BIGINT)").as("wpx_u"),
+          expr("CAST(floor(st_style_param_dbl(style, 0, 's', 'px') * 1000000.0 + 0.5) AS BIGINT)").as("spx_u"),
+          expr("st_style_param(style, 0, 'id')").as("idp"),
+          expr("st_style_param(style, 0, 't')").as("tp"),
+          expr("st_style_param(style, 0, 'bo')").as("bop"),
+          expr("st_style_rgba(st_style_param(style, 0, 'c'))").as("c_rgba"),
+          expr("st_style_rgba(st_style_param(style, 0, 'fc'))").as("fc0_rgba"),
+          expr("st_style_rgba(st_style_param(style, 1, 'fc'))").as("fc1_rgba"))
+        .orderBy("id")
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'PEN', CAST(NULL AS VARCHAR),
+         CAST(2000000 AS BIGINT), CAST(NULL AS BIGINT),
+         'mapinfo-pen-2,ogr-pen-0', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         '0,0,0,255', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'SYMBOL', NULL,
+         NULL, NULL, 'http://style1_normal', NULL, NULL,
+         '103,69,35,1', NULL, NULL),
+        (CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'PEN', 'BRUSH',
+         CAST(5000000 AS BIGINT), NULL, NULL, NULL, NULL,
+         '255,0,0,255', NULL, '0,0,255,255'),
+        (CAST(4 AS BIGINT), CAST(1 AS BIGINT), 'LABEL', NULL,
+         NULL, CAST(12000000 AS BIGINT), NULL, 'Hello, World', '1',
+         NULL, NULL, NULL),
+        (CAST(5 AS BIGINT), CAST(1 AS BIGINT), 'BRUSH', NULL,
+         NULL, CAST(72000000 AS BIGINT), NULL, NULL, NULL,
+         NULL, '0,255,0,127', NULL),
+        (CAST(6 AS BIGINT), CAST(1 AS BIGINT), 'PEN', NULL,
+         CAST(8503920 AS BIGINT), NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL)
+      ) AS t(id, cnt, t0, t1, wpx_u, spx_u, idp, tp, bop, c_rgba, fc0_rgba, fc1_rgba)
+      ORDER BY id"""))
   )
 }

@@ -841,6 +841,54 @@ case class StTransformConic(children: Seq[Expression], which: Int)
   * parameter order (EPSG 9606 position-vector; geom/Datum.scala). The
   * reference builds the same cart+helmert pipeline from the SRS TOWGS84
   * node (ogr/ogrct.cpp:1788-2122). Batch reprojection → CodegenFallback. */
+/** OGR feature-style accessors (ogr/ogrfeaturestyle.cpp; geom/OgrStyle):
+  * st_style_part_count(s), st_style_tool(s, i), st_style_param(s, i, key)
+  * (raw, unit-stripped, unquoted), st_style_param_dbl(s, i, key, unit)
+  * (GetParamDbl with SetUnit semantics), st_style_rgba(color)
+  * (#RRGGBB[AA] → "r,g,b,a"). `which`: 0..4 in that order. */
+case class StStyle(children: Seq[Expression], which: Int)
+    extends Expression with CodegenFallback {
+  private val arity = which match {
+    case 0 => 1; case 1 => 2; case 2 => 3; case 3 => 4; case _ => 1
+  }
+  require(children.length == arity, s"st_style arity $arity")
+  override def dataType: DataType = which match {
+    case 0 => IntegerType
+    case 3 => DoubleType
+    case _ => StringType
+  }
+  override def nullable: Boolean = true
+  override def prettyName: String = which match {
+    case 0 => "st_style_part_count"
+    case 1 => "st_style_tool"
+    case 2 => "st_style_param"
+    case 3 => "st_style_param_dbl"
+    case _ => "st_style_rgba"
+  }
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    def str(i: Int): String = vs(i).asInstanceOf[UTF8String].toString
+    def int(i: Int): Int = vs(i) match {
+      case n: Integer => n.intValue
+      case n: java.lang.Long => n.intValue
+      case other => other.toString.toInt
+    }
+    import graft.geom.OgrStyle
+    which match {
+      case 0 => OgrStyle.partCount(str(0))
+      case 1 => Option(OgrStyle.toolName(str(0), int(1))).map(UTF8String.fromString).orNull
+      case 2 => Option(OgrStyle.param(str(0), int(1), str(2))).map(UTF8String.fromString).orNull
+      case 3 =>
+        val d = OgrStyle.paramDbl(str(0), int(1), str(2), str(3))
+        if (d == null) null else d.doubleValue
+      case _ => Option(OgrStyle.rgba(str(0))).map(UTF8String.fromString).orNull
+    }
+  }
+  protected override def withNewChildrenInternal(ns: IndexedSeq[Expression]): StStyle =
+    copy(children = ns)
+}
+
 case class StDatumShift(children: Seq[Expression], inverse: Boolean)
     extends Expression with ImplicitCastInputTypes with CodegenFallback {
   require(children.length == 10,

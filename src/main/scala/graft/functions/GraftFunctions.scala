@@ -89,6 +89,11 @@ object GraftFunctions {
     arity("st_transform_moll_inv", 2)(a => StTransformProj(a, 9)),
     arity("st_towgs84", 10)(a => StDatumShift(a, inverse = false)),
     arity("st_fromwgs84", 10)(a => StDatumShift(a, inverse = true)),
+    arity("st_style_part_count", 1)(a => StStyle(a, 0)),
+    arity("st_style_tool", 2)(a => StStyle(a, 1)),
+    arity("st_style_param", 3)(a => StStyle(a, 2)),
+    arity("st_style_param_dbl", 4)(a => StStyle(a, 3)),
+    arity("st_style_rgba", 1)(a => StStyle(a, 4)),
     arity("st_simplify", 2)(a => StSimplify(a(0), a(1))),
     arity("st_segmentize", 2)(a => StSegmentize(a(0), a(1))),
     arity("st_cover", 2)(a => StCover(a(0), a(1))),
