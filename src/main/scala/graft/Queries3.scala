@@ -2727,6 +2727,92 @@ object Queries3 {
          CAST(8503920 AS BIGINT), NULL, NULL, NULL, NULL,
          NULL, NULL, NULL)
       ) AS t(id, cnt, t0, t1, wpx_u, spx_u, idp, tp, bop, c_rgba, fc0_rgba, fc1_rgba)
-      ORDER BY id"""))
+      ORDER BY id""")),
+
+    // -- complex pixel functions (pixelfunctions.cpp mod :415, phase :484,
+    // cmul :1675) over (re, im) tile pairs — the engine's model for
+    // CFloat/CInt bands. Integer-valued synthetic bands; cmul outputs are
+    // exact integers, mod/phase gated at micro rounding.
+    ("r46_complex_funcs", (s, _) => {
+      val sp = s
+      import sp.implicits._
+      prep(s)
+      def band(f: (Long, Long) => Double) =
+        engine.Raster.syntheticTiles(s, 1, tileSize = 64)(f)
+      val re = band((gx, gy) => ((gx * 7 + gy * 3) % 21 - 10).toDouble)
+      val im = band((gx, gy) => ((gx * 5 + gy * 11) % 17 - 8).toDouble)
+      val bre = band((gx, gy) => ((gx * 2 + gy * 13) % 19 - 9).toDouble)
+      val bim = band((gx, gy) => ((gx * 3 + gy * 7) % 23 - 11).toDouble)
+      val mod = engine.PixelFuncs.modC(re, im)
+      val ph = engine.PixelFuncs.phaseC(re, im)
+      val (cre, cim) = engine.PixelFuncs.cmulC(re, im, bre, bim)
+      def cks(ds: org.apache.spark.sql.Dataset[engine.Tile], name: String) =
+        ds.map(t => (t.x.toLong, t.y.toLong, engine.Raster.checksum(
+          t.pixels.map(v => math.floor(v * 1000000.0 + 0.5)), t.w, t.h).toLong))
+          .toDF("x", "y", name)
+      cks(mod, "cks_mod").join(cks(ph, "cks_phase"), Seq("x", "y"))
+        .join(cks(cre, "cks_cre"), Seq("x", "y"))
+        .join(cks(cim, "cks_cim"), Seq("x", "y"))
+        .orderBy("x", "y")
+    }, Some {
+      def cksOf(e: String) = s"CAST(((sum(CAST(floor(($e) * 1000000.0 + 0.5) AS BIGINT) % " +
+        s"([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT)"
+      s"""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+          FROM (SELECT unnest(generate_series(0, 127)) AS gx) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS gy) ys),
+      v AS (SELECT gx, gy,
+          CAST((gx * 7 + gy * 3) % 21 - 10 AS DOUBLE) AS re,
+          CAST((gx * 5 + gy * 11) % 17 - 8 AS DOUBLE) AS im,
+          CAST((gx * 2 + gy * 13) % 19 - 9 AS DOUBLE) AS bre,
+          CAST((gx * 3 + gy * 7) % 23 - 11 AS DOUBLE) AS bim FROM px),
+      cells AS (SELECT gx >> 6 AS tx, gy >> 6 AS ty, gx % 64 AS cx, gy % 64 AS cy,
+          sqrt(re * re + im * im) AS modv, atan2(im, re) AS ph,
+          re * bre + im * bim AS cre, bre * im - re * bim AS cim FROM v)
+      SELECT tx AS x, ty AS y,
+        ${cksOf("modv")} AS cks_mod, ${cksOf("ph")} AS cks_phase,
+        ${cksOf("cre")} AS cks_cre, ${cksOf("cim")} AS cks_cim
+      FROM cells GROUP BY 1, 2 ORDER BY x, y"""
+    }),
+
+    // -- Float16 payload codec (GDT_Float16, port/cpl_float.h): decode
+    // little-endian half bit patterns (normals, subnormal ulp, max finite,
+    // smallest normal, ±, Inf, NaN, a 1/3 rounding case, multi-value
+    // payload) to exact doubles; re-encode round-trips bit-exactly except
+    // NaN which canonicalizes to 0x7e00. v24 = value·2²⁴ (always integral
+    // for halves).
+    ("m05_float16", (s, _) => {
+      prep(s)
+      val df = s.sql("""SELECT * FROM VALUES
+        (CAST(1 AS BIGINT), X'003C'), (CAST(2 AS BIGINT), X'00C0'),
+        (CAST(3 AS BIGINT), X'FF7B'), (CAST(4 AS BIGINT), X'0100'),
+        (CAST(5 AS BIGINT), X'0004'), (CAST(6 AS BIGINT), X'007C'),
+        (CAST(7 AS BIGINT), X'5535'), (CAST(8 AS BIGINT), X'017E'),
+        (CAST(9 AS BIGINT), X'003C00C0FF7B') AS t(id, payload)""")
+      df.select(col("id"),
+        expr("CAST(size(st_half_decode(payload)) AS BIGINT)").as("n"),
+        expr("""CASE WHEN isnan(st_half_decode(payload)[0]) THEN 'nan'
+                WHEN abs(st_half_decode(payload)[0]) = double('Infinity') THEN 'inf'
+                ELSE 'fin' END""").as("kind"),
+        expr("""CASE WHEN NOT isnan(st_half_decode(payload)[0])
+                AND abs(st_half_decode(payload)[0]) <> double('Infinity')
+                THEN CAST(floor(st_half_decode(payload)[0] * 16777216.0) AS BIGINT) END""").as("v24"),
+        expr("st_half_encode(st_half_decode(payload)) = payload").as("rt"),
+        expr("""CASE WHEN size(st_half_decode(payload)) > 2
+                THEN CAST(floor(st_half_decode(payload)[2] * 16777216.0) AS BIGINT) END""").as("v24_3"))
+        .orderBy("id")
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'fin', CAST(16777216 AS BIGINT), true, CAST(NULL AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'fin', CAST(-33554432 AS BIGINT), true, NULL),
+        (CAST(3 AS BIGINT), CAST(1 AS BIGINT), 'fin', CAST(1098974756864 AS BIGINT), true, NULL),
+        (CAST(4 AS BIGINT), CAST(1 AS BIGINT), 'fin', CAST(1 AS BIGINT), true, NULL),
+        (CAST(5 AS BIGINT), CAST(1 AS BIGINT), 'fin', CAST(1024 AS BIGINT), true, NULL),
+        (CAST(6 AS BIGINT), CAST(1 AS BIGINT), 'inf', NULL, true, NULL),
+        (CAST(7 AS BIGINT), CAST(1 AS BIGINT), 'fin', CAST(5591040 AS BIGINT), true, NULL),
+        (CAST(8 AS BIGINT), CAST(1 AS BIGINT), 'nan', NULL, false, NULL),
+        (CAST(9 AS BIGINT), CAST(3 AS BIGINT), 'fin', CAST(16777216 AS BIGINT), true,
+         CAST(1098974756864 AS BIGINT))
+      ) AS t(id, n, kind, v24, rt, v24_3) ORDER BY id"""))
   )
 }

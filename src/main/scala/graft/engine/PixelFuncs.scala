@@ -14,9 +14,13 @@ import org.apache.spark.sql.Dataset
   * is unchanged at 100 TB (tiles are the unit of parallelism).
   *
   * NoData guards follow the reference (`IsNoData(v, nd) ? nd : f(v)` for
-  * scalar funcs; N-ary funcs skip NoData inputs). Complex-typed variants
-  * (real/imag/conj/cmul/phase/polar) are out of scope — the engine's
-  * Tile model is real-valued (documented in COVERAGE.md).
+  * scalar funcs; N-ary funcs skip NoData inputs).
+  *
+  * Complex pixel types (CInt16/CInt32/CFloat32/CFloat64) are modeled as an
+  * (re, im) TILE PAIR — the Spark-first shape for interleaved complex
+  * bands — and the reference's complex pixel-function family
+  * (real/imag/mod/phase/conj/cmul/polar, pixelfunctions.cpp:186-577,1645)
+  * operates on such pairs below. real/imag are projections (free).
   */
 object PixelFuncs {
 
@@ -225,5 +229,47 @@ object PixelFuncs {
     val raw = math.floor((t - t0) / dt).toInt
     val i0 = math.max(0, math.min(n - 2, raw))
     (i0, t0 + i0 * dt, t0 + (i0 + 1) * dt)
+  }
+
+  // ---- complex family: a complex band is an (re, im) tile pair -----------
+
+  /** "mod" for complex input: √(re²+im²) (ModulePixelFunc, :415). */
+  def modC(re: Dataset[Tile], im: Dataset[Tile]): Dataset[Tile] =
+    combineN(Seq(re, im))(v => math.sqrt(v(0) * v(0) + v(1) * v(1)))
+
+  /** "phase" for complex input: atan2(im, re) (PhasePixelFunc, :484);
+    * the real-input fallback is [[phaseReal]]. */
+  def phaseC(re: Dataset[Tile], im: Dataset[Tile]): Dataset[Tile] =
+    combineN(Seq(re, im))(v => math.atan2(v(1), v(0)))
+
+  /** "phase" for real input: π where negative else 0 (:522). */
+  def phaseReal(src: Dataset[Tile]): Dataset[Tile] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src.map(t => t.copy(pixels = t.pixels.map(v => if (v < 0) math.Pi else 0.0)))
+  }
+
+  /** "conj": (re, −im) (ConjPixelFunc, :532). */
+  def conjC(re: Dataset[Tile], im: Dataset[Tile]): (Dataset[Tile], Dataset[Tile]) = {
+    val spark = im.sparkSession
+    import spark.implicits._
+    (re, im.map(t => t.copy(pixels = t.pixels.map(v => -v))))
+  }
+
+  /** "cmul": first band times the complex CONJUGATE of the second
+    * (CMulPixelFunc, :1675: re = r0·r1 + i0·i1, im = r1·i0 − r0·i1). */
+  def cmulC(aRe: Dataset[Tile], aIm: Dataset[Tile],
+            bRe: Dataset[Tile], bIm: Dataset[Tile]): (Dataset[Tile], Dataset[Tile]) = {
+    val re = combineN(Seq(aRe, aIm, bRe, bIm))(v => v(0) * v(2) + v(1) * v(3))
+    val im = combineN(Seq(aRe, aIm, bRe, bIm))(v => v(2) * v(1) - v(0) * v(3))
+    (re, im)
+  }
+
+  /** "polar" (amplitude mode): amplitude+phase bands → complex
+    * (PolarPixelFunc, :315: re = amp·cos φ, im = amp·sin φ). */
+  def polarC(amp: Dataset[Tile], phase: Dataset[Tile]): (Dataset[Tile], Dataset[Tile]) = {
+    val re = combineN(Seq(amp, phase))(v => v(0) * math.cos(v(1)))
+    val im = combineN(Seq(amp, phase))(v => v(0) * math.sin(v(1)))
+    (re, im)
   }
 }

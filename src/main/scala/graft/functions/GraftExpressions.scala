@@ -841,6 +841,31 @@ case class StTransformConic(children: Seq[Expression], which: Int)
   * parameter order (EPSG 9606 position-vector; geom/Datum.scala). The
   * reference builds the same cart+helmert pipeline from the SRS TOWGS84
   * node (ogr/ogrct.cpp:1788-2122). Batch reprojection → CodegenFallback. */
+/** st_half_decode(binary) → array<double>: little-endian IEEE 754 half
+  * payload (GDAL GDT_Float16, port/cpl_float.h) to doubles; exact. */
+case class StHalfDecode(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "st_half_decode"
+  protected override def nullSafeEval(b: Any): Any =
+    new GenericArrayData(graft.engine.Half.decode(b.asInstanceOf[Array[Byte]]))
+  protected override def withNewChildInternal(n: Expression): StHalfDecode = copy(child = n)
+}
+
+/** st_half_encode(array<double>) → binary: doubles to packed halves,
+  * round-to-nearest-even (CPLFloatToHalf semantics). */
+case class StHalfEncode(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_half_encode"
+  protected override def nullSafeEval(a: Any): Any =
+    graft.engine.Half.encode(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+  protected override def withNewChildInternal(n: Expression): StHalfEncode = copy(child = n)
+}
+
 /** OGR feature-style accessors (ogr/ogrfeaturestyle.cpp; geom/OgrStyle):
   * st_style_part_count(s), st_style_tool(s, i), st_style_param(s, i, key)
   * (raw, unit-stripped, unquoted), st_style_param_dbl(s, i, key, unit)

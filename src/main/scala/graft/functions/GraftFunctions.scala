@@ -94,6 +94,8 @@ object GraftFunctions {
     arity("st_style_param", 3)(a => StStyle(a, 2)),
     arity("st_style_param_dbl", 4)(a => StStyle(a, 3)),
     arity("st_style_rgba", 1)(a => StStyle(a, 4)),
+    arity("st_half_decode", 1)(a => StHalfDecode(a(0))),
+    arity("st_half_encode", 1)(a => StHalfEncode(a(0))),
     arity("st_simplify", 2)(a => StSimplify(a(0), a(1))),
     arity("st_segmentize", 2)(a => StSegmentize(a(0), a(1))),
     arity("st_cover", 2)(a => StCover(a(0), a(1))),

@@ -88,6 +88,36 @@ class PixelFuncsSpec extends AnyFunSuite {
     }, tol = 1e-12)
   }
 
+  test("complex family: mod/phase/conj/cmul/polar round-trips") {
+    val re = synth((gx, gy) => ((gx * 7 + gy * 3) % 21 - 10).toDouble)
+    val im = synth((gx, gy) => ((gx * 5 + gy * 11) % 17 - 8).toDouble)
+    def f(gx: Long, gy: Long) = (((gx * 7 + gy * 3) % 21 - 10).toDouble,
+      ((gx * 5 + gy * 11) % 17 - 8).toDouble)
+    // polar(mod, phase) reconstructs (re, im)
+    val (rre, rim) = PixelFuncs.polarC(PixelFuncs.modC(re, im), PixelFuncs.phaseC(re, im))
+    val gotRe = px(rre.collect().toSeq); val gotIm = px(rim.collect().toSeq)
+    for (gy <- 0 until 16; gx <- 0 until 16) {
+      val (er, ei) = f(gx, gy)
+      assert(math.abs(gotRe(gy * 16 + gx) - er) < 1e-9, s"re ($gx,$gy)")
+      assert(math.abs(gotIm(gy * 16 + gx) - ei) < 1e-9, s"im ($gx,$gy)")
+    }
+    // conj twice is identity; cmul(a, conj(a)) has im == 0, re == |a|²
+    val (_, imNeg) = PixelFuncs.conjC(re, im)
+    val (_, imBack) = PixelFuncs.conjC(re, imNeg)
+    check(px(imBack.collect().toSeq), px(im.collect().toSeq))
+    val (cre, cim) = PixelFuncs.cmulC(re, im, re, im)
+    val gotCre = px(cre.collect().toSeq)
+    for (gy <- 0 until 16; gx <- 0 until 16) {
+      val (er, ei) = f(gx, gy)
+      assert(gotCre(gy * 16 + gx) === er * er + ei * ei, s"($gx,$gy)")
+    }
+    check(px(cim.collect().toSeq), Array.fill(256)(0.0))
+    // phaseReal: π where negative
+    val pr = px(PixelFuncs.phaseReal(re).collect().toSeq)
+    for (gy <- 0 until 16; gx <- 0 until 16)
+      assert(pr(gy * 16 + gx) === (if (f(gx, gy)._1 < 0) math.Pi else 0.0))
+  }
+
   test("nodata-to-alpha emits the alpha band on the requested band index") {
     val nd = PixelFuncs.noDataToAlpha(c, noData = 3.0, alphaBand = 5)
     val t = nd.collect()
