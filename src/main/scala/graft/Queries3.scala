@@ -151,6 +151,78 @@ object Queries3 {
   private val IVF_K = 8; private val IVF_ITERS = 2
   private val IVF_NPROBE = 4; private val IVF_TOPK = 3
 
+  private val PQ_M = 16; private val PQ_K = 16; private val PQ_ITERS = 2
+  private val PQ_CAND = 64; private val PQ_TOPK = 3; private val PQ_W = 4
+
+  /** DuckDB replay of [[graft.engine.Ann.pqTopK]]: per sub-space the same
+    * unrolled deterministic k-means as [[ivfKmeansOracle]] (micro-rounded
+    * centroid updates), then ADC tables + rounded approximate ranking +
+    * exact-cosine refine. */
+  private def pqOracle: String = {
+    def dotD(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+    def score(v: String, c: String) =
+      s"list_sum(list_transform($c, x -> x * x)) - 2.0 * ${dotD(v, c)}"
+    // per-sub-space kmeans CTE chain with prefix p
+    def assignCte(p: String, i: Int) = s"""
+      ${p}a$i AS (SELECT vec_id, sub, cid FROM (
+          SELECT e.vec_id, e.sub, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${score("e.sub", "c.ce")}, c.cid) AS rk
+          FROM ${p}e e CROSS JOIN ${p}c$i c) WHERE rk = 1)"""
+    def updateCte(p: String, i: Int) = s"""
+      ${p}c${i + 1} AS (SELECT cid, list(m ORDER BY pos) AS ce FROM (
+          SELECT cid, pos, floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS m FROM (
+            SELECT cid, generate_subscripts(sub, 1) AS pos, unnest(sub) AS v FROM ${p}a$i)
+          GROUP BY cid, pos) GROUP BY cid)"""
+    def chain(s: Int): String = {
+      val p = s"s$s"
+      val lo = s * PQ_W + 1; val hi = (s + 1) * PQ_W
+      val loop = (0 until PQ_ITERS).map(i => assignCte(p, i) + "," + updateCte(p, i)).mkString(",")
+      s"""
+      ${p}e AS (SELECT vec_id, un[$lo:$hi] AS sub FROM e),
+      ${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sub AS ce
+          FROM ${p}e WHERE vec_id % (SELECT greatest(1, count(*) // $PQ_K) FROM ${p}e) = 0
+          ORDER BY vec_id LIMIT $PQ_K),
+      $loop,
+      ${assignCte(p, PQ_ITERS).trim}"""
+    }
+    val chains = (0 until PQ_M).map(chain).mkString(",")
+    val codesU = (0 until PQ_M).map(s =>
+      s"SELECT vec_id AS pid, $s AS s, cid AS code FROM s${s}a$PQ_ITERS").mkString(" UNION ALL ")
+    val booksU = (0 until PQ_M).map(s =>
+      s"SELECT $s AS s, cid AS code, ce FROM s${s}c$PQ_ITERS").mkString(" UNION ALL ")
+    s"""
+      WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+            sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x))) AS nm FROM embeddings),
+      e AS (SELECT vec_id, emb, nm,
+            list_transform(emb, x -> x / nm) AS un FROM e0),
+      $chains,
+      codes AS ($codesU),
+      books AS ($booksU),
+      q AS (SELECT vec_id AS qid, emb AS qe, nm AS qn, un AS uq FROM e
+            WHERE vec_id >= 20 AND vec_id < 60),
+      dtab AS (SELECT q.qid, b.s, b.code,
+          list_sum(list_transform(generate_series(1, $PQ_W),
+            i -> (q.uq[b.s * $PQ_W + i] - b.ce[i]) * (q.uq[b.s * $PQ_W + i] - b.ce[i]))) AS d
+        FROM q CROSS JOIN books b),
+      approx AS (SELECT d.qid, c.pid,
+          CAST(floor(sum(d.d) * 1000000.0 + 0.5) AS BIGINT) AS ad_u
+        FROM codes c JOIN dtab d USING (s, code) WHERE d.qid <> c.pid
+        GROUP BY d.qid, c.pid),
+      cand AS (SELECT qid, pid FROM (SELECT qid, pid,
+          row_number() OVER (PARTITION BY qid ORDER BY ad_u, pid) AS crk
+        FROM approx) WHERE crk <= $PQ_CAND),
+      ref AS (SELECT c.qid, c.pid,
+          ${dotD("q.qe", "p.emb")} / (q.qn * p.nm) AS cos
+        FROM cand c JOIN q ON c.qid = q.qid JOIN e p ON c.pid = p.vec_id),
+      rk AS (SELECT qid, pid, cos, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, pid) AS BIGINT) AS rank FROM ref)
+      SELECT qid, pid, rank, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+      FROM rk WHERE rank <= $PQ_TOPK ORDER BY qid, rank"""
+  }
+
   /** DuckDB replay of [[graft.engine.Ann.ivfTopK]]: the fixed-iteration
     * Lloyd's loop is unrolled into CTEs (c0 → a0 → c1 → a1 → c2 → a2).
     * Centroid coordinates are rounded to 1e-6 after every mean update —
@@ -378,6 +450,19 @@ object Queries3 {
           k = IVF_K, iters = IVF_ITERS, nprobe = IVF_NPROBE, topK = IVF_TOPK)
         .orderBy("qid", "rank")
     }, Some(ivfKmeansOracle)),
+
+    // -- product-quantization ANN (Jégou et al. 2011; the PQ half of
+    // IVF-PQ): per-sub-space deterministic codebooks, 8-bit codes, ADC
+    // distance tables, rounded approx ranking, exact-cosine refine of the
+    // candC survivors. Same determinism recipe as e04 (micro-rounded
+    // centroid updates + integer approx scores).
+    ("e05_pq_topk", (s, dir) => {
+      prep(s)
+      engine.Ann.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          isQuery = id => id >= 20 && id < 60,
+          m = PQ_M, k = PQ_K, iters = PQ_ITERS, candC = PQ_CAND, topK = PQ_TOPK)
+        .orderBy("qid", "rank")
+    }, Some(pqOracle)),
 
     // -- OGR dialect AND/OR/NOT null semantics, oracle-gated (was
     // spec-only): OGR AND returns the non-null side when one side is null

@@ -31,6 +31,11 @@ import graft.functions.{GraftFunctions, gf}
   */
 object Ann {
 
+  /** sequential-fold L2 norm as a SQL snippet (the lambda-context twin of
+    * gf.vec_norm — same left-to-right accumulation). */
+  private def vecNormSql(embCol: String): String =
+    s"sqrt(aggregate(transform(CAST($embCol AS array<double>), y -> y * y), 0D, (acc, v) -> acc + v))"
+
   /** score(v, c) = c·c − 2·(v·c): monotone in squared L2 distance to the
     * centroid (the ‖v‖² term is constant per row and cannot change an
     * argmin). Both dots are sequential folds (native VecKernel), matching
@@ -83,6 +88,93 @@ object Ann {
       cents = upd.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toIndexedSeq
     }
     cents
+  }
+
+  /** Product-quantization top-k (the PQ half of the IVF-PQ shape used for
+    * web-scale ANN; Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 — public method):
+    *
+    *  1. split the `dim` dimensions into `m` contiguous sub-spaces of
+    *     width dim/m; train a deterministic k-means codebook per sub-space
+    *     (reusing [[kmeans]] — same init/rounding recipe);
+    *  2. ENCODE every vector as m codebook ids (map-only, codebooks are
+    *     literals — at scale this is the 8·m-bit compressed corpus);
+    *  3. per query build the ADC distance TABLE (m·k squared sub-distances,
+    *     one small cross join), score every candidate as the SUM of table
+    *     entries looked up by its codes — a join on (subspace, code), never
+    *     touching the raw vectors;
+    *  4. take `candC` best approximate candidates (approx distance rounded
+    *     to 1e-6 so independent engines rank identically; ties → pid) and
+    *     re-rank them by exact cosine → `topK`.
+    *
+    * Scale: the approx pass streams CODES (m bytes/vector) instead of
+    * dim·8 bytes — the 64× bandwidth cut that makes a 100 TB corpus
+    * scannable; the exact refine touches only candC vectors per query. */
+  def pqTopK(vecs: DataFrame, idCol: String, embCol: String,
+             isQuery: Column => Column, m: Int, k: Int, iters: Int,
+             candC: Int, topK: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rawEmb = col(embCol).cast("array<double>")
+    val dim = vecs.select(size(rawEmb)).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val w = dim / m
+    // cosine ranking → quantize on the UNIT SPHERE: after normalization,
+    // squared L2 is 2−2cos, so the ADC ordering matches the cosine
+    // ordering up to quantization error (the standard PQ-for-cosine setup)
+    val unit = vecs.select(col(idCol),
+      expr(s"transform(CAST($embCol AS array<double>), x -> x / ${vecNormSql(embCol)})").as("u"))
+    val emb = col("u")
+
+    // 1. per-sub-space codebooks (deterministic kmeans on the slices)
+    val books: Seq[(Int, Seq[(Int, Array[Double])])] = (0 until m).map { s =>
+      (s, kmeans(unit.select(col(idCol), slice(emb, s * w + 1, w).as("sub")),
+        idCol, "sub", k, iters))
+    }
+
+    // 2. encode: m nearest-codeword ids per vector, exploded to (pid, s, code)
+    val codeCols = books.map { case (s, cb) =>
+      struct(lit(s).as("s"), nearestCid(slice(emb, s * w + 1, w), cb).as("code"))
+    }
+    val codes = unit.select(col(idCol).as("pid"),
+        explode(array(codeCols: _*)).as("sc"))
+      .select(col("pid"), col("sc.s").as("s"), col("sc.code").as("code"))
+
+    // 3. per-query ADC tables: (qid, s, code, d) over the m·k codewords
+    val bookRows = books.flatMap { case (s, cb) =>
+      cb.map { case (cid, cw) => (s, cid, cw.toSeq) }
+    }
+    val bookDf = bookRows.toDF("s", "code", "cw")
+    val rawBase = vecs.select(col(idCol), rawEmb.as("e"), gf.vec_norm(rawEmb).as("nm"))
+    val queries = rawBase.where(isQuery(col(idCol)))
+      .join(unit, idCol)
+      .select(col(idCol).as("qid"), col("e").as("qe"), col("nm").as("qn"),
+        col("u").as("uq"))
+    val dtab = queries.crossJoin(broadcast(bookDf))
+      .select(col("qid"), col("s"), col("code"),
+        expr(s"aggregate(zip_with(slice(uq, s * $w + 1, $w), cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)").as("d"))
+
+    // approximate distance = sum of the m table entries for the candidate's
+    // codes; rounded so ranking is engine-independent
+    val approx = codes.join(dtab, Seq("s", "code"))
+      .where(col("qid") =!= col("pid"))
+      .groupBy("qid", "pid")
+      .agg(expr("CAST(floor(sum(d) * 1000000.0 + 0.5) AS BIGINT)").as("ad_u"))
+    val wCand = Window.partitionBy("qid").orderBy(col("ad_u").asc, col("pid").asc)
+    val cands = approx.withColumn("crk", row_number().over(wCand))
+      .where(col("crk") <= candC).select("qid", "pid", "ad_u")
+
+    // 4. exact-cosine refine of the candidates only (raw vectors)
+    val base = rawBase.select(col(idCol).as("pid"), col("e").as("pe"),
+      col("nm").as("pn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
+    cands.join(base, "pid").join(queries, "qid")
+      .withColumn("cos", gf.vec_dot(col("qe"), col("pe")) / (col("qn") * col("pn")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("pid"), col("rank"),
+        expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").as("cos_u"))
   }
 
   /** IVF top-k: every vector joins its nearest centroid's inverted list;

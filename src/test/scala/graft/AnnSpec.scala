@@ -69,4 +69,31 @@ class AnnSpec extends AnyFunSuite {
     info(f"recall@3 = $recall%.3f (${ivf.intersect(exact).size}/${exact.size})")
     assert(recall >= 0.8)
   }
+
+  test("PQ recall@3 vs exact brute-force is >= 0.8 and PQ is deterministic") {
+    def run() = Ann.pqTopK(vecs, "vec_id", "embedding",
+        isQuery = id => id >= 20 && id < 60,
+        m = 16, k = 16, iters = 2, candC = 64, topK = 3)
+      .select("qid", "pid", "rank", "cos_u").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = run(); val b = run()
+    assert(a === b, "PQ pipeline must be bit-deterministic")
+    val pq = a.map(t => (t._1, t._2))
+
+    val emb = col("embedding").cast("array<double>")
+    val base = vecs.select(col("vec_id"), emb.as("e"), gf.vec_norm(emb).as("nm"))
+    val q = base.where(col("vec_id") >= 20 && col("vec_id") < 60)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = q.crossJoin(base)
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("cos", gf.vec_dot(col("qe"), col("e")) / (col("qn") * col("nm")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    info(f"PQ recall@3 = $recall%.3f (${pq.intersect(exact).size}/${exact.size})")
+    assert(recall >= 0.8)
+  }
 }
