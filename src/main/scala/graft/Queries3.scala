@@ -223,6 +223,88 @@ object Queries3 {
       FROM rk WHERE rank <= $PQ_TOPK ORDER BY qid, rank"""
   }
 
+  private val IVFPQ_CAND = 48
+
+  /** DuckDB replay of [[graft.engine.Ann.ivfPqTopK]]: the coarse-IVF chain
+    * of [[ivfKmeansOracle]] (on raw embeddings) + the per-sub-space PQ
+    * chains of [[pqOracle]] (on unit vectors), composed: candidates are
+    * probed-list members scored by ADC, then exact-cosine refined. */
+  private def ivfPqOracle: String = {
+    def dotD(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+    def score(v: String, c: String) =
+      s"list_sum(list_transform($c, x -> x * x)) - 2.0 * ${dotD(v, c)}"
+    def assignCte(p: String, i: Int) = s"""
+      ${p}a$i AS (SELECT vec_id, sub, cid FROM (
+          SELECT e.vec_id, e.sub, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${score("e.sub", "c.ce")}, c.cid) AS rk
+          FROM ${p}e e CROSS JOIN ${p}c$i c) WHERE rk = 1)"""
+    def updateCte(p: String, i: Int) = s"""
+      ${p}c${i + 1} AS (SELECT cid, list(m ORDER BY pos) AS ce FROM (
+          SELECT cid, pos, floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS m FROM (
+            SELECT cid, generate_subscripts(sub, 1) AS pos, unnest(sub) AS v FROM ${p}a$i)
+          GROUP BY cid, pos) GROUP BY cid)"""
+    def chain(p: String, srcSql: String, kk: Int, iters: Int): String = {
+      val loop = (0 until iters).map(i => assignCte(p, i) + "," + updateCte(p, i)).mkString(",")
+      s"""
+      ${p}e AS ($srcSql),
+      ${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sub AS ce
+          FROM ${p}e WHERE vec_id % (SELECT greatest(1, count(*) // $kk) FROM ${p}e) = 0
+          ORDER BY vec_id LIMIT $kk),
+      $loop,
+      ${assignCte(p, iters).trim}"""
+    }
+    val coarse = chain("g", "SELECT vec_id, emb AS sub FROM e", IVF_K, IVF_ITERS)
+    val pqChains = (0 until PQ_M).map { s =>
+      chain(s"s$s", s"SELECT vec_id, un[${s * PQ_W + 1}:${(s + 1) * PQ_W}] AS sub FROM e",
+        PQ_K, PQ_ITERS)
+    }.mkString(",")
+    val codesU = (0 until PQ_M).map(s =>
+      s"SELECT vec_id AS pid, $s AS s, cid AS code FROM s${s}a$PQ_ITERS").mkString(" UNION ALL ")
+    val booksU = (0 until PQ_M).map(s =>
+      s"SELECT $s AS s, cid AS code, ce FROM s${s}c$PQ_ITERS").mkString(" UNION ALL ")
+    s"""
+      WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+            sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x))) AS nm FROM embeddings),
+      e AS (SELECT vec_id, emb, nm,
+            list_transform(emb, x -> x / nm) AS un FROM e0),
+      $coarse,
+      $pqChains,
+      lists AS (SELECT vec_id AS pid, cid AS lcid FROM ga$IVF_ITERS),
+      codes AS ($codesU),
+      books AS ($booksU),
+      q AS (SELECT vec_id AS qid, emb AS qe, nm AS qn, un AS uq FROM e
+            WHERE vec_id >= 20 AND vec_id < 60),
+      probes AS (SELECT qid, lcid FROM (
+          SELECT q.qid, c.cid AS lcid,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${score("q.qe", "c.ce")}, c.cid) AS rk
+          FROM q CROSS JOIN gc$IVF_ITERS c) WHERE rk <= $IVF_NPROBE),
+      dtab AS (SELECT q.qid, b.s, b.code,
+          list_sum(list_transform(generate_series(1, $PQ_W),
+            i -> (q.uq[b.s * $PQ_W + i] - b.ce[i]) * (q.uq[b.s * $PQ_W + i] - b.ce[i]))) AS d
+        FROM q CROSS JOIN books b),
+      pairs AS (SELECT p.qid, l.pid FROM probes p JOIN lists l USING (lcid)
+        WHERE p.qid <> l.pid),
+      approx AS (SELECT pr.qid, c.pid,
+          CAST(floor(sum(d.d) * 1000000.0 + 0.5) AS BIGINT) AS ad_u
+        FROM pairs pr JOIN codes c ON c.pid = pr.pid
+        JOIN dtab d ON d.qid = pr.qid AND d.s = c.s AND d.code = c.code
+        GROUP BY pr.qid, c.pid),
+      cand AS (SELECT qid, pid FROM (SELECT qid, pid,
+          row_number() OVER (PARTITION BY qid ORDER BY ad_u, pid) AS crk
+        FROM approx) WHERE crk <= $IVFPQ_CAND),
+      ref AS (SELECT c.qid, c.pid,
+          ${dotD("q.qe", "p.emb")} / (q.qn * p.nm) AS cos
+        FROM cand c JOIN q ON c.qid = q.qid JOIN e p ON c.pid = p.vec_id),
+      rk AS (SELECT qid, pid, cos, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, pid) AS BIGINT) AS rank FROM ref)
+      SELECT qid, pid, rank, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+      FROM rk WHERE rank <= $PQ_TOPK ORDER BY qid, rank"""
+  }
+
   /** DuckDB replay of [[graft.engine.Ann.ivfTopK]]: the fixed-iteration
     * Lloyd's loop is unrolled into CTEs (c0 → a0 → c1 → a1 → c2 → a2).
     * Centroid coordinates are rounded to 1e-6 after every mean update —
@@ -463,6 +545,17 @@ object Queries3 {
           m = PQ_M, k = PQ_K, iters = PQ_ITERS, candC = PQ_CAND, topK = PQ_TOPK)
         .orderBy("qid", "rank")
     }, Some(pqOracle)),
+
+    // -- the full IVF-PQ composition: coarse lists bound the scan, codes
+    // bound the bandwidth, exact refine bounds the raw-vector touches.
+    ("e06_ivfpq_topk", (s, dir) => {
+      prep(s)
+      engine.Ann.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          isQuery = id => id >= 20 && id < 60,
+          kCoarse = IVF_K, itersCoarse = IVF_ITERS, nprobe = IVF_NPROBE,
+          m = PQ_M, k = PQ_K, iters = PQ_ITERS, candC = IVFPQ_CAND, topK = PQ_TOPK)
+        .orderBy("qid", "rank")
+    }, Some(ivfPqOracle)),
 
     // -- OGR dialect AND/OR/NOT null semantics, oracle-gated (was
     // spec-only): OGR AND returns the non-null side when one side is null

@@ -177,6 +177,71 @@ object Ann {
         expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").as("cos_u"))
   }
 
+  /** IVF-PQ: the full web-scale composition — the coarse IVF quantizer
+    * bounds the candidate set to `nprobe` inverted lists, PQ codes score
+    * the list members in the compressed domain (ADC tables), and the best
+    * `candC` re-rank by exact cosine. Global PQ codebooks over unit
+    * vectors (the IVFFlat-PQ simplification; per-list residual codebooks
+    * are the classic refinement, traded here for oracle-replayable
+    * determinism). At scale: lists bound the scan, codes bound the
+    * bandwidth, the refine touches candC raw vectors per query. */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, embCol: String,
+                isQuery: Column => Column, kCoarse: Int, itersCoarse: Int,
+                nprobe: Int, m: Int, k: Int, iters: Int,
+                candC: Int, topK: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rawEmb = col(embCol).cast("array<double>")
+    val dim = vecs.select(size(rawEmb)).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val w = dim / m
+    val coarse = kmeans(vecs, idCol, embCol, kCoarse, itersCoarse)
+    val unit = vecs.select(col(idCol),
+      expr(s"transform(CAST($embCol AS array<double>), x -> x / ${vecNormSql(embCol)})").as("u"))
+    val emb = col("u")
+    val books = (0 until m).map { s =>
+      (s, kmeans(unit.select(col(idCol), slice(emb, s * w + 1, w).as("sub")),
+        idCol, "sub", k, iters))
+    }
+    val codeCols = books.map { case (s, cb) =>
+      struct(lit(s).as("s"), nearestCid(slice(emb, s * w + 1, w), cb).as("code"))
+    }
+    // codes carry the coarse list id so the ADC join is list-bounded
+    val codes = vecs.select(col(idCol).as("pid"),
+        nearestCid(rawEmb, coarse).as("lcid"))
+      .join(unit.select(col(idCol).as("pid"),
+        explode(array(codeCols: _*)).as("sc")), "pid")
+      .select(col("pid"), col("lcid"), col("sc.s").as("s"), col("sc.code").as("code"))
+    val bookDf = books.flatMap { case (s, cb) =>
+      cb.map { case (cid, cw) => (s, cid, cw.toSeq) }
+    }.toDF("s", "code", "cw")
+    val rawBase = vecs.select(col(idCol), rawEmb.as("e"), gf.vec_norm(rawEmb).as("nm"))
+    val queries = rawBase.where(isQuery(col(idCol)))
+      .join(unit, idCol)
+      .select(col(idCol).as("qid"), col("e").as("qe"), col("nm").as("qn"),
+        col("u").as("uq"), probeCids(col("e"), coarse, nprobe).as("lcids"))
+    val dtab = queries.crossJoin(broadcast(bookDf))
+      .select(col("qid"), col("lcids"), col("s"), col("code"),
+        expr(s"aggregate(zip_with(slice(uq, s * $w + 1, $w), cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)").as("d"))
+    val approx = codes.join(dtab, Seq("s", "code"))
+      .where(array_contains(col("lcids"), col("lcid")) && col("qid") =!= col("pid"))
+      .groupBy("qid", "pid")
+      .agg(expr("CAST(floor(sum(d) * 1000000.0 + 0.5) AS BIGINT)").as("ad_u"))
+    val wCand = Window.partitionBy("qid").orderBy(col("ad_u").asc, col("pid").asc)
+    val cands = approx.withColumn("crk", row_number().over(wCand))
+      .where(col("crk") <= candC).select("qid", "pid")
+    val base = rawBase.select(col(idCol).as("pid"), col("e").as("pe"), col("nm").as("pn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
+    cands.join(base, "pid")
+      .join(queries.select("qid", "qe", "qn"), "qid")
+      .withColumn("cos", gf.vec_dot(col("qe"), col("pe")) / (col("qn") * col("pn")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("pid"), col("rank"),
+        expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").as("cos_u"))
+  }
+
   /** IVF top-k: every vector joins its nearest centroid's inverted list;
     * each query probes the `nprobe` nearest lists and ranks candidates by
     * exact cosine (ties → lowest pid). Output: (qid, pid, rank, cos_u)
