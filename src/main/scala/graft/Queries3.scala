@@ -2991,6 +2991,52 @@ object Queries3 {
         (CAST(8 AS BIGINT), CAST(1 AS BIGINT), 'nan', NULL, false, NULL),
         (CAST(9 AS BIGINT), CAST(3 AS BIGINT), 'fin', CAST(16777216 AS BIGINT), true,
          CAST(1098974756864 AS BIGINT))
-      ) AS t(id, n, kind, v24, rt, v24_3) ORDER BY id"""))
+      ) AS t(id, n, kind, v24, rt, v24_3) ORDER BY id""")),
+
+    // -- OGR special fields through the TEXT path: OGR_GEOMETRY /
+    // OGR_GEOM_WKT / OGR_GEOM_AREA / OGR_STYLE resolvable by name,
+    // filterable (the ogr_sql_test.py "WHERE OGR_GEOMETRY='POLYGON'"
+    // pattern), and excluded from `*` (ogrfeaturequery.cpp:38 name list;
+    // ogr_gensql special-field columns). Same POINT/POLYGON alternating
+    // fixture as g17, now with a per-row PEN style string.
+    ("q29_special_fields_sql", (s, dir) => {
+      prep(s)
+      val base = t(s, dir, "events").where(col("event_id") < 2000)
+        .select(col("event_id").as("fid"),
+          expr(s"CAST(floor(${lonOf("event_id")}) AS BIGINT)").as("ix"),
+          expr(s"CAST(floor(${latOf("event_id")}) AS BIGINT)").as("iy"))
+        .withColumn("wkb", expr(
+          """st_geomfromtext(CASE WHEN fid % 2 = 0
+             THEN concat('POINT (', ix, ' ', iy, ')')
+             ELSE concat('POLYGON ((', ix, ' ', iy, ',', ix + 3, ' ', iy, ',',
+                         ix + 3, ' ', iy + 2, ',', ix, ' ', iy + 2, ',', ix, ' ', iy, '))')
+             END)"""))
+        .withColumn("sty", expr("concat('PEN(c:#FF0000,w:', fid % 9 + 1, 'px)')"))
+        .drop("ix", "iy")
+      val ls = Map("feat" -> Layer(base, fid = Some("fid"),
+        geom = Some("wkb"), style = Some("sty")))
+      val out = OgrSql.execute(s,
+        "SELECT fid, OGR_GEOMETRY AS gt, OGR_GEOM_WKT AS wkt, " +
+          "OGR_GEOM_AREA AS area, OGR_STYLE AS style " +
+          "FROM feat WHERE OGR_GEOMETRY = 'POLYGON'", ls)
+      // `*` must NOT include the special fields (reference contract)
+      val star = OgrSql.execute(s, "SELECT * FROM feat", ls)
+      require(!star.columns.exists(_.toLowerCase.startsWith("ogr_")),
+        s"special fields leaked into *: ${star.columns.mkString(",")}")
+      out.select(col("fid"), col("gt"), col("wkt"),
+          expr("CAST(floor(area + 0.5) AS BIGINT)").as("area_i"), col("style"))
+        .orderBy("fid")
+    }, Some(s"""
+      WITH b AS (SELECT event_id AS fid,
+            CAST(floor(${lonOf("event_id")}) AS BIGINT) AS ix,
+            CAST(floor(${latOf("event_id")}) AS BIGINT) AS iy
+          FROM events WHERE event_id < 2000)
+      SELECT fid, 'POLYGON' AS gt,
+        'POLYGON ((' || ix || ' ' || iy || ',' || (ix + 3) || ' ' || iy || ',' ||
+          (ix + 3) || ' ' || (iy + 2) || ',' || ix || ' ' || (iy + 2) || ',' ||
+          ix || ' ' || iy || '))' AS wkt,
+        CAST(6 AS BIGINT) AS area_i,
+        'PEN(c:#FF0000,w:' || (fid % 9 + 1) || 'px)' AS style
+      FROM b WHERE fid % 2 = 1 ORDER BY fid"""))
   )
 }

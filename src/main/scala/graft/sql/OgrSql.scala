@@ -58,7 +58,9 @@ object OgrSql {
     * have a lookup structure. [[OgrSql.clusterByIndex]] is the physical
     * counterpart for materialized layers. Field names are stored lowercase. */
   final case class Layer(df: DataFrame, fid: Option[String] = None,
-                         indexed: Set[String] = Set.empty)
+                         indexed: Set[String] = Set.empty,
+                         geom: Option[String] = None,
+                         style: Option[String] = None)
 
   // =====================================================================
   // Lexer
@@ -456,11 +458,15 @@ object OgrSql {
   }
 
   private case class Tbl(alias: String, name: String, idx: Int,
-                         cols: Seq[(String, DataType)], fid: Option[String]) {
+                         cols: Seq[(String, DataType)], fid: Option[String],
+                         specials: Map[String, DataType] = Map.empty) {
     def pref(c: String): String = s"__t${idx}_${c.toLowerCase}"
     val ord: String = s"__t${idx}_#ord"
     def has(c: String): Boolean = cols.exists(_._1.equalsIgnoreCase(c))
-    def dtype(c: String): DataType = cols.find(_._1.equalsIgnoreCase(c)).get._2
+    def hasSpecial(c: String): Boolean = specials.contains(c.toLowerCase)
+    def dtype(c: String): DataType =
+      cols.find(_._1.equalsIgnoreCase(c)).map(_._2)
+        .getOrElse(specials(c.toLowerCase))
   }
 
   private class Planner(spark: SparkSession, layers: Map[String, Layer], ordered: Boolean) {
@@ -468,18 +474,35 @@ object OgrSql {
       layers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
         .getOrElse(throw new IllegalArgumentException(s"unknown layer '$name'"))
 
-    /** Load + prefix one table; __ord = FID column else a stable per-row id. */
+    /** Load + prefix one table; __ord = FID column else a stable per-row id.
+      * Layers registered with a geometry column also expose the OGR special
+      * fields OGR_GEOMETRY / OGR_GEOM_WKT / OGR_GEOM_AREA (+ OGR_STYLE when
+      * a style column is registered) — resolvable by name but excluded from
+      * `*` expansion, exactly the reference's SpecialFieldNames contract
+      * (ogr/ogrfeaturequery.cpp:38, ogr_gensql.cpp special-field columns). */
     private def load(tr: TableRef, idx: Int): (DataFrame, Tbl) = {
       val l = layer(tr.name)
       val alias = tr.alias.getOrElse(tr.name).toLowerCase
       val visible = l.df.schema.fields.toSeq
         .filterNot(f => l.fid.exists(_.equalsIgnoreCase(f.name)))
         .map(f => (f.name, f.dataType))
-      val t = Tbl(alias, tr.name.toLowerCase, idx, visible, l.fid)
+      val specials: Map[String, DataType] =
+        l.geom.map(_ => Map(
+          "ogr_geometry" -> (StringType: DataType),
+          "ogr_geom_wkt" -> (StringType: DataType),
+          "ogr_geom_area" -> (DoubleType: DataType))).getOrElse(Map.empty) ++
+        l.style.map(_ => "ogr_style" -> (StringType: DataType))
+      val t = Tbl(alias, tr.name.toLowerCase, idx, visible, l.fid, specials)
       val ordCol: Column = l.fid.map(c => col(c).cast("long"))
         .getOrElse(monotonically_increasing_id())
+      val extra: Seq[Column] = l.geom.toSeq.flatMap { g =>
+        Seq(expr(s"st_geometrytype($g)").as(t.pref("ogr_geometry")),
+          expr(s"st_astext($g)").as(t.pref("ogr_geom_wkt")),
+          expr(s"st_area($g)").as(t.pref("ogr_geom_area")))
+      } ++ l.style.map(sc => col(sc).as(t.pref("ogr_style")))
       val prefixed = l.df.select(
-        (l.df.schema.fieldNames.toSeq.map(c => col(c).as(t.pref(c))) :+ ordCol.as(t.ord)): _*)
+        (l.df.schema.fieldNames.toSeq.map(c => col(c).as(t.pref(c))) ++
+          extra :+ ordCol.as(t.ord)): _*)
       (prefixed, t)
     }
 
@@ -497,10 +520,10 @@ object OgrSql {
           val t = tables.find(t => t.alias == tn || t.name == tn)
             .getOrElse(throw new IllegalArgumentException(s"unknown table '$tn'"))
           if (c.name == "fid" && t.fid.isDefined) (t, t.fid.get)
-          else if (t.has(c.name)) (t, c.name)
+          else if (t.has(c.name) || t.hasSpecial(c.name)) (t, c.name)
           else throw new IllegalArgumentException(s"unknown column '$tn.${c.name}'")
         case None =>
-          val hits = tables.filter(_.has(c.name))
+          val hits = tables.filter(t => t.has(c.name) || t.hasSpecial(c.name))
           if (hits.isEmpty) throw new IllegalArgumentException(s"unknown column '${c.name}'")
           (hits.head, c.name) // first table wins on ambiguity, like swq field lookup
       }
@@ -873,6 +896,10 @@ object OgrSql {
     */
   def execute(spark: SparkSession, sql: String,
               layers: Map[String, Layer], ordered: Boolean = true): DataFrame = {
+    // geometry special fields lower to st_* expressions — make sure the
+    // registry is loaded even when the caller never touched gf directly
+    if (layers.values.exists(_.geom.isDefined))
+      graft.functions.GraftFunctions.register(spark)
     val ast = new P(lex(sql)).parseQuery()
     new Planner(spark, layers, ordered).plan(ast)
   }
