@@ -3037,6 +3037,54 @@ object Queries3 {
           ix || ' ' || iy || '))' AS wkt,
         CAST(6 AS BIGINT) AS area_i,
         'PEN(c:#FF0000,w:' || (fid % 9 + 1) || 'px)' AS style
-      FROM b WHERE fid % 2 = 1 ORDER BY fid"""))
+      FROM b WHERE fid % 2 = 1 ORDER BY fid""")),
+
+    // -- gdal_grid per-quadrant search (min/max_points_per_quadrant;
+    // GDALGridInverseDistanceToAPowerNearestNeighborPerQuadrant,
+    // alg/gdalgrid.cpp:351-480): per-quadrant nearest-4 sets, nodata when
+    // any quadrant is empty. With no global cap the round-robin interleave
+    // reduces to per-quadrant top-k, so the oracle is a plain window rank.
+    ("g51_grid_quadrant", (s, dir) => {
+      val pts = t(s, dir, "events").select(
+        col("event_id").as("pid"), col("value"),
+        expr(lonOf("event_id")).as("lon"), expr(latOf("event_id")).as("lat"))
+      val nodes = engine.GridInterp.gridNodes(s, 64, 64, -180.0, 180.0, -85.0, 85.0)
+      engine.GridInterp.invdistPerQuadrant(nodes, pts, radius = 5.0,
+          power = 2.0, smoothing = 0.0, minPoints = 0,
+          minPerQuadrant = 1, maxPerQuadrant = 4)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("val_micro"))
+        .orderBy("i", "j")
+    }, Some(s"""
+      WITH nodes AS (SELECT xs.i AS i, ys.j AS j,
+            -180.0 + (CAST(xs.i AS DOUBLE) + 0.5) * 5.625 AS nlon,
+            -85.0 + (CAST(ys.j AS DOUBLE) + 0.5) * 2.65625 AS nlat
+          FROM (SELECT unnest(generate_series(0, 63)) AS i) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) ys),
+      pts AS (SELECT event_id AS pid, value, ${lonOf("event_id")} AS lon,
+              ${latOf("event_id")} AS lat FROM events),
+      c AS (SELECT i, j, pid, value,
+            (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) AS r2,
+            (CASE WHEN lon - nlon >= 0 THEN 1 ELSE 0 END +
+             CASE WHEN lat - nlat >= 0 THEN 2 ELSE 0 END) AS quad
+          FROM nodes JOIN pts
+          ON (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat) <= 25.0),
+      k AS (SELECT * FROM (SELECT c.*,
+            row_number() OVER (PARTITION BY i, j, quad ORDER BY r2, pid) AS qrk
+          FROM c) WHERE qrk <= 4),
+      m AS (SELECT i, j, count(*) AS n,
+            sum(value / r2) / sum(1.0 / r2) AS value,
+            count(CASE WHEN quad = 0 THEN 1 END) AS n0,
+            count(CASE WHEN quad = 1 THEN 1 END) AS n1,
+            count(CASE WHEN quad = 2 THEN 1 END) AS n2,
+            count(CASE WHEN quad = 3 THEN 1 END) AS n3
+          FROM k GROUP BY i, j)
+      SELECT CAST(n.i AS BIGINT) AS i, CAST(n.j AS BIGINT) AS j,
+        COALESCE(m.n, 0) AS n,
+        CASE WHEN m.n0 >= 1 AND m.n1 >= 1 AND m.n2 >= 1 AND m.n3 >= 1
+             THEN CAST(floor(m.value * 1000000.0 + 0.5) AS BIGINT) END AS val_micro
+      FROM nodes n LEFT JOIN m ON n.i = m.i AND n.j = m.j
+      ORDER BY i, j"""))
   )
 }

@@ -153,6 +153,58 @@ object GridInterp {
       .na.fill(0L, Seq("n"))
   }
 
+  /** Per-quadrant IDW (gdal_grid min_points_per_quadrant /
+    * max_points_per_quadrant;
+    * GDALGridInverseDistanceToAPowerNearestNeighborPerQuadrant,
+    * alg/gdalgrid.cpp:351-480): candidates split into the four quadrants
+    * around the node (iQuadrant = (dx≥0) | (dy≥0)<<1, :408), each quadrant
+    * keeps its `maxPerQuadrant` nearest (by smoothed distance, pid
+    * tie-break), and the node is NODATA unless every quadrant kept at
+    * least `minPerQuadrant` (:463-470). With no global maxPoints cap the
+    * reference's round-robin interleave selects exactly the per-quadrant
+    * nearest sets, so the formulation is order-free. Same coincident-point
+    * singularity (min-pid) and weight (1/r2s^(power/2)) as [[invdist]]. */
+  def invdistPerQuadrant(nodes: DataFrame, pts: DataFrame, radius: Double,
+                         power: Double = 2.0, smoothing: Double = 0.0,
+                         minPoints: Int = 0, minPerQuadrant: Int = 0,
+                         maxPerQuadrant: Int = 0): DataFrame = {
+    val cand0 = radiusCandidates(nodes, pts, radius)
+      .withColumn("r2s", col("dist2") + lit(smoothing * smoothing))
+      .withColumn("quad",
+        (when(col("lon") - col("nlon") >= 0.0, 1).otherwise(0) +
+         when(col("lat") - col("nlat") >= 0.0, 2).otherwise(0)))
+    val w = Window.partitionBy("i", "j", "quad").orderBy(col("r2s"), col("pid"))
+    val ranked = cand0.withColumn("qrk", row_number().over(w))
+    val kept = if (maxPerQuadrant > 0) ranked.where(col("qrk") <= maxPerQuadrant)
+               else ranked
+    val invw =
+      if (power == 2.0) lit(1.0) / col("r2s")
+      else lit(1.0) / pow(col("r2s"), lit(power / 2.0))
+    val metrics = kept
+      .withColumn("invw", invw)
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("invw") * col("value")).as("nom"),
+        sum(col("invw")).as("den"),
+        min(when(col("r2s") < 1e-13, struct(col("pid"), col("value")))).as("sing"),
+        count(when(col("quad") === 0, 1)).as("n0"),
+        count(when(col("quad") === 1, 1)).as("n1"),
+        count(when(col("quad") === 2, 1)).as("n2"),
+        count(when(col("quad") === 3, 1)).as("n3"))
+      .withColumn("qok",
+        if (minPerQuadrant > 0)
+          col("n0") >= minPerQuadrant && col("n1") >= minPerQuadrant &&
+          col("n2") >= minPerQuadrant && col("n3") >= minPerQuadrant
+        else lit(true))
+      .withColumn("value",
+        when(col("sing").isNotNull, col("sing.value"))
+          .when(!col("qok") || col("n") < minPoints || col("den") === 0.0, lit(null))
+          .otherwise(col("nom") / col("den")))
+      .select("i", "j", "n", "value")
+    nodes.select("i", "j").join(metrics, Seq("i", "j"), "left")
+      .na.fill(0L, Seq("n"))
+  }
+
   /** gdal_grid data-metric algorithms (-a minimum/maximum/range/count/
     * average_distance; GDALGridDataMetricMinimum..AverageDistance,
     * alg/gdalgrid.cpp:1024-1171,1937 and the average-distance accumulator
