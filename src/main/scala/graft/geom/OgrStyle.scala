@@ -141,6 +141,43 @@ object OgrStyle {
     }
   }
 
+  /** OGRStyleTable (ogrfeaturestyle.cpp:790-1050): named style strings
+    * stored as "name:style" lines (AddStyle :874, SaveStyleTable writes
+    * one entry per line); lookups are case-insensitive on the name
+    * (IsExist/EQUALN); AddStyle refuses duplicates, ModifyStyle upserts.
+    * Feature styles beginning with '@' are table references
+    * (OGRStyleMgr::InitStyleString name lookup). */
+  final case class StyleTable(entries: Vector[(String, String)]) {
+    def find(name: String): Option[String] =
+      entries.find(_._1.equalsIgnoreCase(name)).map(_._2)
+    def add(name: String, style: String): Option[StyleTable] =
+      if (find(name).isDefined) None
+      else Some(StyleTable(entries :+ (name, style)))
+    def remove(name: String): StyleTable =
+      StyleTable(entries.filterNot(_._1.equalsIgnoreCase(name)))
+    def modify(name: String, style: String): StyleTable =
+      StyleTable(remove(name).entries :+ (name, style))
+    def serialize: String = entries.map { case (n, s) => s"$n:$s" }.mkString("\n")
+  }
+
+  object StyleTable {
+    val empty: StyleTable = StyleTable(Vector.empty)
+    /** inverse of serialize: one "name:style" entry per line (the split is
+      * on the FIRST ':' — style strings themselves contain ':'). */
+    def parse(text: String): StyleTable =
+      StyleTable(text.split('\n').toVector.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+        val cut = line.indexOf(':')
+        if (cut <= 0) None else Some((line.substring(0, cut), line.substring(cut + 1)))
+      })
+  }
+
+  /** Resolve a feature style through a table: "@name" is a table lookup
+    * (null when missing, like OGRStyleMgr returning FALSE), anything else
+    * passes through. */
+  def resolveStyle(style: String, table: StyleTable): String =
+    if (style != null && style.startsWith("@")) table.find(style.substring(1)).orNull
+    else style
+
   /** #RRGGBB[AA] → "r,g,b,a" (GetRGBFromString; alpha defaults to 255);
     * null when unparseable. */
   def rgba(color: String): String = {
