@@ -3085,6 +3085,49 @@ object Queries3 {
         CASE WHEN m.n0 >= 1 AND m.n1 >= 1 AND m.n2 >= 1 AND m.n3 >= 1
              THEN CAST(floor(m.value * 1000000.0 + 0.5) AS BIGINT) END AS val_micro
       FROM nodes n LEFT JOIN m ON n.i = m.i AND n.j = m.j
-      ORDER BY i, j"""))
+      ORDER BY i, j""")),
+
+    // -- gdal raster calc expression strings (gdalalg_raster_calc.cpp,
+    // muparser dialect): the autotest's "(A+B) / (A - B + 3)" shape plus a
+    // function/power mix, parsed and evaluated per pixel. Oracle writes the
+    // SAME expressions (same precedence/associativity → identical fp op
+    // order), micro-rounded and checksummed per tile.
+    ("r47_raster_calc", (s, _) => {
+      val sp = s
+      import sp.implicits._
+      prep(s)
+      def band(f: (Long, Long) => Double) =
+        engine.Raster.syntheticTiles(s, 1, tileSize = 64)(f)
+      val a = band((gx, gy) => ((gx * 3 + gy * 5) % 50 + 1).toDouble)
+      val b = band((gx, gy) => ((gx * 7 + gy * 2) % 40 + 2).toDouble)
+      val c = band((gx, gy) => ((gx + gy) % 30 + 3).toDouble)
+      val named = Seq("A" -> a, "B" -> b, "C" -> c)
+      val f1 = engine.CalcExpr.calc(named, "(A + B) / (A - B + 100)")
+      val f2 = engine.CalcExpr.calc(named,
+        "sqrt(abs(A - B)) + max(A, B, C) * 0.5 + A ^ 2 / 100")
+      def cks(ds: org.apache.spark.sql.Dataset[engine.Tile], name: String) =
+        ds.map(t => (t.x.toLong, t.y.toLong, engine.Raster.checksum(
+          t.pixels.map(v => math.floor(v * 1000000.0 + 0.5)), t.w, t.h).toLong))
+          .toDF("x", "y", name)
+      cks(f1, "cks_f1").join(cks(f2, "cks_f2"), Seq("x", "y")).orderBy("x", "y")
+    }, Some {
+      def cksOf(e: String) = s"CAST(((sum(CAST(floor(($e) * 1000000.0 + 0.5) AS BIGINT) % " +
+        s"([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT)"
+      s"""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+          FROM (SELECT unnest(generate_series(0, 127)) AS gx) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS gy) ys),
+      v AS (SELECT gx, gy,
+          CAST((gx * 3 + gy * 5) % 50 + 1 AS DOUBLE) AS a,
+          CAST((gx * 7 + gy * 2) % 40 + 2 AS DOUBLE) AS b,
+          CAST((gx + gy) % 30 + 3 AS DOUBLE) AS c FROM px),
+      cells AS (SELECT gx >> 6 AS tx, gy >> 6 AS ty, gx % 64 AS cx, gy % 64 AS cy,
+          (a + b) / (a - b + 100.0) AS f1,
+          sqrt(abs(a - b)) + greatest(a, b, c) * 0.5 + pow(a, 2.0) / 100.0 AS f2
+        FROM v)
+      SELECT tx AS x, ty AS y,
+        ${cksOf("f1")} AS cks_f1, ${cksOf("f2")} AS cks_f2
+      FROM cells GROUP BY 1, 2 ORDER BY x, y"""
+    })
   )
 }

@@ -270,13 +270,18 @@ object Viewshed {
                      outputMode: Int = OutNormal,
                      maxDistance: Double = 0.0,
                      outOfRangeVal: Double = 0.0,
-                     heightAdjFactor: Double = 0.0): Dataset[(Long, Tile)] = {
+                     heightAdjFactor: Double = 0.0,
+                     minDistance: Double = 0.0): Dataset[(Long, Tile)] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val obs = spark.sparkContext.broadcast(observers)
     val md = maxDistance
     val mdC = if (md > 0.0) math.ceil(md).toInt else Int.MaxValue
     val md2 = md * md
+    // -mind: pixels NEARER than minDistance are out of range too
+    // (m_dfMinDistance2, viewshed_executor.cpp:379); the gather is
+    // unaffected (the inner hole is interior to the window)
+    val mind2 = minDistance * minDistance
 
     // quadrant q gather rect (inclusive, global px): x side 0/2 -> [ox, W-1],
     // 1/3 -> [0, ox]; y side 0/1 -> [0, oy], 2/3 -> [oy, H-1]; with -md,
@@ -337,15 +342,16 @@ object Viewshed {
         val iy0 = math.max(ey0, tY * th); val iy1 = math.min(ey1, tY * th + th - 1)
         var gy = iy0
         while (gy <= iy1) {
-          if (md <= 0.0)
+          if (md <= 0.0 && mind2 == 0.0)
             System.arraycopy(vis, (gy - gy0) * sw + (ix0 - gx0),
               px, (gy - tY * th) * tw + (ix0 - tX * tw), ix1 - ix0 + 1)
           else {
             var gx = ix0
             while (gx <= ix1) {
               val dx = (gx - ox).toDouble; val dy = (gy - oy).toDouble
+              val d2 = dx * dx + dy * dy
               px((gy - tY * th) * tw + (gx - tX * tw)) =
-                if (dx * dx + dy * dy > md2) outOfRangeVal
+                if ((md > 0.0 && d2 > md2) || d2 < mind2) outOfRangeVal
                 else vis((gy - gy0) * sw + (gx - gx0))
               gx += 1
             }

@@ -99,6 +99,24 @@ class ViewshedSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("-mind min distance: inner ring masked, outer values untouched") {
+    import graft.engine.Viewshed._
+    val n = 4; val ts = 64
+    val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
+    val obs = Seq((1L, 128, 128, 5.0))
+    val ringed = collectMap(viewshedsSplit(tiles, obs, n, n,
+      maxDistance = 100.0, minDistance = 20.0, outOfRangeVal = -7.0))
+    val full = collectMap(viewshedsSplit(tiles, obs, n, n))
+    for (((oid, tx, ty), px) <- ringed; i <- px.indices) {
+      val dx = (tx * ts + i % ts - 128).toDouble
+      val dy = (ty * ts + i / ts - 128).toDouble
+      val d2 = dx * dx + dy * dy
+      val expect = if (d2 > 100.0 * 100.0 || d2 < 20.0 * 20.0) -7.0
+                   else full((oid, tx, ty))(i)
+      assert(px(i) === expect, s"($tx,$ty) idx $i")
+    }
+  }
+
   test("-cc curvature: horizon appears on flat terrain, split == whole") {
     import graft.engine.Viewshed._
     val n = 4; val ts = 64
