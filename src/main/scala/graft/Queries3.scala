@@ -3128,6 +3128,38 @@ object Queries3 {
       SELECT tx AS x, ty AS y,
         ${cksOf("f1")} AS cks_f1, ${cksOf("f2")} AS cks_f2
       FROM cells GROUP BY 1, 2 ORDER BY x, y"""
-    })
+    }),
+
+    // -- SQLite-dialect ST_* functions through the OGR SQL TEXT path (the
+    // bAcceptCustomFuncs branch, swq_parser.y:707-716 → our FunctionRegistry
+    // fall-through): geometry functions compose inside the parsed string,
+    // including in WHERE.
+    ("q30_ogrsql_stfuncs", (s, dir) => {
+      prep(s)
+      val base = t(s, dir, "events").where(col("event_id") < 2000)
+        .select(col("event_id").as("fid"),
+          expr(s"CAST(floor(${lonOf("event_id")}) AS BIGINT)").as("ix"),
+          expr(s"CAST(floor(${latOf("event_id")}) AS BIGINT)").as("iy"))
+        .withColumn("wkb", expr(
+          """st_geomfromtext(concat('POLYGON ((', ix, ' ', iy, ',', ix + 4, ' ', iy, ',',
+             ix + 4, ' ', iy + 2, ',', ix, ' ', iy + 2, ',', ix, ' ', iy, '))'))"""))
+        .drop("ix", "iy")
+      val ls = Map("feat" -> Layer(base, fid = Some("fid")))
+      OgrSql.execute(s,
+        "SELECT fid, ST_ASTEXT(ST_CENTROID(wkb)) AS ct, ST_AREA(wkb) AS area, " +
+          "ST_NPOINTS(wkb) AS np FROM feat WHERE ST_ISVALID(wkb) AND fid % 3 = 0",
+        ls)
+        .select(col("fid"), col("ct"),
+          expr("CAST(floor(area + 0.5) AS BIGINT)").as("area_i"),
+          col("np").cast("long").as("np"))
+        .orderBy("fid")
+    }, Some(s"""
+      WITH b AS (SELECT event_id AS fid,
+            CAST(floor(${lonOf("event_id")}) AS BIGINT) AS ix,
+            CAST(floor(${latOf("event_id")}) AS BIGINT) AS iy
+          FROM events WHERE event_id < 2000)
+      SELECT fid, 'POINT (' || (ix + 2) || ' ' || (iy + 1) || ')' AS ct,
+        CAST(8 AS BIGINT) AS area_i, CAST(5 AS BIGINT) AS np
+      FROM b WHERE fid % 3 = 0 ORDER BY fid"""))
   )
 }
