@@ -271,7 +271,9 @@ object Viewshed {
                      maxDistance: Double = 0.0,
                      outOfRangeVal: Double = 0.0,
                      heightAdjFactor: Double = 0.0,
-                     minDistance: Double = 0.0): Dataset[(Long, Tile)] = {
+                     minDistance: Double = 0.0,
+                     startAngleDeg: Double = 0.0,
+                     endAngleDeg: Double = 0.0): Dataset[(Long, Tile)] = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val obs = spark.sparkContext.broadcast(observers)
@@ -282,6 +284,18 @@ object Viewshed {
     // (m_dfMinDistance2, viewshed_executor.cpp:379); the gather is
     // unaffected (the inner hole is interior to the window)
     val mind2 = minDistance * minDistance
+    // -sa/-ea sector mask: clockwise-from-north degrees normalized to math
+    // radians via 90−deg (util.cpp normalizeAngle :25-30); pixels whose ray
+    // falls outside [start,end] (rayBetween with swapped endpoints, :174)
+    // take outOfRangeVal. start == end disables masking. The observer's own
+    // pixel is kept (its ray is undefined). Output-mask only — in-sector
+    // values are unaffected (same strictly-closer dependence argument as
+    // -md post-masking).
+    val angleMask = startAngleDeg != endAngleDeg
+    val saRad = { val a = (90.0 - startAngleDeg) % 360.0
+      (if (a < 0) a + 360.0 else a) * math.Pi / 180.0 }
+    val eaRad = { val a = (90.0 - endAngleDeg) % 360.0
+      (if (a < 0) a + 360.0 else a) * math.Pi / 180.0 }
 
     // quadrant q gather rect (inclusive, global px): x side 0/2 -> [ox, W-1],
     // 1/3 -> [0, ox]; y side 0/1 -> [0, oy], 2/3 -> [oy, H-1]; with -md,
@@ -342,7 +356,7 @@ object Viewshed {
         val iy0 = math.max(ey0, tY * th); val iy1 = math.min(ey1, tY * th + th - 1)
         var gy = iy0
         while (gy <= iy1) {
-          if (md <= 0.0 && mind2 == 0.0)
+          if (md <= 0.0 && mind2 == 0.0 && !angleMask)
             System.arraycopy(vis, (gy - gy0) * sw + (ix0 - gx0),
               px, (gy - tY * th) * tw + (ix0 - tX * tw), ix1 - ix0 + 1)
           else {
@@ -350,8 +364,17 @@ object Viewshed {
             while (gx <= ix1) {
               val dx = (gx - ox).toDouble; val dy = (gy - oy).toDouble
               val d2 = dx * dx + dy * dy
+              val outOfSector = angleMask && d2 > 0.0 && {
+                var a = math.atan2(-dy, dx)
+                if (a < 0) a += 2.0 * math.Pi
+                // rayBetween with swapped endpoints (math angles are CCW)
+                val (s0, e0) = (eaRad, saRad)
+                if (s0 < e0) !(a >= s0 && a <= e0)
+                else if (s0 > e0) !(a >= s0 || a <= e0)
+                else true
+              }
               px((gy - tY * th) * tw + (gx - tX * tw)) =
-                if ((md > 0.0 && d2 > md2) || d2 < mind2) outOfRangeVal
+                if ((md > 0.0 && d2 > md2) || d2 < mind2 || outOfSector) outOfRangeVal
                 else vis((gy - gy0) * sw + (gx - gx0))
               gx += 1
             }

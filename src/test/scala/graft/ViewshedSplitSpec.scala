@@ -117,6 +117,31 @@ class ViewshedSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("-sa/-ea sector mask: clockwise-from-north arc, wrap-around, observer kept") {
+    import graft.engine.Viewshed._
+    val n = 4; val ts = 64
+    val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
+    val obs = Seq((1L, 128, 128, 5.0))
+    val full = collectMap(viewshedsSplit(tiles, obs, n, n))
+    // NE quadrant arc: 0° (north) to 90° (east), and a wrap arc 315°→45°
+    for ((sa, ea) <- Seq((0.0, 90.0), (315.0, 45.0))) {
+      val sect = collectMap(viewshedsSplit(tiles, obs, n, n,
+        startAngleDeg = sa, endAngleDeg = ea, outOfRangeVal = -3.0))
+      for (((oid, tx, ty), px) <- sect; i <- px.indices) {
+        val dx = (tx * ts + i % ts - 128).toDouble
+        val dy = (ty * ts + i / ts - 128).toDouble
+        // compass azimuth of the pixel ray (0 = north = -y, clockwise)
+        val az = { val a = math.toDegrees(math.atan2(dx, -dy)); if (a < 0) a + 360 else a }
+        val in =
+          if (dx == 0 && dy == 0) true // observer pixel kept
+          else if (sa < ea) az >= sa && az <= ea
+          else az >= sa || az <= ea
+        val expect = if (in) full((oid, tx, ty))(i) else -3.0
+        assert(px(i) === expect, s"($tx,$ty) idx $i az $az sa $sa ea $ea")
+      }
+    }
+  }
+
   test("-cc curvature: horizon appears on flat terrain, split == whole") {
     import graft.engine.Viewshed._
     val n = 4; val ts = 64
