@@ -225,6 +225,87 @@ object Queries3 {
 
   private val IVFPQ_CAND = 48
 
+  /** DuckDB replay of [[graft.engine.Ann.ivfPqResidualTopK]]: the coarse
+    * chain of [[ivfKmeansOracle]] + PQ chains trained on RESIDUALS
+    * (v − coarse centroid), per-probed-list ADC tables from the query's
+    * own residual. */
+  private def ivfPqResidualOracle: String = {
+    def dotD(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+    def score(v: String, c: String) =
+      s"list_sum(list_transform($c, x -> x * x)) - 2.0 * ${dotD(v, c)}"
+    def assignCte(p: String, i: Int) = s"""
+      ${p}a$i AS (SELECT vec_id, sub, cid FROM (
+          SELECT e.vec_id, e.sub, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${score("e.sub", "c.ce")}, c.cid) AS rk
+          FROM ${p}e e CROSS JOIN ${p}c$i c) WHERE rk = 1)"""
+    def updateCte(p: String, i: Int) = s"""
+      ${p}c${i + 1} AS (SELECT cid, list(m ORDER BY pos) AS ce FROM (
+          SELECT cid, pos, floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS m FROM (
+            SELECT cid, generate_subscripts(sub, 1) AS pos, unnest(sub) AS v FROM ${p}a$i)
+          GROUP BY cid, pos) GROUP BY cid)"""
+    def chain(p: String, srcSql: String, kk: Int, iters: Int): String = {
+      val loop = (0 until iters).map(i => assignCte(p, i) + "," + updateCte(p, i)).mkString(",")
+      s"""
+      ${p}e AS ($srcSql),
+      ${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sub AS ce
+          FROM ${p}e WHERE vec_id % (SELECT greatest(1, count(*) // $kk) FROM ${p}e) = 0
+          ORDER BY vec_id LIMIT $kk),
+      $loop,
+      ${assignCte(p, iters).trim}"""
+    }
+    val coarse = chain("g", "SELECT vec_id, emb AS sub FROM e", IVF_K, IVF_ITERS)
+    val pqChains = (0 until PQ_M).map { s =>
+      chain(s"s$s", s"SELECT vec_id, r[${s * PQ_W + 1}:${(s + 1) * PQ_W}] AS sub FROM resid",
+        PQ_K, PQ_ITERS)
+    }.mkString(",")
+    val codesU = (0 until PQ_M).map(s =>
+      s"SELECT vec_id AS pid, $s AS s, cid AS code FROM s${s}a$PQ_ITERS").mkString(" UNION ALL ")
+    val booksU = (0 until PQ_M).map(s =>
+      s"SELECT $s AS s, cid AS code, ce FROM s${s}c$PQ_ITERS").mkString(" UNION ALL ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+            sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x))) AS nm FROM embeddings),
+      $coarse,
+      resid AS (SELECT a.vec_id, a.cid AS lcid,
+          list_transform(generate_series(1, len(a.sub)), i -> a.sub[i] - c.ce[i]) AS r
+        FROM ga$IVF_ITERS a JOIN gc$IVF_ITERS c USING (cid)),
+      $pqChains,
+      codes0 AS ($codesU),
+      codes AS (SELECT c.pid, r.lcid, c.s, c.code
+        FROM codes0 c JOIN resid r ON c.pid = r.vec_id),
+      books AS ($booksU),
+      q AS (SELECT vec_id AS qid, emb AS qe, nm AS qn FROM e
+            WHERE vec_id >= 20 AND vec_id < 60),
+      probes AS (SELECT qid, lcid, qr FROM (
+          SELECT q.qid, c.cid AS lcid,
+            list_transform(generate_series(1, len(q.qe)), i -> q.qe[i] - c.ce[i]) AS qr,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${score("q.qe", "c.ce")}, c.cid) AS rk
+          FROM q CROSS JOIN gc$IVF_ITERS c) WHERE rk <= $IVF_NPROBE),
+      dtab AS (SELECT p.qid, p.lcid, b.s, b.code,
+          list_sum(list_transform(generate_series(1, $PQ_W),
+            i -> (p.qr[b.s * $PQ_W + i] - b.ce[i]) * (p.qr[b.s * $PQ_W + i] - b.ce[i]))) AS d
+        FROM probes p CROSS JOIN books b),
+      approx AS (SELECT d.qid, c.pid,
+          CAST(floor(sum(d.d) * 1000000.0 + 0.5) AS BIGINT) AS ad_u
+        FROM codes c JOIN dtab d ON d.lcid = c.lcid AND d.s = c.s AND d.code = c.code
+        WHERE d.qid <> c.pid
+        GROUP BY d.qid, c.pid),
+      cand AS (SELECT qid, pid FROM (SELECT qid, pid,
+          row_number() OVER (PARTITION BY qid ORDER BY ad_u, pid) AS crk
+        FROM approx) WHERE crk <= $IVFPQ_CAND),
+      ref AS (SELECT c.qid, c.pid,
+          ${dotD("q.qe", "p.emb")} / (q.qn * p.nm) AS cos
+        FROM cand c JOIN q ON c.qid = q.qid JOIN e p ON c.pid = p.vec_id),
+      rk AS (SELECT qid, pid, cos, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, pid) AS BIGINT) AS rank FROM ref)
+      SELECT qid, pid, rank, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+      FROM rk WHERE rank <= $PQ_TOPK ORDER BY qid, rank"""
+  }
+
   /** DuckDB replay of [[graft.engine.Ann.ivfPqTopK]]: the coarse-IVF chain
     * of [[ivfKmeansOracle]] (on raw embeddings) + the per-sub-space PQ
     * chains of [[pqOracle]] (on unit vectors), composed: candidates are
@@ -556,6 +637,17 @@ object Queries3 {
           m = PQ_M, k = PQ_K, iters = PQ_ITERS, candC = IVFPQ_CAND, topK = PQ_TOPK)
         .orderBy("qid", "rank")
     }, Some(ivfPqOracle)),
+
+    // -- residual IVF-PQ (the classic form): codebooks on v − c(v), ADC
+    // tables per probed list from the query's own residual.
+    ("e07_ivfpq_residual", (s, dir) => {
+      prep(s)
+      engine.Ann.ivfPqResidualTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          isQuery = id => id >= 20 && id < 60,
+          kCoarse = IVF_K, itersCoarse = IVF_ITERS, nprobe = IVF_NPROBE,
+          m = PQ_M, k = PQ_K, iters = PQ_ITERS, candC = IVFPQ_CAND, topK = PQ_TOPK)
+        .orderBy("qid", "rank")
+    }, Some(ivfPqResidualOracle)),
 
     // -- OGR dialect AND/OR/NOT null semantics, oracle-gated (was
     // spec-only): OGR AND returns the non-null side when one side is null

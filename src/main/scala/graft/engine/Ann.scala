@@ -242,6 +242,77 @@ object Ann {
         expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").as("cos_u"))
   }
 
+  /** Residual IVF-PQ — the classic form (Jégou et al. 2011 §IV): PQ
+    * codebooks are trained on RESIDUALS v − c(v) (the coarse centroid is
+    * subtracted first, so the codebooks only have to cover the
+    * within-cell displacement — far finer at the same bit budget), and
+    * each query builds one ADC table PER PROBED LIST from its own
+    * residual q − c_list. Everything stays deterministic: coarse
+    * centroids are micro-rounded, residuals are exact differences, and
+    * the approx scores round to integers. */
+  def ivfPqResidualTopK(vecs: DataFrame, idCol: String, embCol: String,
+                        isQuery: Column => Column, kCoarse: Int, itersCoarse: Int,
+                        nprobe: Int, m: Int, k: Int, iters: Int,
+                        candC: Int, topK: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rawEmb = col(embCol).cast("array<double>")
+    val dim = vecs.select(size(rawEmb)).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val w = dim / m
+    val coarse = kmeans(vecs, idCol, embCol, kCoarse, itersCoarse)
+    // residual r = v − c(v); centroid looked up from a literal map by cid
+    // (kmeans can drop empty clusters, so cids need not be contiguous)
+    val centMap = typedLit(coarse.map { case (cid, c) => cid -> c.toSeq }.toMap)
+    val residWithMap = vecs.select(col(idCol), rawEmb.as("e"))
+      .withColumn("cmap", centMap)
+      .withColumn("lcid", nearestCid(col("e"), coarse))
+      .withColumn("r", expr("zip_with(e, element_at(cmap, lcid), (x, y) -> x - y)"))
+      .select(col(idCol), col("lcid"), col("r"))
+    val books = (0 until m).map { s =>
+      (s, kmeans(residWithMap.select(col(idCol), slice(col("r"), s * w + 1, w).as("sub")),
+        idCol, "sub", k, iters))
+    }
+    val codeCols = books.map { case (s, cb) =>
+      struct(lit(s).as("s"), nearestCid(slice(col("r"), s * w + 1, w), cb).as("code"))
+    }
+    val codes = residWithMap.select(col(idCol).as("pid"), col("lcid"),
+        explode(array(codeCols: _*)).as("sc"))
+      .select(col("pid"), col("lcid"), col("sc.s").as("s"), col("sc.code").as("code"))
+    val bookDf = books.flatMap { case (s, cb) =>
+      cb.map { case (cid, cw) => (s, cid, cw.toSeq) }
+    }.toDF("s", "code", "cw")
+    val rawBase = vecs.select(col(idCol), rawEmb.as("e"), gf.vec_norm(rawEmb).as("nm"))
+    val queries = rawBase.where(isQuery(col(idCol)))
+      .select(col(idCol).as("qid"), col("e").as("qe"), col("nm").as("qn"),
+        explode(probeCids(col("e"), coarse, nprobe)).as("lcid"))
+      .withColumn("cmap", centMap)
+      .withColumn("qr", expr("zip_with(qe, element_at(cmap, lcid), (x, y) -> x - y)"))
+      .drop("cmap")
+    // one ADC table per (query, probed list): residual vs codeword
+    val dtab = queries.select("qid", "lcid", "qr").crossJoin(broadcast(bookDf))
+      .select(col("qid"), col("lcid"), col("s"), col("code"),
+        expr(s"aggregate(zip_with(slice(qr, s * $w + 1, $w), cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)").as("d"))
+    val approx = codes.join(dtab, Seq("lcid", "s", "code"))
+      .where(col("qid") =!= col("pid"))
+      .groupBy("qid", "pid")
+      .agg(expr("CAST(floor(sum(d) * 1000000.0 + 0.5) AS BIGINT)").as("ad_u"))
+    val wCand = Window.partitionBy("qid").orderBy(col("ad_u").asc, col("pid").asc)
+    val cands = approx.withColumn("crk", row_number().over(wCand))
+      .where(col("crk") <= candC).select("qid", "pid")
+    val base = rawBase.select(col(idCol).as("pid"), col("e").as("pe"), col("nm").as("pn"))
+    val qref = rawBase.where(isQuery(col(idCol)))
+      .select(col(idCol).as("qid"), col("e").as("qe"), col("nm").as("qn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
+    cands.join(base, "pid").join(qref, "qid")
+      .withColumn("cos", gf.vec_dot(col("qe"), col("pe")) / (col("qn") * col("pn")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("pid"), col("rank"),
+        expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").as("cos_u"))
+  }
+
   /** IVF top-k: every vector joins its nearest centroid's inverted list;
     * each query probes the `nprobe` nearest lists and ranks candidates by
     * exact cosine (ties → lowest pid). Output: (qid, pid, rank, cos_u)

@@ -96,4 +96,34 @@ class AnnSpec extends AnyFunSuite {
     info(f"PQ recall@3 = $recall%.3f (${pq.intersect(exact).size}/${exact.size})")
     assert(recall >= 0.8)
   }
+
+  test("residual IVF-PQ recall@3 >= plain IVF-PQ (the point of residual coding)") {
+    def exactTop3: Set[(Long, Long)] = {
+      val emb = col("embedding").cast("array<double>")
+      val base = vecs.select(col("vec_id"), emb.as("e"), gf.vec_norm(emb).as("nm"))
+      val q = base.where(col("vec_id") >= 20 && col("vec_id") < 60)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nm").as("qn"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      q.crossJoin(base).where(col("qid") =!= col("vec_id"))
+        .withColumn("cos", gf.vec_dot(col("qe"), col("e")) / (col("qn") * col("nm")))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val exact = exactTop3
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val isQ = (id: org.apache.spark.sql.Column) => id >= 20 && id < 60
+    val plain = recallOf(Ann.ivfPqTopK(vecs, "vec_id", "embedding", isQ,
+      kCoarse = 8, itersCoarse = 2, nprobe = 4, m = 16, k = 16, iters = 2,
+      candC = 48, topK = 3))
+    val resid = recallOf(Ann.ivfPqResidualTopK(vecs, "vec_id", "embedding", isQ,
+      kCoarse = 8, itersCoarse = 2, nprobe = 4, m = 16, k = 16, iters = 2,
+      candC = 48, topK = 3))
+    info(f"IVF-PQ recall@3: plain $plain%.3f, residual $resid%.3f")
+    assert(resid >= plain - 0.05, s"residual $resid should not trail plain $plain")
+    assert(resid >= 0.7, s"residual recall too low: $resid")
+  }
 }
