@@ -66,6 +66,42 @@ class TileSinkSpec extends AnyFunSuite {
     assert(t.pixels.toSeq === mkTiles(1).find(t => t.x == 0 && t.y == 0).get.pixels.toSeq)
   }
 
+  test("streaming tile sink: foreachBatch + per-file resume is restart-idempotent") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("ts_sin").toString
+    val out = java.nio.file.Files.createTempDirectory("ts_sout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ts_sck").toString
+    // stage two batches of tiles as parquet files appearing over time
+    val batch1 = mkTiles(1).take(2)
+    val batch2 = mkTiles(1).drop(2)
+    spark.createDataset(batch1).write.parquet(s"$in/b1.parquet")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.createDataset(mkTiles(1)).toDF.schema)
+        .parquet(s"$in/*") // each staged batch is its own parquet dir
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          TileSink.writeTiles(df.as[Tile], out, resume = true).collect(): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(new java.io.File(s"$out/1/0/0.png").isFile)
+    val mtime0 = new java.io.File(s"$out/1/0/0.png").lastModified()
+    Thread.sleep(20)
+    // second file arrives; restart resumes from the checkpoint and the
+    // per-file resume skips the batch-1 tiles
+    spark.createDataset(batch2).write.mode("append").parquet(s"$in/b2.parquet")
+    runOnce()
+    val all = TileSink.readTiles(spark, out).collect()
+    assert(all.length === 4, all.map(t => (t.x, t.y)).mkString(","))
+    assert(new java.io.File(s"$out/1/0/0.png").lastModified() === mtime0,
+      "batch-1 tiles must not be rewritten on restart")
+  }
+
   test("pixel clamp: non-finite -> 0, out-of-range clamped to [0,255]") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("ts_clamp").toString
