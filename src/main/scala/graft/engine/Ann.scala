@@ -217,24 +217,32 @@ object Ann {
       cb.map { case (cid, cw) => (s, cid, cw.toSeq) }
     }.toDF("s", "code", "cw")
     val rawBase = vecs.select(col(idCol), rawEmb.as("e"), gf.vec_norm(rawEmb).as("nm"))
+    // one row per (query, probed list): the explode puts the coarse list id
+    // on the JOIN KEY so the ADC join below is list-bounded — the shuffle
+    // carries only codes whose lcid is actually probed, never all-pairs in
+    // the compressed domain (same shape as ivfPqResidualTopK). The ADC
+    // table entries are list-independent (global codebooks), so replicating
+    // them per probed lcid changes the plan, not the values.
     val queries = rawBase.where(isQuery(col(idCol)))
       .join(unit, idCol)
-      .select(col(idCol).as("qid"), col("e").as("qe"), col("nm").as("qn"),
-        col("u").as("uq"), probeCids(col("e"), coarse, nprobe).as("lcids"))
+      .select(col(idCol).as("qid"), col("u").as("uq"),
+        explode(probeCids(col("e"), coarse, nprobe)).as("lcid"))
     val dtab = queries.crossJoin(broadcast(bookDf))
-      .select(col("qid"), col("lcids"), col("s"), col("code"),
+      .select(col("qid"), col("lcid"), col("s"), col("code"),
         expr(s"aggregate(zip_with(slice(uq, s * $w + 1, $w), cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)").as("d"))
-    val approx = codes.join(dtab, Seq("s", "code"))
-      .where(array_contains(col("lcids"), col("lcid")) && col("qid") =!= col("pid"))
+    val approx = codes.join(dtab, Seq("lcid", "s", "code"))
+      .where(col("qid") =!= col("pid"))
       .groupBy("qid", "pid")
       .agg(expr("CAST(floor(sum(d) * 1000000.0 + 0.5) AS BIGINT)").as("ad_u"))
     val wCand = Window.partitionBy("qid").orderBy(col("ad_u").asc, col("pid").asc)
     val cands = approx.withColumn("crk", row_number().over(wCand))
       .where(col("crk") <= candC).select("qid", "pid")
     val base = rawBase.select(col(idCol).as("pid"), col("e").as("pe"), col("nm").as("pn"))
+    val qref = rawBase.where(isQuery(col(idCol)))
+      .select(col(idCol).as("qid"), col("e").as("qe"), col("nm").as("qn"))
     val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
     cands.join(base, "pid")
-      .join(queries.select("qid", "qe", "qn"), "qid")
+      .join(qref, "qid")
       .withColumn("cos", gf.vec_dot(col("qe"), col("pe")) / (col("qn") * col("pn")))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .where(col("rank") <= topK)

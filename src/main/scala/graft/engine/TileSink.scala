@@ -58,8 +58,12 @@ object TileSink {
           val tmp = new Path(s"$outDir/$rel.inprogress")
           val os = fs.create(tmp, true)
           try os.write(bytes) finally os.close()
-          if (fs.exists(path)) fs.delete(path, false)
-          fs.rename(tmp, path)
+          if (fs.exists(path) && !fs.delete(path, false))
+            throw new java.io.IOException(s"tile sink: cannot replace $path")
+          // a failed rename must NOT report written=true — resume would then
+          // skip a tile whose bytes may belong to a concurrent attempt
+          if (!fs.rename(tmp, path))
+            throw new java.io.IOException(s"tile sink: rename $tmp -> $path failed")
           (t.z, t.x, t.y, rel, true, bytes.length.toLong)
         }
       }

@@ -287,15 +287,18 @@ object Viewshed {
     // -sa/-ea sector mask: clockwise-from-north degrees normalized to math
     // radians via 90−deg (util.cpp normalizeAngle :25-30); pixels whose ray
     // falls outside [start,end] (rayBetween with swapped endpoints, :174)
-    // take outOfRangeVal. start == end disables masking. The observer's own
-    // pixel is kept (its ray is undefined). Output-mask only — in-sector
-    // values are unaffected (same strictly-closer dependence argument as
-    // -md post-masking).
-    val angleMask = startAngleDeg != endAngleDeg
+    // take outOfRangeVal. Equal NORMALIZED angles disable masking — the
+    // reference normalizes first (viewshed.cpp:474) and short-circuits on
+    // equality after (viewshed_executor.cpp:706), so -sa 0 -ea 360 (or any
+    // pair differing by 360k) means full circle = unmasked, not all-masked.
+    // The observer's own pixel is kept (its ray is undefined). Output-mask
+    // only — in-sector values are unaffected (same strictly-closer
+    // dependence argument as -md post-masking).
     val saRad = { val a = (90.0 - startAngleDeg) % 360.0
       (if (a < 0) a + 360.0 else a) * math.Pi / 180.0 }
     val eaRad = { val a = (90.0 - endAngleDeg) % 360.0
       (if (a < 0) a + 360.0 else a) * math.Pi / 180.0 }
+    val angleMask = saRad != eaRad
 
     // quadrant q gather rect (inclusive, global px): x side 0/2 -> [ox, W-1],
     // 1/3 -> [0, ox]; y side 0/1 -> [0, oy], 2/3 -> [oy, H-1]; with -md,

@@ -1050,15 +1050,24 @@ object OgrSql {
       } else if (maybeKw("DROP")) {
         maybeKw("COLUMN")
         val name = resolve(ident())
-        Layer(layer.df.drop(name), layer.fid.filterNot(_.equalsIgnoreCase(name)),
-          dropIdx(name))
+        // copy(), not positional Layer(): geom/style registrations survive
+        // unless the dropped column IS the geom/style column
+        layer.copy(df = layer.df.drop(name),
+          fid = layer.fid.filterNot(_.equalsIgnoreCase(name)),
+          indexed = dropIdx(name),
+          geom = layer.geom.filterNot(_.equalsIgnoreCase(name)),
+          style = layer.style.filterNot(_.equalsIgnoreCase(name)))
       } else if (maybeKw("RENAME")) {
         maybeKw("COLUMN")
         val old = resolve(ident()); expectKw("TO"); val nw = ident()
-        Layer(layer.df.withColumnRenamed(old, nw),
-          layer.fid.map(f => if (f.equalsIgnoreCase(old)) nw else f),
-          if (layer.indexed.contains(old.toLowerCase)) dropIdx(old) + nw.toLowerCase
-          else layer.indexed)
+        def follow(o: Option[String]) =
+          o.map(f => if (f.equalsIgnoreCase(old)) nw else f)
+        layer.copy(df = layer.df.withColumnRenamed(old, nw),
+          fid = follow(layer.fid),
+          indexed = if (layer.indexed.contains(old.toLowerCase))
+            dropIdx(old) + nw.toLowerCase else layer.indexed,
+          geom = follow(layer.geom),
+          style = follow(layer.style))
       } else if (maybeKw("ALTER")) {
         maybeKw("COLUMN")
         val name = resolve(ident()); expectKw("TYPE"); val ty = sqlType()

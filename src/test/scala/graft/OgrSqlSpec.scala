@@ -213,6 +213,28 @@ class OgrSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP/RENAME COLUMN preserve geom/style registrations and follow renames") {
+    import org.apache.spark.sql.functions.lit
+    val base = polyDf.withColumn("wkb", lit(null).cast("binary"))
+      .withColumn("sty", lit("PEN(c:#FF0000)"))
+    var ls: Map[String, OgrSql.Layer] = Map("g" ->
+      Layer(base, fid = Some("fid"), geom = Some("wkb"), style = Some("sty")))
+    // dropping an unrelated column keeps geom and style
+    ls = OgrSql.executeDdl(spark, "ALTER TABLE g DROP COLUMN prfedea", ls)
+    assert(ls("g").geom === Some("wkb") && ls("g").style === Some("sty"))
+    // renaming the geom column follows the rename (no stale name)
+    ls = OgrSql.executeDdl(spark, "ALTER TABLE g RENAME COLUMN wkb TO geo", ls)
+    assert(ls("g").geom === Some("geo"))
+    // renaming the style column follows too
+    ls = OgrSql.executeDdl(spark, "ALTER TABLE g RENAME COLUMN sty TO st2", ls)
+    assert(ls("g").style === Some("st2"))
+    // dropping the geom column clears only geom
+    ls = OgrSql.executeDdl(spark, "ALTER TABLE g DROP COLUMN geo", ls)
+    assert(ls("g").geom === None && ls("g").style === Some("st2"))
+    ls = OgrSql.executeDdl(spark, "ALTER TABLE g DROP COLUMN st2", ls)
+    assert(ls("g").style === None)
+  }
+
   test("clusterByIndex range-clusters on the indexed field (physical analog)") {
     var ls = layers
     // no index -> same plan (no exchange added)

@@ -40,6 +40,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges(p) === 1, p)
   }
 
+  test("IVF-PQ ADC join is list-bounded: keyed on lcid, no post-join list filter") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = Ann.ivfPqTopK(vecs, "vec_id", "embedding",
+      isQuery = id => id >= 20 && id < 24, kCoarse = 4, itersCoarse = 1,
+      nprobe = 2, m = 4, k = 4, iters = 1, candC = 8, topK = 2)
+    val plan = df.queryExecution.optimizedPlan
+    // the inverted-list restriction must live on the ADC join KEY (lcid),
+    // never in a post-join array_contains filter — at scale the latter is an
+    // all-pairs shuffle in the compressed domain with parallelism capped by
+    // the m·k distinct (s, code) keys
+    val joinConds = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.toString).getOrElse("")
+    }
+    assert(joinConds.exists(c => c.contains("lcid") && c.contains("code")),
+      s"no join keyed on (lcid, code):\n${joinConds.mkString("\n")}")
+    assert(!plan.toString.contains("array_contains"),
+      "IVF restriction applied as a post-join filter")
+  }
+
   test("PQ approximate stage schema carries codes, never the embedding") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // probe the internal shape through the public API: the result is fine,

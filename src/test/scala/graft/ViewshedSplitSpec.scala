@@ -142,6 +142,23 @@ class ViewshedSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("-sa 0 -ea 360: normalized-equal angles disable masking (full circle)") {
+    import graft.engine.Viewshed._
+    val n = 4; val ts = 64
+    val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
+    val obs = Seq((1L, 128, 128, 5.0))
+    val full = collectMap(viewshedsSplit(tiles, obs, n, n))
+    // the reference normalizes angles BEFORE its equality short-circuit
+    // (viewshed.cpp:474 → viewshed_executor.cpp:706): 0 and 360 normalize
+    // to the same radian, so the sector mask must be OFF, not all-masked
+    for ((sa, ea) <- Seq((0.0, 360.0), (90.0, 450.0))) {
+      val out = collectMap(viewshedsSplit(tiles, obs, n, n,
+        startAngleDeg = sa, endAngleDeg = ea, outOfRangeVal = -3.0))
+      for (((oid, tx, ty), px) <- out; i <- px.indices)
+        assert(px(i) === full((oid, tx, ty))(i), s"($tx,$ty) idx $i sa $sa ea $ea")
+    }
+  }
+
   test("-cc curvature: horizon appears on flat terrain, split == whole") {
     import graft.engine.Viewshed._
     val n = 4; val ts = 64
