@@ -1781,8 +1781,10 @@ object Queries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (defs ++ defs2 ++ defs3 ++ Queries2.defs4 ++ Queries3.defs5).map { case (n, f, _) => n -> f }.toMap
+    (defs ++ defs2 ++ defs3 ++ Queries2.defs4 ++ Queries3.defs5 ++ Queries4.defs6)
+      .map { case (n, f, _) => n -> f }.toMap
 
   def oracleSql: Map[String, String] =
-    (defs ++ defs2 ++ defs3 ++ Queries2.defs4 ++ Queries3.defs5).collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
+    (defs ++ defs2 ++ defs3 ++ Queries2.defs4 ++ Queries3.defs5 ++ Queries4.defs6)
+      .collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

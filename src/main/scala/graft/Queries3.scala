@@ -149,6 +149,11 @@ object Queries3 {
   }
 
   private val IVF_K = 8; private val IVF_ITERS = 2
+  /** Training-pass row cap for e04-e07 (round-4 verdict #9): codebooks
+    * train on a deterministic stride sample of ~this many rows, never the
+    * full corpus. 250 BITES at the sf0.01 gate (500 rows -> stride 2), so
+    * the oracle proves both engines sample identically. */
+  private val ANN_TRAIN_CAP = 250
   private val IVF_NPROBE = 4; private val IVF_TOPK = 3
 
   private val PQ_M = 16; private val PQ_K = 16; private val PQ_ITERS = 2
@@ -164,12 +169,12 @@ object Queries3 {
     def score(v: String, c: String) =
       s"list_sum(list_transform($c, x -> x * x)) - 2.0 * ${dotD(v, c)}"
     // per-sub-space kmeans CTE chain with prefix p
-    def assignCte(p: String, i: Int) = s"""
+    def assignCte(p: String, i: Int, src: String) = s"""
       ${p}a$i AS (SELECT vec_id, sub, cid FROM (
           SELECT e.vec_id, e.sub, c.cid,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${score("e.sub", "c.ce")}, c.cid) AS rk
-          FROM ${p}e e CROSS JOIN ${p}c$i c) WHERE rk = 1)"""
+          FROM $src e CROSS JOIN ${p}c$i c) WHERE rk = 1)"""
     def updateCte(p: String, i: Int) = s"""
       ${p}c${i + 1} AS (SELECT cid, list(m ORDER BY pos) AS ce FROM (
           SELECT cid, pos, floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS m FROM (
@@ -178,14 +183,17 @@ object Queries3 {
     def chain(s: Int): String = {
       val p = s"s$s"
       val lo = s * PQ_W + 1; val hi = (s + 1) * PQ_W
-      val loop = (0 until PQ_ITERS).map(i => assignCte(p, i) + "," + updateCte(p, i)).mkString(",")
+      val loop = (0 until PQ_ITERS).map(i =>
+        assignCte(p, i, s"${p}t") + "," + updateCte(p, i)).mkString(",")
       s"""
       ${p}e AS (SELECT vec_id, un[$lo:$hi] AS sub FROM e),
+      ${p}t AS (SELECT * FROM ${p}e WHERE vec_id %
+          (SELECT greatest(1, count(*) // $ANN_TRAIN_CAP) FROM ${p}e) = 0),
       ${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sub AS ce
           FROM ${p}e WHERE vec_id % (SELECT greatest(1, count(*) // $PQ_K) FROM ${p}e) = 0
           ORDER BY vec_id LIMIT $PQ_K),
       $loop,
-      ${assignCte(p, PQ_ITERS).trim}"""
+      ${assignCte(p, PQ_ITERS, s"${p}e").trim}"""
     }
     val chains = (0 until PQ_M).map(chain).mkString(",")
     val codesU = (0 until PQ_M).map(s =>
@@ -234,26 +242,31 @@ object Queries3 {
       s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
     def score(v: String, c: String) =
       s"list_sum(list_transform($c, x -> x * x)) - 2.0 * ${dotD(v, c)}"
-    def assignCte(p: String, i: Int) = s"""
+    def assignCte(p: String, i: Int, src: String) = s"""
       ${p}a$i AS (SELECT vec_id, sub, cid FROM (
           SELECT e.vec_id, e.sub, c.cid,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${score("e.sub", "c.ce")}, c.cid) AS rk
-          FROM ${p}e e CROSS JOIN ${p}c$i c) WHERE rk = 1)"""
+          FROM $src e CROSS JOIN ${p}c$i c) WHERE rk = 1)"""
     def updateCte(p: String, i: Int) = s"""
       ${p}c${i + 1} AS (SELECT cid, list(m ORDER BY pos) AS ce FROM (
           SELECT cid, pos, floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS m FROM (
             SELECT cid, generate_subscripts(sub, 1) AS pos, unnest(sub) AS v FROM ${p}a$i)
           GROUP BY cid, pos) GROUP BY cid)"""
     def chain(p: String, srcSql: String, kk: Int, iters: Int): String = {
-      val loop = (0 until iters).map(i => assignCte(p, i) + "," + updateCte(p, i)).mkString(",")
+      // training iterations assign over the stride SAMPLE ${p}t; the final
+      // assignment (codes/lists) is full-corpus — mirrors Ann.kmeans
+      val loop = (0 until iters).map(i =>
+        assignCte(p, i, s"${p}t") + "," + updateCte(p, i)).mkString(",")
       s"""
       ${p}e AS ($srcSql),
+      ${p}t AS (SELECT * FROM ${p}e WHERE vec_id %
+          (SELECT greatest(1, count(*) // $ANN_TRAIN_CAP) FROM ${p}e) = 0),
       ${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sub AS ce
           FROM ${p}e WHERE vec_id % (SELECT greatest(1, count(*) // $kk) FROM ${p}e) = 0
           ORDER BY vec_id LIMIT $kk),
       $loop,
-      ${assignCte(p, iters).trim}"""
+      ${assignCte(p, iters, s"${p}e").trim}"""
     }
     val coarse = chain("g", "SELECT vec_id, emb AS sub FROM e", IVF_K, IVF_ITERS)
     val pqChains = (0 until PQ_M).map { s =>
@@ -315,26 +328,31 @@ object Queries3 {
       s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
     def score(v: String, c: String) =
       s"list_sum(list_transform($c, x -> x * x)) - 2.0 * ${dotD(v, c)}"
-    def assignCte(p: String, i: Int) = s"""
+    def assignCte(p: String, i: Int, src: String) = s"""
       ${p}a$i AS (SELECT vec_id, sub, cid FROM (
           SELECT e.vec_id, e.sub, c.cid,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${score("e.sub", "c.ce")}, c.cid) AS rk
-          FROM ${p}e e CROSS JOIN ${p}c$i c) WHERE rk = 1)"""
+          FROM $src e CROSS JOIN ${p}c$i c) WHERE rk = 1)"""
     def updateCte(p: String, i: Int) = s"""
       ${p}c${i + 1} AS (SELECT cid, list(m ORDER BY pos) AS ce FROM (
           SELECT cid, pos, floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS m FROM (
             SELECT cid, generate_subscripts(sub, 1) AS pos, unnest(sub) AS v FROM ${p}a$i)
           GROUP BY cid, pos) GROUP BY cid)"""
     def chain(p: String, srcSql: String, kk: Int, iters: Int): String = {
-      val loop = (0 until iters).map(i => assignCte(p, i) + "," + updateCte(p, i)).mkString(",")
+      // training iterations assign over the stride SAMPLE ${p}t; the final
+      // assignment (codes/lists) is full-corpus — mirrors Ann.kmeans
+      val loop = (0 until iters).map(i =>
+        assignCte(p, i, s"${p}t") + "," + updateCte(p, i)).mkString(",")
       s"""
       ${p}e AS ($srcSql),
+      ${p}t AS (SELECT * FROM ${p}e WHERE vec_id %
+          (SELECT greatest(1, count(*) // $ANN_TRAIN_CAP) FROM ${p}e) = 0),
       ${p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, sub AS ce
           FROM ${p}e WHERE vec_id % (SELECT greatest(1, count(*) // $kk) FROM ${p}e) = 0
           ORDER BY vec_id LIMIT $kk),
       $loop,
-      ${assignCte(p, iters).trim}"""
+      ${assignCte(p, iters, s"${p}e").trim}"""
     }
     val coarse = chain("g", "SELECT vec_id, emb AS sub FROM e", IVF_K, IVF_ITERS)
     val pqChains = (0 until PQ_M).map { s =>
@@ -396,27 +414,30 @@ object Queries3 {
       s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
     def ccD(c: String) = s"list_sum(list_transform($c, x -> x * x))"
     def score(v: String, c: String) = s"${ccD(c)} - 2.0 * ${dotD(v, c)}"
-    def assignCte(i: Int) = s"""
+    def assignCte(i: Int, src: String) = s"""
       a$i AS (SELECT vec_id, emb, nm, cid FROM (
           SELECT e.vec_id, e.emb, e.nm, c.cid,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY ${score("e.emb", "c.ce")}, c.cid) AS rk
-          FROM e CROSS JOIN c$i c) WHERE rk = 1)"""
+          FROM $src e CROSS JOIN c$i c) WHERE rk = 1)"""
     def updateCte(i: Int) = s"""
       c${i + 1} AS (SELECT cid, list(m ORDER BY pos) AS ce FROM (
           SELECT cid, pos, floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS m FROM (
             SELECT cid, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM a$i)
           GROUP BY cid, pos) GROUP BY cid)"""
-    val loop = (0 until IVF_ITERS).map(i => assignCte(i) + "," + updateCte(i)).mkString(",")
+    val loop = (0 until IVF_ITERS).map(i =>
+      assignCte(i, "tr") + "," + updateCte(i)).mkString(",")
     s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
               x -> x * x))) AS nm FROM embeddings),
+      tr AS (SELECT * FROM e WHERE vec_id %
+          (SELECT greatest(1, count(*) // $ANN_TRAIN_CAP) FROM e) = 0),
       c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS ce
           FROM e WHERE vec_id % (SELECT greatest(1, count(*) // $IVF_K) FROM e) = 0
           ORDER BY vec_id LIMIT $IVF_K),
       $loop,
-      ${assignCte(IVF_ITERS).trim},
+      ${assignCte(IVF_ITERS, "e").trim},
       probes AS (SELECT qid, qe, qn, cid FROM (
           SELECT q.vec_id AS qid, q.emb AS qe, q.nm AS qn, c.cid,
             row_number() OVER (PARTITION BY q.vec_id
@@ -610,7 +631,8 @@ object Queries3 {
       prep(s)
       engine.Ann.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           isQuery = id => id >= 20 && id < 60,
-          k = IVF_K, iters = IVF_ITERS, nprobe = IVF_NPROBE, topK = IVF_TOPK)
+          k = IVF_K, iters = IVF_ITERS, nprobe = IVF_NPROBE, topK = IVF_TOPK,
+          trainCap = ANN_TRAIN_CAP)
         .orderBy("qid", "rank")
     }, Some(ivfKmeansOracle)),
 
@@ -623,7 +645,8 @@ object Queries3 {
       prep(s)
       engine.Ann.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           isQuery = id => id >= 20 && id < 60,
-          m = PQ_M, k = PQ_K, iters = PQ_ITERS, candC = PQ_CAND, topK = PQ_TOPK)
+          m = PQ_M, k = PQ_K, iters = PQ_ITERS, candC = PQ_CAND, topK = PQ_TOPK,
+          trainCap = ANN_TRAIN_CAP)
         .orderBy("qid", "rank")
     }, Some(pqOracle)),
 
@@ -634,7 +657,8 @@ object Queries3 {
       engine.Ann.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           isQuery = id => id >= 20 && id < 60,
           kCoarse = IVF_K, itersCoarse = IVF_ITERS, nprobe = IVF_NPROBE,
-          m = PQ_M, k = PQ_K, iters = PQ_ITERS, candC = IVFPQ_CAND, topK = PQ_TOPK)
+          m = PQ_M, k = PQ_K, iters = PQ_ITERS, candC = IVFPQ_CAND, topK = PQ_TOPK,
+          trainCap = ANN_TRAIN_CAP)
         .orderBy("qid", "rank")
     }, Some(ivfPqOracle)),
 
@@ -645,7 +669,8 @@ object Queries3 {
       engine.Ann.ivfPqResidualTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           isQuery = id => id >= 20 && id < 60,
           kCoarse = IVF_K, itersCoarse = IVF_ITERS, nprobe = IVF_NPROBE,
-          m = PQ_M, k = PQ_K, iters = PQ_ITERS, candC = IVFPQ_CAND, topK = PQ_TOPK)
+          m = PQ_M, k = PQ_K, iters = PQ_ITERS, candC = IVFPQ_CAND, topK = PQ_TOPK,
+          trainCap = ANN_TRAIN_CAP)
         .orderBy("qid", "rank")
     }, Some(ivfPqResidualOracle)),
 

@@ -1,0 +1,260 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryFixtures._
+
+/** Round-5 gate queries. Same conventions as [[Queries]]: identical output
+  * column names/types on both sides, deterministic ORDER BY, BIGINT/STRING
+  * outputs where possible. */
+object Queries4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def prep(s: SparkSession): Unit = functions.GraftFunctions.register(s)
+
+  val defs6: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // -- NTv2-style grid-shift datum transform (g52): the bilinear
+    // shift-surface interpolation ALGORITHM of the public NTv2 format
+    // (the hgridshift step ogrct.cpp:1788-2122 pipelines resolve to),
+    // over a synthetic in-code grid whose node values are exact binary
+    // fractions computed from node indices — the DuckDB twin rebuilds the
+    // identical grid from the same closed form and interpolates with the
+    // same operation order. Points outside the grid pass through (PROJ
+    // out-of-grid fallback); events span lat ±85 vs the grid's ±80, so
+    // both branches are exercised.
+    ("g52_grid_shift", (s, dir) => {
+      prep(s)
+      val g = geom.GridShift.syntheticGrid()
+      val pts = t(s, dir, "events").where(col("event_id") < 3000)
+        .select(col("event_id"),
+          expr(lonOf("event_id")).as("lon"), expr(latOf("event_id")).as("lat"))
+      val (lonS, latS) = geom.GridShift.forwardCols(g, col("lon"), col("lat"))
+      pts.select(col("event_id"),
+          floor(lonS * lit(1.0e7) + lit(0.5)).cast("long").as("lon_e7"),
+          floor(latS * lit(1.0e7) + lit(0.5)).cast("long").as("lat_e7"))
+        .orderBy("event_id")
+    }, Some {
+      val g = geom.GridShift.syntheticGrid()
+      val la = g.latShiftSec.mkString("[", ",", "]")
+      val lo = g.lonShiftSec.mkString("[", ",", "]")
+      val nC = g.nCols
+      s"""
+      WITH grid AS (SELECT CAST($la AS DOUBLE[]) AS la, CAST($lo AS DOUBLE[]) AS lo),
+      pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events WHERE event_id < 3000),
+      b AS (SELECT event_id, lon, lat,
+            (lat - (${g.latMin})) / ${g.dlat} AS fi,
+            (lon - (${g.lonMin})) / ${g.dlon} AS fj FROM pts),
+      c AS (SELECT *, CAST(least(greatest(floor(fi), 0.0), ${(g.nRows - 2).toDouble}) AS INT) AS i,
+            CAST(least(greatest(floor(fj), 0.0), ${(g.nCols - 2).toDouble}) AS INT) AS j FROM b),
+      d AS (SELECT *, fi - CAST(i AS DOUBLE) AS u, fj - CAST(j AS DOUBLE) AS v,
+            i * $nC + j + 1 AS idx FROM c),
+      e AS (SELECT event_id, lon, lat, u, v, idx,
+            (1.0 - u) * ((1.0 - v) * list_extract(grid.la, idx) + v * list_extract(grid.la, idx + 1))
+              + u * ((1.0 - v) * list_extract(grid.la, idx + $nC) + v * list_extract(grid.la, idx + $nC + 1)) AS slat,
+            (1.0 - u) * ((1.0 - v) * list_extract(grid.lo, idx) + v * list_extract(grid.lo, idx + 1))
+              + u * ((1.0 - v) * list_extract(grid.lo, idx + $nC) + v * list_extract(grid.lo, idx + $nC + 1)) AS slon
+          FROM d, grid),
+      f AS (SELECT event_id,
+            CASE WHEN lat >= ${g.latMin} AND lat <= ${g.latMax} AND lon >= ${g.lonMin} AND lon <= ${g.lonMax}
+                 THEN lon - slon / 3600.0 ELSE lon END AS lon2,
+            CASE WHEN lat >= ${g.latMin} AND lat <= ${g.latMax} AND lon >= ${g.lonMin} AND lon <= ${g.lonMax}
+                 THEN lat + slat / 3600.0 ELSE lat END AS lat2 FROM e)
+      SELECT event_id, CAST(floor(lon2 * 10000000.0 + 0.5) AS BIGINT) AS lon_e7,
+             CAST(floor(lat2 * 10000000.0 + 0.5) AS BIGINT) AS lat_e7
+      FROM f ORDER BY event_id"""
+    }),
+
+    // -- tile sink formats beyond PNG (u05): `gdal raster tile --format`
+    // (gdalalg_raster_tile.cpp:192-211, jpg extension :2566) — a MIXED
+    // z/x/y tree: z0-z1 PNG (lossless, exact round-trip checksums) + z2
+    // JPEG (lossy: a smooth gradient pattern decodes back within a small
+    // bounded error, distilled to a predictable bit). Resume stays
+    // per-file per-format: deleting one tile of each format and rerunning
+    // with resume=true regenerates exactly those two files.
+    ("u05_tile_sink_formats", (s, _) => {
+      import s.implicits._
+      prep(s)
+      val ts = 64
+      def pngPix(z: Int, x: Int, y: Int): Array[Double] =
+        Array.tabulate(ts * ts)(i =>
+          (((i % ts) * 7919 + (i / ts) * 104729 + z * 37 + x * 11 + y * 13) % 251).toDouble)
+      // smooth non-wrapping ramp (max 63+63+9+15 = 150 < 256): a wrap cliff
+      // inside a tile makes JPEG's DCT ring past the error bound
+      def jpgPix(x: Int, y: Int): Array[Double] =
+        Array.tabulate(ts * ts)(i =>
+          ((i % ts) + (i / ts) + x * 3 + y * 5).toDouble)
+      val pngTiles = for { z <- 0 to 1; x <- 0 until (1 << z); y <- 0 until (1 << z) }
+        yield engine.Tile(z, x, y, 0, ts, ts, pngPix(z, x, y))
+      val jpgTiles = for { x <- 0 until 4; y <- 0 until 4 }
+        yield engine.Tile(2, x, y, 0, ts, ts, jpgPix(x, y))
+      val out = java.nio.file.Files.createTempDirectory("graft_u05").toString
+      val w1 = engine.TileSink.writeTiles(s.createDataset(pngTiles), out).collect()
+      val w2 = engine.TileSink.writeTiles(s.createDataset(jpgTiles), out,
+        format = "jpeg").collect()
+      require(w1.length == 5 && w1.forall(_.getBoolean(4)), "png full write")
+      require(w2.length == 16 && w2.forall(_.getBoolean(4)) &&
+        w2.forall(_.getString(3).endsWith(".jpg")), "jpg full write")
+      def pngBack(phase: String): Seq[(String, Long, Long, Long, Long)] =
+        engine.TileSink.readTiles(s, out)
+          .map(t => (t.z.toLong, t.x.toLong, t.y.toLong,
+            engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+          .collect().toSeq.map { case (z, x, y, c) => (phase, z, x, y, c) }
+      def jpgBack(phase: String): Seq[(String, Long, Long, Long, Long)] =
+        engine.TileSink.readTiles(s, out, format = "jpeg")
+          .map { t =>
+            val src = jpgPix(t.x, t.y)
+            val err = t.pixels.indices.map(i => math.abs(t.pixels(i) - src(i))).max
+            (t.z.toLong, t.x.toLong, t.y.toLong,
+              if (err <= 16.0) 1L else math.ceil(err).toLong)
+          }.collect().toSeq.map { case (z, x, y, c) => (phase, z, x, y, c) }
+      val a = pngBack("a_png") ++ jpgBack("a_jpeg")
+      // delete one file of each format; resume regenerates exactly those
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(s"$out/1/0/1.png", s"$out/2/3/2.jpg").foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        require(p.getFileSystem(conf).delete(p, false), s"victim delete $f")
+      }
+      val r1 = engine.TileSink.writeTiles(s.createDataset(pngTiles), out,
+        resume = true).collect()
+      val r2 = engine.TileSink.writeTiles(s.createDataset(jpgTiles), out,
+        resume = true, format = "jpeg").collect()
+      val b = (r1 ++ r2).filter(_.getBoolean(4)).map(r =>
+        ("b_resumed", r.getInt(0).toLong, r.getInt(1).toLong, r.getInt(2).toLong, -1L)).toSeq
+      val c = pngBack("c_png") ++ jpgBack("c_jpeg")
+      engine.TileSink.writeMetadata(s, out, "u05", -180.0, -85.0, 180.0, 85.0,
+        minZoom = 0, maxZoom = 2, tileSize = ts, format = "jpeg")
+      val md = s.read.option("multiLine", "true").json(s"$out/metadata.json").collect().head
+      val mOk = md.getAs[String]("tileformat") == "jpg" &&
+        md.getAs[String]("tiles").endsWith(".jpg")
+      val m = Seq(("m_meta", 0L, 0L, 0L, if (mOk) 1L else 0L))
+      (a ++ b ++ c ++ m).toDF("phase", "z", "x", "y", "cks")
+        .orderBy("phase", "z", "x", "y")
+    }, Some("""
+      WITH ptiles AS (
+        SELECT z, x.x AS x, y.y AS y
+        FROM (SELECT unnest(generate_series(0, 1)) AS z) zz
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS x) x
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS y) y
+        WHERE x.x < (1 << z) AND y.y < (1 << z)),
+      jtiles AS (
+        SELECT 2 AS z, x.x AS x, y.y AS y
+        FROM (SELECT unnest(generate_series(0, 3)) AS x) x
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS y) y),
+      px AS (SELECT unnest(generate_series(0, 63)) AS p),
+      pcks AS (
+        SELECT t.z, t.x, t.y,
+          ((SUM(((i.p * 7919 + j.p * 104729 + t.z * 37 + t.x * 11 + t.y * 13) % 251)
+                % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((j.p * 64 + i.p) % 11 AS INT) + 1])
+            % 65536) + 65536) % 65536 AS cks
+        FROM ptiles t CROSS JOIN px i CROSS JOIN px j
+        GROUP BY t.z, t.x, t.y)
+      SELECT phase, CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x,
+             CAST(y AS BIGINT) AS y, CAST(cks AS BIGINT) AS cks FROM (
+        SELECT 'a_png' AS phase, z, x, y, cks FROM pcks
+        UNION ALL SELECT 'a_jpeg', z, x, y, 1 FROM jtiles
+        UNION ALL SELECT 'b_resumed', 1, 0, 1, -1
+        UNION ALL SELECT 'b_resumed', 2, 3, 2, -1
+        UNION ALL SELECT 'c_png', z, x, y, cks FROM pcks
+        UNION ALL SELECT 'c_jpeg', z, x, y, 1 FROM jtiles
+        UNION ALL SELECT 'm_meta', 0, 0, 0, 1
+      ) ORDER BY phase, z, x, y""")),
+
+    // -- MDArray view-algebra tail (m06): GetUnscaled
+    // (gdalmultidim_array_unscaled.cpp:395-449), GetMeshGrid
+    // (gdalmultidim_array_meshgrid.cpp:252-330, xy indexing over a REVERSED
+    // input view — composition proof), and GetGridded
+    // (gdalmultidim_array_gridded.cpp:377-830: env→frame→lattice nodes→
+    // invdist) chained: the gridded VALUES array is itself a lazy unscaled
+    // view. All inputs are exact binary fractions from integer closed
+    // forms; the DuckDB twin rebuilds the frame and interpolation with the
+    // same op order (sum order may differ — micro-rounding absorbs it,
+    // the g16/g51 pattern).
+    ("m06_mdarray_views2", (s, _) => {
+      prep(s)
+      val N = 400L
+      val xa = engine.MdArray.create(s, Array(N), Array(64))(c =>
+        ((c(0) * 7919) % 1280) / 16.0 - 40.0)
+      val ya = engine.MdArray.create(s, Array(N), Array(64))(c =>
+        ((c(0) * 104729) % 960) / 16.0 - 30.0)
+      val va = engine.MdArray.create(s, Array(N), Array(64))(c =>
+        ((c(0) * 37) % 100) * 0.25)
+      val gr = va.unscale(0.5, 3.0).gridded(xa, ya, radius = Some(3.0),
+        minPoints = 1, nodata = -1.0, resolution = Some(2.0))
+      val gpart = gr.arr.toTable.select(lit("g").as("part"),
+        col("d0").as("a"), col("d1").as("b"),
+        expr("CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)").as("val_micro"))
+      val un = engine.MdArray.create(s, Array(24L), Array(7))(c =>
+          if (c(0) % 7 == 0) -1.0 else c(0) * 0.5)
+        .unscale(2.0, 1.0, srcNodata = Some(-1.0), dstNodata = -9999.0)
+      val upart = un.toTable.select(lit("u").as("part"),
+        col("d0").as("a"), lit(0L).as("b"),
+        expr("CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)").as("val_micro"))
+      val mx = engine.MdArray.create(s, Array(6L), Array(4))(c => c(0) * 0.5 - 1.0)
+      val my = engine.MdArray.create(s, Array(4L), Array(4))(c => c(0) * 0.25)
+      val mg = engine.MdArray.meshgrid(Seq(mx.getView("[::-1]"), my), "xy")
+      def mpart(tag: String, a: engine.MdArray) = a.toTable.select(
+        lit(tag).as("part"), col("d0").as("a"), col("d1").as("b"),
+        expr("CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)").as("val_micro"))
+      gpart.unionByName(upart)
+        .unionByName(mpart("mx", mg(0))).unionByName(mpart("my", mg(1)))
+        .orderBy("part", "a", "b")
+    }, Some("""
+      WITH p AS (SELECT unnest(generate_series(0, 399)) AS pid),
+      pts AS (SELECT pid,
+          CAST((pid * 7919) % 1280 AS DOUBLE) / 16.0 - 40.0 AS lon,
+          CAST((pid * 104729) % 960 AS DOUBLE) / 16.0 - 30.0 AS lat,
+          CAST((pid * 37) % 100 AS DOUBLE) * 0.25 * 0.5 + 3.0 AS value FROM p),
+      env AS (SELECT min(lon) AS minx, max(lon) AS maxx,
+                     min(lat) AS miny, max(lat) AS maxy FROM pts),
+      fr AS (SELECT *,
+          greatest(2, CAST(1 + floor((maxx - minx) / 2.0 + 1e-8) AS INT)) AS nx,
+          greatest(2, CAST(1 + floor((maxy - miny) / 2.0 + 1e-8) AS INT)) AS ny
+        FROM env),
+      fr2 AS (SELECT *, (maxx - minx) / CAST(nx - 1 AS DOUBLE) AS resx,
+          (maxy - miny) / CAST(ny - 1 AS DOUBLE) AS resy FROM fr),
+      nodes AS (SELECT ii.i, jj.j,
+          minx + CAST(ii.i AS DOUBLE) * resx AS nlon,
+          miny + CAST(jj.j AS DOUBLE) * resy AS nlat
+        FROM fr2,
+          (SELECT unnest(generate_series(0, 4095)) AS i) ii,
+          (SELECT unnest(generate_series(0, 4095)) AS j) jj
+        WHERE ii.i < nx AND jj.j < ny),
+      c AS (SELECT n.i, n.j, p2.pid, p2.value,
+          (p2.lon - n.nlon) * (p2.lon - n.nlon) +
+            (p2.lat - n.nlat) * (p2.lat - n.nlat) AS r2
+        FROM nodes n JOIN pts p2
+        ON (p2.lon - n.nlon) * (p2.lon - n.nlon) +
+           (p2.lat - n.nlat) * (p2.lat - n.nlat) <= 9.0),
+      m AS (SELECT i, j, count(*) AS n,
+          sum(value * (1.0 / r2)) / sum(1.0 / r2) AS wval,
+          arg_min(value, pid) FILTER (WHERE r2 < 1e-13) AS sing,
+          count(*) FILTER (WHERE r2 < 1e-13) AS nsing
+        FROM c GROUP BY i, j),
+      g AS (SELECT CAST(n.j AS BIGINT) AS a, CAST(n.i AS BIGINT) AS b,
+          CASE WHEN m.nsing > 0 THEN m.sing
+               WHEN m.n >= 1 THEN m.wval ELSE -1.0 END AS v
+        FROM nodes n LEFT JOIN m ON n.i = m.i AND n.j = m.j)
+      SELECT part, a, b, CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS val_micro
+      FROM (
+        SELECT 'g' AS part, a, b, v FROM g
+        UNION ALL
+        SELECT 'u', CAST(k AS BIGINT), 0,
+          CASE WHEN k % 7 = 0 THEN -9999.0 ELSE CAST(k AS DOUBLE) + 1.0 END
+        FROM (SELECT unnest(generate_series(0, 23)) AS k)
+        UNION ALL
+        SELECT 'mx', CAST(c0.a AS BIGINT), CAST(c1.b AS BIGINT),
+          CAST(5 - c1.b AS DOUBLE) * 0.5 - 1.0
+        FROM (SELECT unnest(generate_series(0, 3)) AS a) c0,
+             (SELECT unnest(generate_series(0, 5)) AS b) c1
+        UNION ALL
+        SELECT 'my', CAST(c0.a AS BIGINT), CAST(c1.b AS BIGINT),
+          CAST(c0.a AS DOUBLE) * 0.25
+        FROM (SELECT unnest(generate_series(0, 3)) AS a) c0,
+             (SELECT unnest(generate_series(0, 5)) AS b) c1
+      ) ORDER BY part, a, b"""))
+  )
+}

@@ -65,19 +65,29 @@ object Ann {
     * a multiple of floor(n/k) (ordered by id), then `iters` fixed
     * iterations of assign (map-only, centroid literals) + elementwise-mean
     * update rounded to 1e-6. Empty clusters drop out (both engines drop
-    * them identically via GROUP BY). Returns (cid, centroid) sorted by cid. */
+    * them identically via GROUP BY). Returns (cid, centroid) sorted by cid.
+    *
+    * `trainCap` bounds the TRAINING passes: the per-iteration assign+update
+    * runs over a deterministic stride sample of ≈trainCap rows
+    * (id % max(1, n/trainCap) == 0) instead of the full corpus — at 100 TB
+    * the codebook trainer must not scan the corpus m×iters times (sampled
+    * k-means training is the standard IVF/PQ practice; Jégou 2011 trains
+    * on a learning subset). Init and the CALLER's final assignment remain
+    * as before (assignment is always full-corpus, one map-only pass). */
   def kmeans(vecs: DataFrame, idCol: String, embCol: String,
-             k: Int, iters: Int): Seq[(Int, Array[Double])] = {
+             k: Int, iters: Int, trainCap: Long = Long.MaxValue): Seq[(Int, Array[Double])] = {
     GraftFunctions.register(vecs.sparkSession)
     val emb = col(embCol).cast("array<double>")
     val n = vecs.count()
     val stride = math.max(1L, n / k)
+    val tStride = math.max(1L, n / trainCap)
+    val train = if (tStride > 1L) vecs.where(col(idCol) % tStride === 0) else vecs
     var cents: Seq[(Int, Array[Double])] =
       vecs.where(col(idCol) % stride === 0).orderBy(idCol).limit(k)
         .select(emb.as("e")).collect().toIndexedSeq
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
     for (_ <- 0 until iters) {
-      val upd = vecs
+      val upd = train
         .select(nearestCid(emb, cents).as("cid"), posexplode(emb).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg((floor(avg("v") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("m"))
@@ -112,7 +122,7 @@ object Ann {
     * scannable; the exact refine touches only candC vectors per query. */
   def pqTopK(vecs: DataFrame, idCol: String, embCol: String,
              isQuery: Column => Column, m: Int, k: Int, iters: Int,
-             candC: Int, topK: Int): DataFrame = {
+             candC: Int, topK: Int, trainCap: Long = Long.MaxValue): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -130,7 +140,7 @@ object Ann {
     // 1. per-sub-space codebooks (deterministic kmeans on the slices)
     val books: Seq[(Int, Seq[(Int, Array[Double])])] = (0 until m).map { s =>
       (s, kmeans(unit.select(col(idCol), slice(emb, s * w + 1, w).as("sub")),
-        idCol, "sub", k, iters))
+        idCol, "sub", k, iters, trainCap))
     }
 
     // 2. encode: m nearest-codeword ids per vector, exploded to (pid, s, code)
@@ -188,7 +198,7 @@ object Ann {
   def ivfPqTopK(vecs: DataFrame, idCol: String, embCol: String,
                 isQuery: Column => Column, kCoarse: Int, itersCoarse: Int,
                 nprobe: Int, m: Int, k: Int, iters: Int,
-                candC: Int, topK: Int): DataFrame = {
+                candC: Int, topK: Int, trainCap: Long = Long.MaxValue): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -196,13 +206,13 @@ object Ann {
     val dim = vecs.select(size(rawEmb)).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
     val w = dim / m
-    val coarse = kmeans(vecs, idCol, embCol, kCoarse, itersCoarse)
+    val coarse = kmeans(vecs, idCol, embCol, kCoarse, itersCoarse, trainCap)
     val unit = vecs.select(col(idCol),
       expr(s"transform(CAST($embCol AS array<double>), x -> x / ${vecNormSql(embCol)})").as("u"))
     val emb = col("u")
     val books = (0 until m).map { s =>
       (s, kmeans(unit.select(col(idCol), slice(emb, s * w + 1, w).as("sub")),
-        idCol, "sub", k, iters))
+        idCol, "sub", k, iters, trainCap))
     }
     val codeCols = books.map { case (s, cb) =>
       struct(lit(s).as("s"), nearestCid(slice(emb, s * w + 1, w), cb).as("code"))
@@ -261,7 +271,7 @@ object Ann {
   def ivfPqResidualTopK(vecs: DataFrame, idCol: String, embCol: String,
                         isQuery: Column => Column, kCoarse: Int, itersCoarse: Int,
                         nprobe: Int, m: Int, k: Int, iters: Int,
-                        candC: Int, topK: Int): DataFrame = {
+                        candC: Int, topK: Int, trainCap: Long = Long.MaxValue): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -269,7 +279,7 @@ object Ann {
     val dim = vecs.select(size(rawEmb)).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
     val w = dim / m
-    val coarse = kmeans(vecs, idCol, embCol, kCoarse, itersCoarse)
+    val coarse = kmeans(vecs, idCol, embCol, kCoarse, itersCoarse, trainCap)
     // residual r = v − c(v); centroid looked up from a literal map by cid
     // (kmeans can drop empty clusters, so cids need not be contiguous)
     val centMap = typedLit(coarse.map { case (cid, c) => cid -> c.toSeq }.toMap)
@@ -280,7 +290,7 @@ object Ann {
       .select(col(idCol), col("lcid"), col("r"))
     val books = (0 until m).map { s =>
       (s, kmeans(residWithMap.select(col(idCol), slice(col("r"), s * w + 1, w).as("sub")),
-        idCol, "sub", k, iters))
+        idCol, "sub", k, iters, trainCap))
     }
     val codeCols = books.map { case (s, cb) =>
       struct(lit(s).as("s"), nearestCid(slice(col("r"), s * w + 1, w), cb).as("code"))
@@ -327,8 +337,8 @@ object Ann {
     * with cos_u = round(cos·1e6). Self-matches are excluded. */
   def ivfTopK(vecs: DataFrame, idCol: String, embCol: String,
               isQuery: Column => Column, k: Int, iters: Int,
-              nprobe: Int, topK: Int): DataFrame = {
-    val cents = kmeans(vecs, idCol, embCol, k, iters)
+              nprobe: Int, topK: Int, trainCap: Long = Long.MaxValue): DataFrame = {
+    val cents = kmeans(vecs, idCol, embCol, k, iters, trainCap)
     val emb = col(embCol).cast("array<double>")
     val base = vecs.select(col(idCol), emb.as("e"),
       gf.vec_norm(emb).as("nm"))

@@ -209,22 +209,45 @@ object GraphOps {
       it += 1
     }
     if (changed > 0) warnNoConverge("ssspPath", it)
-    val cached = dist
-    def lookup(n: Long): Option[(Double, Long)] =
-      cached.where(col("node") === n).collect()
-        .headOption.map(r => (r.getDouble(1), r.getLong(2)))
-    val out = lookup(target).map { case (tc, tp) =>
+    val out = backtrackPath(dist, source, target)
+    dist.unpersist(); g.unpersist()
+    out
+  }
+
+  /** Backtrack the parent-pointer tree from `target` to `source` in TWO
+    * Spark jobs total (round-4 verdict #8 — the per-hop `where(node ===
+    * n).collect()` loop was one job per path hop, 10⁴ sequential jobs for
+    * a 10⁴-hop path): (1) look up the target's (dist, parent); (2) collect
+    * the parent SUB-map of nodes with dist ≤ dist(target) once — every
+    * on-path node satisfies that by monotonicity of the shortest-path
+    * tree — then walk pointers in memory. The collect is guarded by
+    * `spark.graft.sssp.backtrackLimit` (default 4M rows ≈ 100 MB) and
+    * REFUSES loudly above it, the repo's report-and-refuse pattern; GNM
+    * inputs (road/utility networks) sit far below. `dist` columns:
+    * (node, dist, parent). */
+  private[graft] def backtrackPath(dist: DataFrame, source: Long,
+                                   target: Long): Option[List[(Long, Double)]] = {
+    dist.where(col("node") === target).collect().headOption.map { r =>
+      val (tc, tp) = (r.getDouble(1), r.getLong(2))
+      val limit = dist.sparkSession.conf
+        .getOption("spark.graft.sssp.backtrackLimit").map(_.toLong).getOrElse(4000000L)
+      val sub = dist.where(col("dist") <= tc)
+        .select(col("node"), col("dist"), col("parent"))
+      if (sub.count() > limit) throw new IllegalStateException(
+        s"ssspPath backtrack: settled set below dist($target)=$tc exceeds " +
+          s"spark.graft.sssp.backtrackLimit=$limit rows; raise the limit " +
+          "or reduce the graph")
+      val arr = sub.collect()
+      val pm = arr.iterator.map(x => x.getLong(0) -> (x.getDouble(1), x.getLong(2))).toMap
       var path = List((target, tc))
       var cur = target; var par = tp
       while (cur != source) {
-        val (d, p2) = lookup(par).get
+        val (d, p2) = pm(par)
         path = (par, d) :: path
         cur = par; par = p2
       }
       path
     }
-    cached.unpersist(); g.unpersist()
-    out
   }
 
   /** Yen's K shortest loopless paths (GNMGraph::KShortestPaths,

@@ -81,10 +81,16 @@ object GridInterp {
         cand0.withColumn("rk", row_number().over(w)).where(col("rk") <= maxPoints)
       } else cand0
     // w = 1/r^p computed as pow(r2, p/2) like the reference (dfPowerDiv2);
-    // p=2 stays pow-free in codegen via the exact 1/r2 fast path
-    val invw =
+    // p=2 stays pow-free in codegen via the exact 1/r2 fast path. A
+    // coincident point (r2s < 1e-13, possible when smoothing = 0 and a
+    // node sits exactly on a point) must not reach the division — ANSI
+    // mode turns 1/0 into a query error; the reference breaks out of the
+    // loop there (gdalgrid.cpp:163-167) so its weight is never formed
+    // either, and `sing` below supplies the node's value.
+    val invwRaw =
       if (power == 2.0) lit(1.0) / col("r2s")
       else lit(1.0) / pow(col("r2s"), lit(power / 2.0))
+    val invw = when(col("r2s") < 1e-13, lit(0.0)).otherwise(invwRaw)
     val metrics = cand
       .withColumn("invw", invw)
       .groupBy("i", "j")

@@ -102,6 +102,52 @@ object MdArray {
     new MdArray(spark, shape.clone(), chunk.clone(), chunks, identityView(shape))
   }
 
+  /** Mesh-grid views (GDALMDArray::GetMeshGrid,
+    * gcore/multidim/gdalmultidim_array_meshgrid.cpp:252-330 — the NumPy
+    * meshgrid semantics): from n rank-1 arrays x1(N1)..xn(Nn), return n
+    * rank-n arrays where output i broadcasts xi along its own dim and is
+    * constant along every other. `indexing` = "xy" (Cartesian, default —
+    * dims 0 and 1 swapped, shape (N2, N1, N3, ..)) or "ij" (matrix order,
+    * shape (N1, .., Nn)), reference :313-320.
+    *
+    * PURE VIEW composition: each output wraps its input's chunk table with
+    * a broadcast View (the non-self dims map to NO base dim, exactly like
+    * newaxis but with the broadcast extent) — O(#dims) driver work, nothing
+    * reads until materialize(), and materialize's chunk-to-chunk join then
+    * replicates each base chunk only across the output chunk grid (never
+    * per element). Inputs may themselves be sliced/reversed views — the
+    * affine map composes. */
+  def meshgrid(arrays: Seq[MdArray], indexing: String = "xy"): Seq[MdArray] = {
+    require(indexing == "xy" || indexing == "ij",
+      s"meshgrid: INDEXING must be xy or ij, got '$indexing'")
+    require(arrays.nonEmpty && arrays.forall(_.dims == 1),
+      "meshgrid: all inputs must be rank-1")
+    val n = arrays.length
+    val xy = indexing == "xy" && n >= 2
+    // output dim j carries input tdim(j); input i varies along output dim
+    // tdim(i) (tdim is an involution), reference Create() :76-78
+    def tdim(j: Int): Int = if (xy && j <= 1) 1 - j else j
+    val outShape = Array.tabulate(n)(j => arrays(tdim(j)).shape(0))
+    arrays.zipWithIndex.map { case (a, i) =>
+      val d = tdim(i)
+      val v = a.view
+      new MdArray(a.spark, a.baseShape, a.chunk, a.chunks, View(
+        outShape.clone(),
+        Array.tabulate(n)(j => if (j == d) v.map(0) else -1),
+        Array.tabulate(n)(j => if (j == d) v.off(0) else 0L),
+        Array.tabulate(n)(j => if (j == d) v.step(0) else 1L),
+        v.fixed))
+    }
+  }
+
+  /** A gridded array plus the regular-grid georeferencing the reference
+    * exposes as the dims' indexing variables
+    * (GDALMDArrayRegularlySpaced, gdalmultidim_array_gridded.cpp:790-800):
+    * node (j, i) sits at (minX + i·resX, minY + j·resY); `arr` has shape
+    * (nY, nX), row 0 = south. */
+  final case class Gridded(arr: MdArray, minX: Double, minY: Double,
+                           resX: Double, resY: Double)
+
   private val SliceRe = """^([+-]?\d+)?:([+-]?\d+)?(?::([+-]?\d+)?)?$""".r
 
   /** Parse one "[...]" spec against `dims` view dims; returns per-token ops. */
@@ -370,6 +416,141 @@ final class MdArray private (
       (ocid, acc)
     }.toDF("cid", "data")
     new MdArray(spark, oShape, oChunk, merged, identityView(oShape))
+  }
+
+  /** Unscaled view (GDALMDArray::GetUnscaled,
+    * gdalmultidim_array_unscaled.cpp:395-449): v' = v·scale + offset with
+    * `srcNodata` mapped to `dstNodata` (reference default NaN, :410
+    * dfOverriddenDstNodata). scale == 1 && offset == 0 short-circuits to
+    * this exact array (reference :435). Lazy: the per-chunk map runs only
+    * when the result is evaluated — one narrow stage, no shuffle. */
+  def unscale(scale: Double, offset: Double,
+              srcNodata: Option[Double] = None,
+              dstNodata: Double = Double.NaN): MdArray =
+    if (scale == 1.0 && offset == 0.0) this
+    else mapValues { v =>
+      if (srcNodata.exists(nd => v == nd || (nd.isNaN && v.isNaN))) dstNodata
+      else v * scale + offset
+    }
+
+  /** Gridded view (GDALMDArray::GetGridded,
+    * gdalmultidim_array_gridded.cpp:377-830): treat this rank-1 array as
+    * scattered point VALUES whose index dim also indexes the rank-1 `x`
+    * and `y` coordinate arrays, and grid them with a gdal_grid algorithm.
+    * The reference reads higher-rank arrays one slice at a time (count must
+    * be 1 on the extra dims) — the caller here does the same thing
+    * explicitly with `getView` before gridding, so this method requires
+    * rank 1.
+    *
+    * Grid frame (reference :762-800): res defaults to the reference's
+    * two-stage guess (sqrt(area/n), then sqrt of the mean min-squared-
+    * distance of 10 stride-sampled points, :710-755); nX/nY =
+    * max(2, 1 + floor(extent/res + 1e-8)); nodes AT the lattice points
+    * minX + i·resX (not cell centers); default radius 5·max(resX, resY)
+    * (:818). Algorithm "invdist" delegates to [[GridInterp.invdist]] —
+    * the candidate search is cell-bucketed, never node×point quadratic.
+    * Empty nodes (minPoints not met / no candidates) take `nodata`
+    * (reference default 0, :812-816). Returns the (nY, nX) array, row 0 =
+    * south, plus the grid frame. */
+  def gridded(x: MdArray, y: MdArray, algorithm: String = "invdist",
+              radius: Option[Double] = None, power: Double = 2.0,
+              smoothing: Double = 0.0, minPoints: Int = 0, maxPoints: Int = 0,
+              nodata: Double = 0.0, resolution: Option[Double] = None,
+              outChunk: Int = 64): MdArray.Gridded = {
+    require(dims == 1 && x.dims == 1 && y.dims == 1,
+      "gridded: rank-1 arrays required (getView a slice of extra dims first, " +
+        "the reference's per-slice Read contract)")
+    val npts = shape(0)
+    require(npts > 2, s"gridded: need > 2 points, have $npts (reference :581)")
+    require(x.shape(0) == npts && y.shape(0) == npts,
+      s"gridded: x/y length ${x.shape(0)}/${y.shape(0)} != $npts")
+    import spark.implicits._
+    val pts = toTable.select(col("d0").as("pid"), col("v").as("value"))
+      .join(x.toTable.select(col("d0").as("pid"), col("v").as("lon")), "pid")
+      .join(y.toTable.select(col("d0").as("pid"), col("v").as("lat")), "pid")
+      .cache()
+    val env = pts.agg(min("lon"), max("lon"), min("lat"), max("lat")).head()
+    val (minX, maxX, minY, maxY) =
+      (env.getDouble(0), env.getDouble(1), env.getDouble(2), env.getDouble(3))
+    val res = resolution.getOrElse(
+      guessResolution(pts, npts, minX, maxX, minY, maxY))
+    require(res > 0, s"gridded: invalid RESOLUTION $res (reference :758)")
+    val EPS = 1e-8
+    val nX = math.max(2, (1 + math.floor((maxX - minX) / res + EPS)).toInt)
+    val nY = math.max(2, (1 + math.floor((maxY - minY) / res + EPS)).toInt)
+    val resX = (maxX - minX) / (nX - 1)
+    val resY = (maxY - minY) / (nY - 1)
+    val nodes = spark.range(0, nX.toLong * nY, 1, math.min(nX * nY, 64))
+      .select((col("id") % nX).cast("int").as("i"),
+        (col("id") / nX).cast("int").as("j"))
+      .withColumn("nlon", lit(minX) + col("i") * lit(resX))
+      .withColumn("nlat", lit(minY) + col("j") * lit(resY))
+    val rad = radius.getOrElse(5.0 * math.max(resX, resY))
+    val g = algorithm.toLowerCase match {
+      case "invdist" | "invdistnn" =>
+        GridInterp.invdist(nodes, pts, rad, power, smoothing, minPoints, maxPoints)
+      case other => throw new IllegalArgumentException(
+        s"gridded: unsupported algorithm '$other' (invdist family implemented; " +
+          "see GridInterp for the full gdal_grid set on DataFrames)")
+    }
+    // assemble (j = dimY, i = dimX) into a chunked rank-2 array
+    val oShape = Array(nY.toLong, nX.toLong)
+    val oChunk = Array(math.min(outChunk, nY), math.min(outChunk, nX))
+    val oGrid = gridDims(oShape, oChunk)
+    val nd = nodata
+    val outChunks = g
+      .select(col("i"), col("j"), coalesce(col("value"), lit(nd)).as("v"))
+      .as[(Int, Int, Double)]
+      .groupByKey { case (i, j, _) =>
+        linearize(Array(j.toLong / oChunk(0), i.toLong / oChunk(1)), oGrid) }
+      .mapGroups { (ocid, it) =>
+        val oIdx = delinearize(ocid, oGrid)
+        val ext = extents(oIdx, oShape, oChunk)
+        val data = new Array[Double](ext(0) * ext(1))
+        it.foreach { case (i, j, v) =>
+          data((j - oIdx(0) * oChunk(0)).toInt * ext(1) +
+            (i - oIdx(1) * oChunk(1)).toInt) = v
+        }
+        (ocid, data)
+      }.toDF("cid", "data")
+    MdArray.Gridded(
+      new MdArray(spark, oShape, oChunk, outChunks, identityView(oShape)),
+      minX, minY, resX, resY)
+  }
+
+  /** The reference's RESOLUTION guess (gdalmultidim_array_gridded.cpp:
+    * 710-755): first sqrt(extent area / n); then refine by stride-sampling
+    * 10 points, taking each sample's min positive squared distance to a
+    * point within its ±2·res₀ box, and returning sqrt of the MEAN of those
+    * (the reference's dfSumDist2Min/nCountDistMin). One broadcast join pass
+    * over the point table — sample side is ≤10 literal rows. */
+  private def guessResolution(pts: DataFrame, n: Long,
+                              minX: Double, maxX: Double,
+                              minY: Double, maxY: Double): Double = {
+    import spark.implicits._
+    val res0 = math.sqrt((maxY - minY) * (maxX - minX) / n.toDouble)
+    if (!(res0 > 0)) return res0
+    val nSamp = math.min(10L, n)
+    val idxs = (0L until nSamp).map(i => i * n / nSamp)
+    val samp = pts.where(col("pid").isin(idxs: _*))
+      .select("pid", "lon", "lat").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    if (samp.isEmpty) return res0
+    val sdf = samp.toDF("sid", "slon", "slat")
+    val row = pts
+      .join(broadcast(sdf),
+        col("lon") >= col("slon") - lit(2 * res0) &&
+          col("lon") <= col("slon") + lit(2 * res0) &&
+          col("lat") >= col("slat") - lit(2 * res0) &&
+          col("lat") <= col("slat") + lit(2 * res0))
+      .withColumn("d2",
+        (col("lon") - col("slon")) * (col("lon") - col("slon")) +
+          (col("lat") - col("slat")) * (col("lat") - col("slat")))
+      .where(col("d2") > 0.0)
+      .groupBy("sid").agg(min("d2").as("m"))
+      .agg(sum("m").as("s"), count(lit(1)).as("c")).head()
+    if (row.isNullAt(0) || row.getLong(1) == 0L) res0
+    else math.sqrt(row.getDouble(0) / row.getLong(1).toDouble)
   }
 
   def sumAxis(axis: Int): MdArray = reduceAxis(axis, _ + _, 0.0)

@@ -104,6 +104,32 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Gray-8 encode in any ImageIO-supported format ("png", "jpeg", "webp"
+    * where a writer plugin exists — `gdal raster tile --format` analog).
+    * Throws with the available-writers list when the JRE has no encoder
+    * for the requested format, never silently substitutes. */
+  def grayEncode(format: String, w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    if (format.equalsIgnoreCase("png")) return grayPng(w, h)(f)
+    val fmt = if (format.equalsIgnoreCase("jpg")) "jpeg" else format.toLowerCase
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, f(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, fmt, bos)) {
+      val have = javax.imageio.ImageIO.getWriterFormatNames.map(_.toLowerCase)
+        .distinct.sorted.mkString(", ")
+      throw new IllegalArgumentException(
+        s"no ImageIO writer for format '$fmt' (available: $have)")
+    }
+    bos.toByteArray
+  }
+
   /** media table (doc_id, media_ref, kind, payload:binary) → features.
     * Runs as a typed map — one narrow stage, codegen-friendly schema on
     * both sides, no driver collect. Partitioning of the input is

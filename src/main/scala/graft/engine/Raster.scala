@@ -259,11 +259,32 @@ object Raster {
   private val pointKernels = Set("near", "bilinear", "cubic", "cubicspline", "lanczos")
   private val areaKernels = Set("average", "sum", "rms", "min", "max", "med", "q1", "q3", "mode")
 
+  /** GAUSS overview kernel matrices (gcore/overview.cpp:2032-2042): fixed
+    * integer binomial kernels selected by the downscale factor —
+    * factor ≤2 → 3×3, ≤4 → 5×5, else 7×7. */
+  private val gaussMatrix3: Array[Double] =
+    Array(1, 2, 1, 2, 4, 2, 1, 2, 1).map(_.toDouble)
+  private val gaussMatrix5: Array[Double] =
+    Array(1, 4, 6, 4, 1, 4, 16, 24, 16, 4, 6, 24, 36, 24, 6,
+      4, 16, 24, 16, 4, 1, 4, 6, 4, 1).map(_.toDouble)
+  private val gaussMatrix7: Array[Double] =
+    Array(1, 6, 15, 20, 15, 6, 1, 6, 36, 90, 120, 90, 36, 6,
+      15, 90, 225, 300, 225, 90, 15, 20, 120, 300, 400, 300, 120, 20,
+      15, 90, 225, 300, 225, 90, 15, 6, 36, 90, 120, 90, 36, 6,
+      1, 6, 15, 20, 15, 6, 1).map(_.toDouble)
+  private def gaussDimFor(scale: Double): Int = {
+    val f = (0.5 + math.abs(scale)).toInt // nResYFactor, overview.cpp:2045
+    if (f <= 2) 3 else if (f <= 4) 5 else 7
+  }
+  private def gaussMatrixFor(dim: Int): Array[Double] =
+    if (dim == 3) gaussMatrix3 else if (dim == 5) gaussMatrix5 else gaussMatrix7
+
   private def kernelRadius(kernel: String, scale: Double): Int = kernel match {
     case "near"                     => 1
     case "bilinear"                 => 1
     case "cubic" | "cubicspline"    => 2
     case "lanczos"                  => 3
+    case "gauss"                    => math.ceil(math.abs(scale)).toInt + gaussDimFor(scale)
     case _                          => math.ceil(math.abs(scale)).toInt + 1
   }
 
@@ -402,7 +423,8 @@ object Raster {
     val spark = src.sparkSession
     import spark.implicits._
     val ts = tileSize
-    kernels.foreach(k => require(pointKernels.contains(k) || areaKernels.contains(k), s"kernel $k"))
+    kernels.foreach(k => require(pointKernels.contains(k) || areaKernels.contains(k) ||
+      k == "gauss", s"kernel $k"))
     val rad = kernels.map(k => math.max(kernelRadius(k, aff.sx), kernelRadius(k, aff.sy))).max
 
     // dst tile → src pixel window → src tile range (with kernel-radius halo)
@@ -550,6 +572,9 @@ object Raster {
         // bit-identical to the single-kernel path)
         val areaIdxs = kernels.indices.filter(i => areaKernels.contains(kernels(i))).toArray
         val pointIdxs = kernels.indices.filter(i => pointKernels.contains(kernels(i))).toArray
+        val gaussIdxs = kernels.indices.filter(i => kernels(i) == "gauss").toArray
+        val gaussDim = gaussDimFor(aff.sy)
+        val gaussW = gaussMatrixFor(gaussDim)
         val needSorted = areaIdxs.exists(i => kernels(i) == "med" || kernels(i) == "q1" || kernels(i) == "q3")
         val needMode = areaIdxs.exists(i => kernels(i) == "mode")
         var modeVals: Array[Double] = null
@@ -619,6 +644,45 @@ object Raster {
               }
               outs(ki)(pidx) = v
               pi2 += 1
+            }
+            if (gaussIdxs.nonEmpty) {
+              // GAUSS window (overview.cpp:2100-2160): the dst pixel's base
+              // source footprint [int(0.5+left), int(0.5+right)+1) recentred
+              // to the matrix dim, truncated at the source edges with the
+              // matrix index shifted when the window clips at 0. Weighted
+              // mean over valid pixels, weight-count normalized; no valid
+              // contributor → nodata (0). Whole-image processing, so the
+              // reference's chunk pre-clamp branch never fires (documented:
+              // synthetic gates use non-negative footprints).
+              def gWindow(d0: Double, d1: Double, srcN: Long): (Int, Int, Int) = {
+                var off = (0.5 + d0).toInt
+                val off2base = (0.5 + d1).toInt + 1
+                val size = off2base - off
+                off = off + size / 2 - gaussDim / 2
+                val off2 = math.min(srcN, off.toLong + gaussDim).toInt
+                var shift = 0
+                if (off < 0) { shift = -off; off = 0 }
+                (off, off2, shift)
+              }
+              val (gx0, gx1, shx) = gWindow(gxD * aff.sx + aff.tx, (gxD + 1) * aff.sx + aff.tx, srcW)
+              val (gy0, gy1, shy) = gWindow(gyD * aff.sy + aff.ty, (gyD + 1) * aff.sy + aff.ty, srcH)
+              var tot = 0.0; var cnt = 0.0
+              var iy = gy0
+              while (iy < gy1) {
+                var ix = gx0
+                while (ix < gx1) {
+                  val v = pix(ix.toLong, iy.toLong)
+                  if (!java.lang.Double.isNaN(v)) {
+                    val w0 = gaussW((shy + iy - gy0) * gaussDim + (shx + ix - gx0))
+                    tot += v * w0; cnt += w0
+                  }
+                  ix += 1
+                }
+                iy += 1
+              }
+              val res = if (cnt == 0.0) 0.0 else tot / cnt
+              var gi = 0
+              while (gi < gaussIdxs.length) { outs(gaussIdxs(gi))(pidx) = res; gi += 1 }
             }
             if (areaIdxs.nonEmpty) {
               // area footprint rect (GWKAverageOrModeComputeSourceCoords,

@@ -34,21 +34,30 @@ object TileSink {
     * "tms" (y flipped, GetFileY). The returned DataFrame is lazy; the
     * writes happen when it is evaluated and are idempotent, so multiple
     * actions over it are safe. */
+  /** File extension for a tile format (the reference writes "jpg" for
+    * JPEG, gdalalg_raster_tile.cpp:2566). */
+  def extOf(format: String): String = format.toLowerCase match {
+    case "jpeg" | "jpg" => "jpg"
+    case f => f
+  }
+
   def writeTiles(tiles: Dataset[Tile], outDir: String,
-                 convention: String = "xyz", resume: Boolean = false): DataFrame = {
+                 convention: String = "xyz", resume: Boolean = false,
+                 format: String = "png"): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val tms = convention.equalsIgnoreCase("tms")
+    val ext = extOf(format)
     tiles.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       it.map { t =>
         val fileY = if (tms) (1 << t.z) - 1 - t.y else t.y
-        val rel = s"${t.z}/${t.x}/$fileY.png"
+        val rel = s"${t.z}/${t.x}/$fileY.$ext"
         val path = new Path(s"$outDir/$rel")
         val fs = path.getFileSystem(conf)
         if (resume && fs.exists(path)) (t.z, t.x, t.y, rel, false, 0L)
         else {
-          val bytes = Multimodal.grayPng(t.w, t.h) { (x, y) =>
+          val bytes = Multimodal.grayEncode(format, t.w, t.h) { (x, y) =>
             val d = t.pixels(y * t.w + x)
             if (!java.lang.Double.isFinite(d)) 0
             else math.max(0, math.min(255, math.floor(d + 0.5).toInt))
@@ -74,17 +83,18 @@ object TileSink {
     * distributed inverse of [[writeTiles]] — used by the u04 gate to prove
     * the files on disk round-trip to the exact source pixels. */
   def readTiles(spark: SparkSession, outDir: String,
-                convention: String = "xyz"): Dataset[Tile] = {
+                convention: String = "xyz", format: String = "png"): Dataset[Tile] = {
     import spark.implicits._
     val tms = convention.equalsIgnoreCase("tms")
-    spark.read.format("binaryFile").load(s"$outDir/*/*/*.png")
+    val ext = extOf(format)
+    spark.read.format("binaryFile").load(s"$outDir/*/*/*.$ext")
       .select("path", "content")
       .as[(String, Array[Byte])]
       .map { case (p, bytes) =>
         val parts = p.split('/')
         val z = parts(parts.length - 3).toInt
         val x = parts(parts.length - 2).toInt
-        val fileY = parts(parts.length - 1).stripSuffix(".png").toInt
+        val fileY = parts(parts.length - 1).stripSuffix(s".$ext").toInt
         val y = if (tms) (1 << z) - 1 - fileY else fileY
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         val (w, h) = (img.getWidth, img.getHeight)
@@ -108,7 +118,9 @@ object TileSink {
   def writeMetadata(spark: SparkSession, outDir: String, title: String,
                     west: Double, south: Double, east: Double, north: Double,
                     minZoom: Int, maxZoom: Int, tileSize: Int,
-                    convention: String = "xyz", copyright: String = ""): Unit = {
+                    convention: String = "xyz", copyright: String = "",
+                    format: String = "png"): Unit = {
+    val ext = extOf(format)
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
       s"""{
@@ -121,9 +133,9 @@ object TileSink {
          |  "minzoom": $minZoom,
          |  "maxzoom": $maxZoom,
          |  "tile_size": $tileSize,
-         |  "tileformat": "png",
+         |  "tileformat": "$ext",
          |  "tms": ${if (convention.equalsIgnoreCase("tms")) 1 else 0},
-         |  "tiles": "{z}/{x}/{y}.png"
+         |  "tiles": "{z}/{x}/{y}.$ext"
          |}
          |""".stripMargin
     val path = new Path(s"$outDir/metadata.json")

@@ -47,6 +47,52 @@ class AnnSpec extends AnyFunSuite {
     assert(sse(trained) < sse(naive))
   }
 
+  test("kmeans trainCap trains on EXACTLY the stride sample (round-4 verdict #9)") {
+    val k = 4; val iters = 2; val cap = 50L
+    val capped = Ann.kmeans(vecs, "vec_id", "embedding", k, iters, trainCap = cap)
+    val n = vecs.count()
+    val tStride = math.max(1L, n / cap)
+    assert(tStride > 1L, "fixture too small to exercise the cap")
+    // driver-side Lloyd's over ONLY the stride sample, with the engine's
+    // exact init (full-corpus stride), fold order (sequential c·c and v·c),
+    // tie-break (lowest cid), and 1e-6 centroid rounding: agreement proves
+    // the distributed trainer's per-iteration passes never read a row
+    // outside the sample
+    val all = vecs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val initStride = math.max(1L, n / k)
+    var cents: Seq[(Int, Array[Double])] = all.filter(_._1 % initStride == 0)
+      .take(k).map(_._2).zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq
+    val sample = all.filter(_._1 % tStride == 0)
+    def dot(v: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * c(i); i += 1 }; s
+    }
+    for (_ <- 0 until iters) {
+      val byCid = sample.groupBy { case (_, v) =>
+        cents.map { case (cid, c) =>
+          (c.foldLeft(0.0)((a, x) => a + x * x) - 2.0 * dot(v, c), cid)
+        }.min._2
+      }
+      cents = byCid.toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val dim = rows.head._2.length
+        (cid, Array.tabulate(dim) { p =>
+          val m = rows.map(_._2(p)).sum / rows.length
+          math.floor(m * 1000000.0 + 0.5) / 1000000.0
+        })
+      }
+    }
+    assert(capped.map(_._1) === cents.map(_._1))
+    capped.zip(cents).foreach { case ((_, got), (_, want)) =>
+      got.zip(want).zipWithIndex.foreach { case ((g, w), p) =>
+        assert(math.abs(g - w) < 1e-9, s"component $p: $g vs $w") }
+    }
+    // and the cap genuinely changes training (it is not a no-op filter)
+    val uncapped = Ann.kmeans(vecs, "vec_id", "embedding", k, iters)
+    assert(!capped.zip(uncapped).forall { case ((_, a), (_, b)) =>
+      java.util.Arrays.equals(a, b) })
+  }
+
   test("IVF recall@3 vs exact brute-force is >= 0.8") {
     val ivf = Ann.ivfTopK(vecs, "vec_id", "embedding",
         isQuery = id => id >= 20 && id < 60,

@@ -29,4 +29,40 @@ class KShortestSpec extends AnyFunSuite {
     val edges = Seq((0L, 1L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
     assert(GraphOps.kShortestPaths(edges, 0L, 3L, 2).isEmpty)
   }
+
+  test("backtrack runs <=3 Spark jobs regardless of path length (no per-hop jobs)") {
+    import spark.implicits._
+    // a settled SSSP table for a 2000-hop chain 0 -> 1 -> ... -> 2000
+    val n = 2000
+    val dist = (0 to n).map(i => (i.toLong, i.toDouble, (i - 1).toLong))
+      .toDF("node", "dist", "parent")
+    dist.count() // materialize anything lazy before counting jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val path = GraphOps.backtrackPath(dist, 0L, n.toLong).get
+      Thread.sleep(300) // let queued listener events drain
+      assert(path.length === n + 1)
+      assert(path.head === ((0L, 0.0)) && path.last === ((n.toLong, n.toDouble)))
+      assert(path.map(_._1) === (0L to n.toLong).toList)
+      assert(jobs.get() <= 3, s"backtrack ran ${jobs.get()} jobs — per-hop regression")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("backtrack refuses loudly above the settled-set limit") {
+    import spark.implicits._
+    val dist = (0 to 100).map(i => (i.toLong, i.toDouble, (i - 1).toLong))
+      .toDF("node", "dist", "parent")
+    spark.conf.set("spark.graft.sssp.backtrackLimit", "50")
+    try {
+      val ex = intercept[IllegalStateException] {
+        GraphOps.backtrackPath(dist, 0L, 100L)
+      }
+      assert(ex.getMessage.contains("backtrackLimit"))
+    } finally spark.conf.unset("spark.graft.sssp.backtrackLimit")
+  }
 }

@@ -102,6 +102,34 @@ class TileSinkSpec extends AnyFunSuite {
       "batch-1 tiles must not be rewritten on restart")
   }
 
+  test("jpeg format: .jpg extension, bounded lossy round-trip, png coexists") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ts_jpg").toString
+    // smooth gradient — JPEG's DCT reproduces it within a few counts
+    val smooth = for { x <- 0 until 2; y <- 0 until 2 }
+      yield Tile(1, x, y, 0, 16, 16,
+        Array.tabulate(256)(i => ((i % 16) * 4 + (i / 16) * 4 + x * 3 + y * 5).toDouble))
+    val w = TileSink.writeTiles(spark.createDataset(smooth), out, format = "jpeg").collect()
+    assert(w.forall(_.getString(3).endsWith(".jpg")))
+    assert(new java.io.File(s"$out/1/0/1.jpg").isFile)
+    val back = TileSink.readTiles(spark, out, format = "jpeg").collect()
+    assert(back.length === 4)
+    for (t <- back) {
+      val src = smooth.find(s0 => s0.x == t.x && s0.y == t.y).get.pixels
+      val err = t.pixels.indices.map(i => math.abs(t.pixels(i) - src(i))).max
+      assert(err <= 16.0, s"jpeg round-trip err $err at (${t.x},${t.y})")
+    }
+    // a png written into the same tree is invisible to the jpg reader
+    TileSink.writeTiles(spark.createDataset(Seq(smooth.head.copy(z = 0, x = 0, y = 0))), out).collect()
+    assert(TileSink.readTiles(spark, out, format = "jpeg").collect().length === 4)
+    assert(TileSink.readTiles(spark, out).collect().length === 1)
+    // unknown format refuses loudly
+    val ex = intercept[org.apache.spark.SparkException] {
+      TileSink.writeTiles(spark.createDataset(smooth), out, format = "tiffx").collect()
+    }
+    assert(ex.getMessage.contains("tiffx") || ex.getCause != null)
+  }
+
   test("pixel clamp: non-finite -> 0, out-of-range clamped to [0,255]") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("ts_clamp").toString
