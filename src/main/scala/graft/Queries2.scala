@@ -188,7 +188,7 @@ object Queries2 {
         ((gx * 7919 + gy * 104729) % 9973).toDouble
       }
       val aff = engine.Raster.WarpAffine(2.0, 2.0, 0.0, 0.0)
-      val kernels = Seq("average", "sum", "rms", "min", "max", "med", "q1", "q3", "mode")
+      val kernels = Seq("average", "sum", "rms", "min", "max", "med", "q1", "q3", "mode", "gauss")
       engine.Raster.warpAffineMulti(base, 2, 4, 4, aff, kernels, 2048, 2048)
         .map { case (k, t) => (t.x.toLong, t.y.toLong, k,
           engine.Raster.checksum(t.pixels, t.w, t.h).toLong) }
@@ -204,6 +204,8 @@ object Queries2 {
         .orderBy("x", "y")
     }, Some {
       val maxG = 1023
+      val maxS = 2047 // SRC max index (2048-wide source) — the gauss window
+                      // truncation tests against src bounds, not dst
       def fAt(dx: Int, dy: Int) =
         s"CAST(((2 * gx + $dx) * 7919 + (2 * gy + $dy) * 104729) % 9973 AS DOUBLE)"
       // scan order of GWKAverageOrMode: iy outer, ix inner
@@ -220,7 +222,13 @@ object Queries2 {
         "med" -> s"($lst[2])",
         "q1" -> s"($lst[1])",
         "q3" -> s"($lst[3])",
-        "mode" -> v00)
+        "mode" -> v00,
+        // gauss (overview.cpp 3x3 binomial at factor 2): window rooted at
+        // (2gx, 2gy), edge-truncated, weight-count normalized — the CASE
+        // zero terms keep the oracle's accumulation identical to the
+        // engine's skip-invalid loop (x + 0.0 == x exactly; all values are
+        // exact small integers)
+        "gauss" -> s"(((CASE WHEN (2 * gx + 0 <= $maxS) AND (2 * gy + 0 <= $maxS) THEN 1.0 * ${fAt(0, 0)} ELSE 0.0 END) + (CASE WHEN (2 * gx + 1 <= $maxS) AND (2 * gy + 0 <= $maxS) THEN 2.0 * ${fAt(1, 0)} ELSE 0.0 END) + (CASE WHEN (2 * gx + 2 <= $maxS) AND (2 * gy + 0 <= $maxS) THEN 1.0 * ${fAt(2, 0)} ELSE 0.0 END) + (CASE WHEN (2 * gx + 0 <= $maxS) AND (2 * gy + 1 <= $maxS) THEN 2.0 * ${fAt(0, 1)} ELSE 0.0 END) + (CASE WHEN (2 * gx + 1 <= $maxS) AND (2 * gy + 1 <= $maxS) THEN 4.0 * ${fAt(1, 1)} ELSE 0.0 END) + (CASE WHEN (2 * gx + 2 <= $maxS) AND (2 * gy + 1 <= $maxS) THEN 2.0 * ${fAt(2, 1)} ELSE 0.0 END) + (CASE WHEN (2 * gx + 0 <= $maxS) AND (2 * gy + 2 <= $maxS) THEN 1.0 * ${fAt(0, 2)} ELSE 0.0 END) + (CASE WHEN (2 * gx + 1 <= $maxS) AND (2 * gy + 2 <= $maxS) THEN 2.0 * ${fAt(1, 2)} ELSE 0.0 END) + (CASE WHEN (2 * gx + 2 <= $maxS) AND (2 * gy + 2 <= $maxS) THEN 1.0 * ${fAt(2, 2)} ELSE 0.0 END)) / ((CASE WHEN (2 * gx + 0 <= $maxS) AND (2 * gy + 0 <= $maxS) THEN 1.0 ELSE 0.0 END) + (CASE WHEN (2 * gx + 1 <= $maxS) AND (2 * gy + 0 <= $maxS) THEN 2.0 ELSE 0.0 END) + (CASE WHEN (2 * gx + 2 <= $maxS) AND (2 * gy + 0 <= $maxS) THEN 1.0 ELSE 0.0 END) + (CASE WHEN (2 * gx + 0 <= $maxS) AND (2 * gy + 1 <= $maxS) THEN 2.0 ELSE 0.0 END) + (CASE WHEN (2 * gx + 1 <= $maxS) AND (2 * gy + 1 <= $maxS) THEN 4.0 ELSE 0.0 END) + (CASE WHEN (2 * gx + 2 <= $maxS) AND (2 * gy + 1 <= $maxS) THEN 2.0 ELSE 0.0 END) + (CASE WHEN (2 * gx + 0 <= $maxS) AND (2 * gy + 2 <= $maxS) THEN 1.0 ELSE 0.0 END) + (CASE WHEN (2 * gx + 1 <= $maxS) AND (2 * gy + 2 <= $maxS) THEN 2.0 ELSE 0.0 END) + (CASE WHEN (2 * gx + 2 <= $maxS) AND (2 * gy + 2 <= $maxS) THEN 1.0 ELSE 0.0 END)))")
       val vSel = cols.map { case (k, e) => s"$e AS v_$k" }.mkString(", ")
       val iSel = cols.map { case (k, _) => s"${toInt(s"v_$k")} AS i_$k" }.mkString(", ")
       val cSel = cols.map { case (k, _) => s"${cksCol(s"i_$k")} AS cks_$k" }.mkString(", ")
@@ -547,7 +555,11 @@ object Queries2 {
       import sp.implicits._
       def dem(gx: Long, gy: Long): Double = if (gx == 135) 3.0 else 0.0
       val tiles = engine.Raster.syntheticTiles(s, 2, tileSize = 64)(dem)
-      engine.Viewshed.viewshedsSplit(tiles, Seq((1L, 128, 128, 5.0)), 4, 4)
+      // the BANDED path (round-4 verdict #4): 3-stage latitude-band
+      // pipeline per quadrant with a propagated boundary row —
+      // bit-identical to the quadrant split (ViewshedSplitSpec)
+      engine.Viewshed.viewshedsBanded(tiles, Seq((1L, 128, 128, 5.0)), 4, 4,
+          bandRows = 48)
         .map { case (_, t) =>
           val out = new Array[Double](t.pixels.length)
           var i = 0

@@ -186,6 +186,55 @@ class ViewshedSplitSpec extends AnyFunSuite {
     assert(fi2 < firstInvisible && fi2 > 0, s"$fi2 vs $firstInvisible")
   }
 
+  test("banded == whole at two band widths (pipeline with propagated boundary row)") {
+    import graft.engine.Viewshed._
+    val n = 4; val ts = 64
+    val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
+    val obs = Seq((1L, 120, 140, 5.0), (2L, 0, 255, 3.0), (3L, 255, 64, 2.0))
+    val whole = collectMap(viewsheds(tiles, obs, n, n))
+    // two band widths: one not dividing the window (41, many boundary
+    // handoffs mid-tile) and one spanning multiple tiles (96)
+    for (b <- Seq(41, 96)) {
+      val banded = collectMap(viewshedsBanded(tiles, obs, n, n, bandRows = b))
+      assert(banded.keySet === whole.keySet, s"bandRows=$b")
+      for (k <- whole.keySet)
+        assert(banded(k) === whole(k), s"bandRows=$b tile $k differs")
+    }
+  }
+
+  test("banded with full option surface == split (md+mind+sector+curvature+mode)") {
+    import graft.engine.Viewshed._
+    val n = 4; val ts = 64
+    val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
+    val obs = Seq((1L, 100, 130, 5.0))
+    val split = collectMap(viewshedsSplit(tiles, obs, n, n,
+      mode = ModeMin, maxDistance = 90.0, outOfRangeVal = -5.0,
+      minDistance = 10.0, startAngleDeg = 300.0, endAngleDeg = 70.0,
+      heightAdjFactor = 0.001))
+    val banded = collectMap(viewshedsBanded(tiles, obs, n, n, bandRows = 37,
+      mode = ModeMin, maxDistance = 90.0, outOfRangeVal = -5.0,
+      minDistance = 10.0, startAngleDeg = 300.0, endAngleDeg = 70.0,
+      heightAdjFactor = 0.001))
+    assert(banded.keySet === split.keySet)
+    for (k <- split.keySet) assert(banded(k) === split(k), s"tile $k differs")
+  }
+
+  test("banded DEM output mode == whole (propagated adjustment heights)") {
+    import graft.engine.Viewshed._
+    val n = 4; val ts = 64
+    val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
+    val obs = Seq((1L, 128, 128, 5.0))
+    val whole = collectMap(viewsheds(tiles, obs, n, n))
+    val w = 256
+    val demArr = Array.tabulate(w * w)(i => ViewshedSplitSpec.dem(i % w, i / w))
+    val wholeDem = computeWindow(demArr, w, w, 128, 128, 5.0, outputMode = OutDem)
+    val banded = collectMap(viewshedsBanded(tiles, obs, n, n, bandRows = 50,
+      outputMode = OutDem))
+    for (((_, tx, ty), px) <- banded; i <- px.indices)
+      assert(px(i) === wholeDem((ty * ts + i / ts) * w + tx * ts + i % ts),
+        s"($tx,$ty) idx $i")
+  }
+
   test("cumulative viewshed == brute per-observer sum + floor(255/max) scale") {
     val ts = 64; val n = 256 / ts
     val tiles = Raster.syntheticTiles(spark, 2, tileSize = ts)(ViewshedSplitSpec.dem)
