@@ -60,6 +60,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "IVF restriction applied as a post-join filter")
   }
 
+  test("grid-shift transform is map-only: no Exchange, stays in WholeStageCodegen") {
+    import graft.geom.GridShift
+    val g = GridShift.syntheticGrid()
+    val pts = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_id",
+        "CAST(event_id % 360 AS DOUBLE) - 180.0 AS lon",
+        "CAST(event_id % 170 AS DOUBLE) - 85.0 AS lat")
+    val (lonS, latS) = GridShift.forwardCols(g, col("lon"), col("lat"))
+    val df = pts.select(col("event_id"), lonS.as("lon2"), latS.as("lat2"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(exchanges(p) === 0, p)
+    assert(df.queryExecution.executedPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined,
+      p.take(400))
+  }
+
   test("PQ approximate stage schema carries codes, never the embedding") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // probe the internal shape through the public API: the result is fine,

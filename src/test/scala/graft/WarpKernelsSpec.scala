@@ -149,6 +149,60 @@ class WarpKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("gauss kernel: 3x3/5x5/7x7 binomial by factor, edge shift + truncation == direct reference") {
+    val s = spark
+    val tiles = Raster.syntheticTiles(s, z, tileSize = ts)(f)
+    // independent derivation of the reference matrices (overview.cpp:2032-
+    // 2042): outer products of the binomial rows
+    def outer(r: Array[Double]): Array[Double] =
+      (for (a <- r; b <- r) yield a * b).toArray
+    val m3 = outer(Array(1, 2, 1)); val m5 = outer(Array(1, 4, 6, 4, 1))
+    val m7 = outer(Array(1, 6, 15, 20, 15, 6, 1))
+    def gWin(d0: Double, d1: Double, srcN: Int, dim: Int): (Int, Int, Int) = {
+      var off = (0.5 + d0).toInt
+      val size = (0.5 + d1).toInt + 1 - off
+      off = off + size / 2 - dim / 2
+      val off2 = math.min(srcN, off + dim)
+      var shift = 0
+      if (off < 0) { shift = -off; off = 0 }
+      (off, off2, shift)
+    }
+    def directGauss(gxD: Long, gyD: Long, aff: Raster.WarpAffine, dim: Int,
+                    mat: Array[Double]): Double = {
+      val (x0, x1, shx) = gWin(gxD * aff.sx + aff.tx, (gxD + 1) * aff.sx + aff.tx, g, dim)
+      val (y0, y1, shy) = gWin(gyD * aff.sy + aff.ty, (gyD + 1) * aff.sy + aff.ty, g, dim)
+      var tot = 0.0; var cnt = 0.0
+      for (iy <- y0 until y1; ix <- x0 until x1) {
+        val v = pixG(ix, iy)
+        if (!v.isNaN) {
+          val w = mat((shy + iy - y0) * dim + (shx + ix - x0))
+          tot += v * w; cnt += w
+        }
+      }
+      if (cnt == 0.0) 0.0 else tot / cnt
+    }
+    // factor 2 -> 3x3; factor 4 with tx=-2 -> 5x5, exercising the low-edge
+    // shift (off<0) and the high-edge off2 truncation; factor 6 -> 7x7.
+    // tileSize stays the SOURCE tile size (the warp contract: src tiles and
+    // the param agree); dst pixels past the source extent are nodata 0 on
+    // both sides.
+    val cases = Seq(
+      (Raster.WarpAffine(2.0, 2.0, 0.0, 0.0), 3, m3),
+      (Raster.WarpAffine(4.0, 4.0, -2.0, -2.0), 5, m5),
+      (Raster.WarpAffine(6.0, 6.0, 0.0, 0.0), 7, m7))
+    for ((aff, dim, mat) <- cases) {
+      val got = Raster.warpAffine(tiles, z, 1, 1, aff, "gauss", g, g, ts).collect()
+      assert(got.length == 1, s"dim $dim")
+      val t = got.head
+      for (yy <- 0 until ts; xx <- 0 until ts) {
+        val want = directGauss(xx, yy, aff, dim, mat)
+        val gotV = t.pixels(yy * ts + xx)
+        assert(math.abs(gotV - want) < 1e-9,
+          s"gauss ${dim}x$dim dst($xx,$yy): got $gotV want $want")
+      }
+    }
+  }
+
   test("area kernels with fractional coverage == direct reference") {
     val s = spark
     val tiles = Raster.syntheticTiles(s, z, tileSize = ts)(f)
