@@ -255,6 +255,80 @@ object Queries4 {
           CAST(c0.a AS DOUBLE) * 0.25
         FROM (SELECT unnest(generate_series(0, 3)) AS a) c0,
              (SELECT unnest(generate_series(0, 5)) AS b) c1
-      ) ORDER BY part, a, b"""))
+      ) ORDER BY part, a, b""")),
+
+    // -- Perspective azimuthal projections (g53): Orthographic, Gnomonic
+    // and oblique Stereographic (spherical forms on the semi-major
+    // sphere; Snyder §20/§22/§21, PROJ ortho/gnom/stere — the remaining
+    // widely-used members of the azimuthal family after aeqd in g46).
+    // Points restricted to a lon/lat window whose worst corner is ~67°
+    // from the (40°N, 10°E) center, so every point is strictly inside all
+    // three domains (cos c ≥ 0.38; gnomonic k' ≤ 2.62) and no NaN branch
+    // can straddle the oracle. Forward coordinates mm-rounded with the
+    // oracle mirroring the kernel's operation order exactly; inverses
+    // verified as zero micro-degree round-trip residuals (Snyder 20-14
+    // shared azimuthal inverse core).
+    ("g53_proj_azimuthal", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = Queries.eventPoints(s, dir).where(col("event_id") < 5000)
+        .where(col("lon") > -50.0 && col("lon") < 70.0 &&
+               col("lat") > 0.0 && col("lat") < 80.0)
+        .withColumn("pw", gf.st_point(col("lon"), col("lat")))
+        .withColumn("go", expr("st_transform_ortho(pw, 40.0, 10.0)"))
+        .withColumn("gg", expr("st_transform_gnom(pw, 40.0, 10.0)"))
+        .withColumn("gs", expr("st_transform_stere(pw, 40.0, 10.0)"))
+        .withColumn("ro", expr(
+          "st_transform_ortho_inv(st_transform_ortho(pw, 40.0, 10.0), 40.0, 10.0)"))
+        .withColumn("rg", expr(
+          "st_transform_gnom_inv(st_transform_gnom(pw, 40.0, 10.0), 40.0, 10.0)"))
+        .withColumn("rs", expr(
+          "st_transform_stere_inv(st_transform_stere(pw, 40.0, 10.0), 40.0, 10.0)"))
+      base.select(col("event_id"),
+          expr("CAST(floor(st_x(go) * 1000.0 + 0.5) AS BIGINT)").as("ox_mm"),
+          expr("CAST(floor(st_y(go) * 1000.0 + 0.5) AS BIGINT)").as("oy_mm"),
+          expr("CAST(floor(st_x(gg) * 1000.0 + 0.5) AS BIGINT)").as("gx_mm"),
+          expr("CAST(floor(st_y(gg) * 1000.0 + 0.5) AS BIGINT)").as("gy_mm"),
+          expr("CAST(floor(st_x(gs) * 1000.0 + 0.5) AS BIGINT)").as("sx_mm"),
+          expr("CAST(floor(st_y(gs) * 1000.0 + 0.5) AS BIGINT)").as("sy_mm"),
+          expr("CAST(floor((st_x(ro) - lon) * 1000000.0 + 0.5) AS BIGINT)").as("orlon_u"),
+          expr("CAST(floor((st_y(ro) - lat) * 1000000.0 + 0.5) AS BIGINT)").as("orlat_u"),
+          expr("CAST(floor((st_x(rg) - lon) * 1000000.0 + 0.5) AS BIGINT)").as("grlon_u"),
+          expr("CAST(floor((st_y(rg) - lat) * 1000000.0 + 0.5) AS BIGINT)").as("grlat_u"),
+          expr("CAST(floor((st_x(rs) - lon) * 1000000.0 + 0.5) AS BIGINT)").as("srlon_u"),
+          expr("CAST(floor((st_y(rs) - lat) * 1000000.0 + 0.5) AS BIGINT)").as("srlat_u"))
+        .orderBy("event_id")
+    }, Some {
+      val aL = dlit(graft.geom.Conic.A)
+      val d2rl = "(pi() / 180.0)"
+      s"""WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events WHERE event_id < 5000),
+      ptf AS (SELECT * FROM pts
+              WHERE lon > -50.0 AND lon < 70.0 AND lat > 0.0 AND lat < 80.0),
+      cc AS (SELECT event_id, lon, lat,
+          lat * $d2rl AS phi, (lon - 10.0) * $d2rl AS dl,
+          40.0 * $d2rl AS phi0 FROM ptf),
+      az AS (SELECT event_id, phi, dl, phi0,
+          sin(phi0) * sin(phi) + cos(phi0) * cos(phi) * cos(dl) AS cosc
+          FROM cc),
+      v AS (SELECT event_id,
+          $aL * cos(phi) * sin(dl) AS ox,
+          $aL * (cos(phi0) * sin(phi) - sin(phi0) * cos(phi) * cos(dl)) AS oy,
+          $aL * (1.0 / cosc) * cos(phi) * sin(dl) AS gx,
+          $aL * (1.0 / cosc) * (cos(phi0) * sin(phi) - sin(phi0) * cos(phi) * cos(dl)) AS gy,
+          $aL * (2.0 / (1.0 + cosc)) * cos(phi) * sin(dl) AS sx,
+          $aL * (2.0 / (1.0 + cosc)) * (cos(phi0) * sin(phi) - sin(phi0) * cos(phi) * cos(dl)) AS sy
+          FROM az)
+      SELECT event_id,
+          CAST(floor(ox * 1000.0 + 0.5) AS BIGINT) AS ox_mm,
+          CAST(floor(oy * 1000.0 + 0.5) AS BIGINT) AS oy_mm,
+          CAST(floor(gx * 1000.0 + 0.5) AS BIGINT) AS gx_mm,
+          CAST(floor(gy * 1000.0 + 0.5) AS BIGINT) AS gy_mm,
+          CAST(floor(sx * 1000.0 + 0.5) AS BIGINT) AS sx_mm,
+          CAST(floor(sy * 1000.0 + 0.5) AS BIGINT) AS sy_mm,
+          CAST(0 AS BIGINT) AS orlon_u, CAST(0 AS BIGINT) AS orlat_u,
+          CAST(0 AS BIGINT) AS grlon_u, CAST(0 AS BIGINT) AS grlat_u,
+          CAST(0 AS BIGINT) AS srlon_u, CAST(0 AS BIGINT) AS srlat_u
+      FROM v ORDER BY event_id"""})
   )
 }

@@ -195,6 +195,18 @@ object GeoKernel {
     Wkb.write(Conic.mollGeom(decode(wkb), lon0))
   def fromMoll(wkb: Array[Byte], lon0: Double): Array[Byte] =
     Wkb.write(Conic.mollInvGeom(decode(wkb), lon0))
+  def toOrtho(wkb: Array[Byte], lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.orthoGeom(decode(wkb), lat0, lon0))
+  def fromOrtho(wkb: Array[Byte], lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.orthoInvGeom(decode(wkb), lat0, lon0))
+  def toGnom(wkb: Array[Byte], lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.gnomGeom(decode(wkb), lat0, lon0))
+  def fromGnom(wkb: Array[Byte], lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.gnomInvGeom(decode(wkb), lat0, lon0))
+  def toStere(wkb: Array[Byte], lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.stereGeom(decode(wkb), lat0, lon0))
+  def fromStere(wkb: Array[Byte], lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.stereInvGeom(decode(wkb), lat0, lon0))
 
   // ---- cells & tiles
   def cell(lon: Double, lat: Double, z: Int): Long = CellId.fromLonLat(lon, lat, z)

@@ -949,10 +949,13 @@ case class StDatumShift(children: Seq[Expression], inverse: Boolean)
   * +R=a), Equidistant Cylindrical (Snyder §12; PROJ eqc) and Mollweide
   * (Snyder §31; PROJ moll). `which`: 0=PS fwd, 1=PS inv, 2=sinu fwd,
   * 3=sinu inv, 4=aeqd fwd, 5=aeqd inv, 6=eqc fwd, 7=eqc inv, 8=moll fwd,
-  * 9=moll inv. Batch reprojection, not row-hot → CodegenFallback. */
+  * 9=moll inv, plus the perspective azimuthals (Snyder §20-§22; PROJ
+  * ortho/gnom/stere spherical oblique forms): 10=ortho fwd, 11=ortho inv,
+  * 12=gnom fwd, 13=gnom inv, 14=stere fwd, 15=stere inv — all
+  * (wkb, lat0, lon0). Batch reprojection, not row-hot → CodegenFallback. */
 case class StTransformProj(children: Seq[Expression], which: Int)
     extends Expression with ImplicitCastInputTypes with CodegenFallback {
-  private val nParams = if (which < 2 || which == 4 || which == 5) 2 else 1
+  private val nParams = if (which < 2 || which == 4 || which == 5 || which >= 10) 2 else 1
   require(children.length == nParams + 1,
     "st_transform_ps(wkb, lat_ts, lon0) / st_transform_sinu(wkb, lon0)")
   override def inputTypes: Seq[AbstractDataType] =
@@ -969,7 +972,13 @@ case class StTransformProj(children: Seq[Expression], which: Int)
     case 6 => "st_transform_eqc"
     case 7 => "st_transform_eqc_inv"
     case 8 => "st_transform_moll"
-    case _ => "st_transform_moll_inv"
+    case 9 => "st_transform_moll_inv"
+    case 10 => "st_transform_ortho"
+    case 11 => "st_transform_ortho_inv"
+    case 12 => "st_transform_gnom"
+    case 13 => "st_transform_gnom_inv"
+    case 14 => "st_transform_stere"
+    case _ => "st_transform_stere_inv"
   }
   override def eval(input: InternalRow): Any = {
     val w = children(0).eval(input)
@@ -993,7 +1002,13 @@ case class StTransformProj(children: Seq[Expression], which: Int)
       case 6 => GeoKernel.toEqc(wkb, ps(0))
       case 7 => GeoKernel.fromEqc(wkb, ps(0))
       case 8 => GeoKernel.toMoll(wkb, ps(0))
-      case _ => GeoKernel.fromMoll(wkb, ps(0))
+      case 9 => GeoKernel.fromMoll(wkb, ps(0))
+      case 10 => GeoKernel.toOrtho(wkb, ps(0), ps(1))
+      case 11 => GeoKernel.fromOrtho(wkb, ps(0), ps(1))
+      case 12 => GeoKernel.toGnom(wkb, ps(0), ps(1))
+      case 13 => GeoKernel.fromGnom(wkb, ps(0), ps(1))
+      case 14 => GeoKernel.toStere(wkb, ps(0), ps(1))
+      case _ => GeoKernel.fromStere(wkb, ps(0), ps(1))
     }
   }
   protected override def withNewChildrenInternal(ns: IndexedSeq[Expression]): StTransformProj =

@@ -87,6 +87,12 @@ object GraftFunctions {
     arity("st_transform_eqc_inv", 2)(a => StTransformProj(a, 7)),
     arity("st_transform_moll", 2)(a => StTransformProj(a, 8)),
     arity("st_transform_moll_inv", 2)(a => StTransformProj(a, 9)),
+    arity("st_transform_ortho", 3)(a => StTransformProj(a, 10)),
+    arity("st_transform_ortho_inv", 3)(a => StTransformProj(a, 11)),
+    arity("st_transform_gnom", 3)(a => StTransformProj(a, 12)),
+    arity("st_transform_gnom_inv", 3)(a => StTransformProj(a, 13)),
+    arity("st_transform_stere", 3)(a => StTransformProj(a, 14)),
+    arity("st_transform_stere_inv", 3)(a => StTransformProj(a, 15)),
     arity("st_towgs84", 10)(a => StDatumShift(a, inverse = false)),
     arity("st_fromwgs84", 10)(a => StDatumShift(a, inverse = true)),
     arity("st_style_part_count", 1)(a => StStyle(a, 0)),

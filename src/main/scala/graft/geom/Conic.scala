@@ -299,7 +299,128 @@ object Conic {
     (lam / d2r, phi / d2r)
   }
 
+  // ---- Perspective azimuthals, spherical oblique forms on the
+  // semi-major sphere (+R=a): Orthographic (Snyder §20 20-3..20-4 /
+  // 20-14..20-18; PROJ ortho — the "view from infinity" satellite frame),
+  // Gnomonic (Snyder §22 22-4..22-5 / 22-14..; PROJ gnom — great circles
+  // map to straight lines, the radio/route-planning frame) and oblique
+  // Stereographic with k0=1 (Snyder §21 21-2..21-4 / 21-15..; PROJ stere
+  // away from the poles — conformal azimuthal; the polar variant-B form
+  // lives in psForward above). All three share the (sin c, cos c)
+  // spherical-triangle core with aeqd and differ only in the radial
+  // scaling k'. Out-of-domain points (the far hemisphere for ortho/gnom,
+  // the antipode for stere) are a projection error in PROJ ("tolerance
+  // condition") → (NaN, NaN), matching aeqdForward's antipode contract.
+
+  /** Orthographic forward: k' = 1; far hemisphere (cos c < 0) → NaN. */
+  def orthoForward(lonDeg: Double, latDeg: Double, lat0Deg: Double,
+                   lon0Deg: Double): (Double, Double) = {
+    val phi = latDeg * d2r; val dl = (lonDeg - lon0Deg) * d2r
+    val phi0 = lat0Deg * d2r
+    val cosC = math.sin(phi0) * math.sin(phi) +
+      math.cos(phi0) * math.cos(phi) * math.cos(dl)
+    if (cosC < 0.0) return (Double.NaN, Double.NaN)
+    val x = A * math.cos(phi) * math.sin(dl)
+    val y = A * (math.cos(phi0) * math.sin(phi) -
+      math.sin(phi0) * math.cos(phi) * math.cos(dl))
+    (x, y)
+  }
+
+  /** Orthographic inverse (Snyder 20-14..20-18): c = asin(ρ/R); ρ > R is
+    * off the disc → NaN. */
+  def orthoInverse(x: Double, y: Double, lat0Deg: Double,
+                   lon0Deg: Double): (Double, Double) = {
+    val phi0 = lat0Deg * d2r; val lam0 = lon0Deg * d2r
+    val rho = math.sqrt(x * x + y * y)
+    if (rho == 0.0) return (lon0Deg, lat0Deg)
+    if (rho > A) return (Double.NaN, Double.NaN)
+    val sinC = rho / A
+    val cosC = math.sqrt(math.max(0.0, 1.0 - sinC * sinC))
+    azInverse(x, y, rho, sinC, cosC, phi0, lam0)
+  }
+
+  /** Gnomonic forward: k' = 1 / cos c; the horizon circle and far
+    * hemisphere (cos c ≤ ~0) → NaN (k' → ∞ exactly at the horizon). */
+  def gnomForward(lonDeg: Double, latDeg: Double, lat0Deg: Double,
+                  lon0Deg: Double): (Double, Double) = {
+    val phi = latDeg * d2r; val dl = (lonDeg - lon0Deg) * d2r
+    val phi0 = lat0Deg * d2r
+    val cosC = math.sin(phi0) * math.sin(phi) +
+      math.cos(phi0) * math.cos(phi) * math.cos(dl)
+    if (cosC < 1e-10) return (Double.NaN, Double.NaN)
+    val kp = 1.0 / cosC
+    val x = A * kp * math.cos(phi) * math.sin(dl)
+    val y = A * kp * (math.cos(phi0) * math.sin(phi) -
+      math.sin(phi0) * math.cos(phi) * math.cos(dl))
+    (x, y)
+  }
+
+  /** Gnomonic inverse (Snyder 22-14..22-17): c = atan(ρ/R). */
+  def gnomInverse(x: Double, y: Double, lat0Deg: Double,
+                  lon0Deg: Double): (Double, Double) = {
+    val phi0 = lat0Deg * d2r; val lam0 = lon0Deg * d2r
+    val rho = math.sqrt(x * x + y * y)
+    if (rho == 0.0) return (lon0Deg, lat0Deg)
+    val c = math.atan2(rho, A)
+    azInverse(x, y, rho, math.sin(c), math.cos(c), phi0, lam0)
+  }
+
+  /** Oblique stereographic forward, k0 = 1: k = 2 / (1 + cos c); the
+    * antipode (cos c = −1) → NaN. */
+  def stereForward(lonDeg: Double, latDeg: Double, lat0Deg: Double,
+                   lon0Deg: Double): (Double, Double) = {
+    val phi = latDeg * d2r; val dl = (lonDeg - lon0Deg) * d2r
+    val phi0 = lat0Deg * d2r
+    val cosC = math.sin(phi0) * math.sin(phi) +
+      math.cos(phi0) * math.cos(phi) * math.cos(dl)
+    val den = 1.0 + cosC
+    if (den < 1e-10) return (Double.NaN, Double.NaN)
+    val k = 2.0 / den
+    val x = A * k * math.cos(phi) * math.sin(dl)
+    val y = A * k * (math.cos(phi0) * math.sin(phi) -
+      math.sin(phi0) * math.cos(phi) * math.cos(dl))
+    (x, y)
+  }
+
+  /** Oblique stereographic inverse (Snyder 21-15): c = 2 atan(ρ / 2R). */
+  def stereInverse(x: Double, y: Double, lat0Deg: Double,
+                   lon0Deg: Double): (Double, Double) = {
+    val phi0 = lat0Deg * d2r; val lam0 = lon0Deg * d2r
+    val rho = math.sqrt(x * x + y * y)
+    if (rho == 0.0) return (lon0Deg, lat0Deg)
+    val c = 2.0 * math.atan2(rho, 2.0 * A)
+    azInverse(x, y, rho, math.sin(c), math.cos(c), phi0, lam0)
+  }
+
+  /** Shared azimuthal inverse core (Snyder 20-14/20-15 form, valid for
+    * every azimuthal once (sin c, cos c) is known), with the PROJ adjlon
+    * wrap to (−180, 180] that aeqdInverse uses. */
+  @inline private def azInverse(x: Double, y: Double, rho: Double,
+      sinC: Double, cosC: Double, phi0: Double, lam0: Double): (Double, Double) = {
+    val phi = math.asin(math.max(-1.0, math.min(1.0,
+      cosC * math.sin(phi0) + y * sinC * math.cos(phi0) / rho)))
+    val lam = lam0 + math.atan2(x * sinC,
+      rho * math.cos(phi0) * cosC - y * math.sin(phi0) * sinC)
+    val lonDeg = lam / d2r
+    val wrapped = if (lonDeg > 180.0) lonDeg - 360.0
+      else if (lonDeg <= -180.0) lonDeg + 360.0 else lonDeg
+    (wrapped, phi / d2r)
+  }
+
   // ---- geometry-level transforms (WKB path goes through GeoKernel)
+
+  def orthoGeom(g: Geom, lat0: Double, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => orthoForward(x, y, lat0, lon0))
+  def orthoInvGeom(g: Geom, lat0: Double, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => orthoInverse(x, y, lat0, lon0))
+  def gnomGeom(g: Geom, lat0: Double, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => gnomForward(x, y, lat0, lon0))
+  def gnomInvGeom(g: Geom, lat0: Double, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => gnomInverse(x, y, lat0, lon0))
+  def stereGeom(g: Geom, lat0: Double, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => stereForward(x, y, lat0, lon0))
+  def stereInvGeom(g: Geom, lat0: Double, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => stereInverse(x, y, lat0, lon0))
 
   def aeqdGeom(g: Geom, lat0: Double, lon0: Double): Geom =
     GeoOps.mapCoords(g, (x, y) => aeqdForward(x, y, lat0, lon0))

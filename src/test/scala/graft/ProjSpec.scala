@@ -138,4 +138,111 @@ class ProjSpec extends AnyFunSuite {
     val (lonB, latB) = Conic.eqcInverse(x, y, 30.0)
     assert(math.abs(lonB + 45.0) < 1e-12 && math.abs(latB - 60.0) < 1e-12)
   }
+
+  // ---- perspective azimuthals (g53 family)
+
+  private val azCases = for {
+    lon <- Seq(-160.0, -45.3, 0.0, 10.0, 77.7, 179.0)
+    lat <- Seq(-80.0, -33.0, 0.0, 40.0, 66.6)
+  } yield (lon, lat)
+
+  test("ortho/gnom/stere: round-trip identity inside each domain") {
+    val (lat0, lon0) = (40.0, 10.0)
+    def cosC(lon: Double, lat: Double): Double = {
+      val d = math.Pi / 180.0
+      math.sin(lat0 * d) * math.sin(lat * d) +
+        math.cos(lat0 * d) * math.cos(lat * d) * math.cos((lon - lon0) * d)
+    }
+    for ((lon, lat) <- azCases) {
+      val c = cosC(lon, lat)
+      if (c > 1e-3) { // strictly inside ortho + gnom domains
+        val (ox, oy) = Conic.orthoForward(lon, lat, lat0, lon0)
+        val (olo, ola) = Conic.orthoInverse(ox, oy, lat0, lon0)
+        assert(math.abs(olo - lon) < 1e-9 && math.abs(ola - lat) < 1e-9, s"ortho $lon,$lat")
+        val (gx, gy) = Conic.gnomForward(lon, lat, lat0, lon0)
+        val (glo, gla) = Conic.gnomInverse(gx, gy, lat0, lon0)
+        assert(math.abs(glo - lon) < 1e-9 && math.abs(gla - lat) < 1e-9, s"gnom $lon,$lat")
+      }
+      if (c > -0.999) { // everywhere but the antipode for stere
+        val (sx, sy) = Conic.stereForward(lon, lat, lat0, lon0)
+        val (slo, sla) = Conic.stereInverse(sx, sy, lat0, lon0)
+        assert(math.abs(slo - lon) < 1e-8 && math.abs(sla - lat) < 1e-8, s"stere $lon,$lat")
+      }
+    }
+  }
+
+  test("ortho/gnom/stere: defining radial scalings vs angular distance c") {
+    // At (lat0=0, lon0=0) and a point on the equator at lon=c the radius
+    // from center is R sin c (ortho), R tan c (gnom), 2R tan(c/2) (stere)
+    // — Snyder 20-3, 22-4, 21-2 collapsed to the equatorial aspect.
+    val d2r = math.Pi / 180.0
+    for (cDeg <- Seq(5.0, 30.0, 60.0, 85.0)) {
+      val c = cDeg * d2r
+      val (ox, oy) = Conic.orthoForward(cDeg, 0.0, 0.0, 0.0)
+      assert(math.abs(ox - Conic.A * math.sin(c)) < 1e-6 && math.abs(oy) < 1e-6, s"ortho c=$cDeg")
+      val (gx, _) = Conic.gnomForward(cDeg, 0.0, 0.0, 0.0)
+      assert(math.abs(gx - Conic.A * math.tan(c)) < 1e-5, s"gnom c=$cDeg")
+      val (sx, _) = Conic.stereForward(cDeg, 0.0, 0.0, 0.0)
+      assert(math.abs(sx - 2.0 * Conic.A * math.tan(c / 2.0)) < 1e-6, s"stere c=$cDeg")
+    }
+  }
+
+  test("ortho/gnom/stere: out-of-domain points are a projection error (NaN)") {
+    // far hemisphere point relative to (40, 10)
+    val (fx, fy) = Conic.orthoForward(-170.0, -40.0, 40.0, 10.0)
+    assert(fx.isNaN && fy.isNaN)
+    val (hx, hy) = Conic.gnomForward(-170.0, -40.0, 40.0, 10.0)
+    assert(hx.isNaN && hy.isNaN)
+    // gnomonic horizon (c = 90°): equatorial aspect, lon exactly 90° away
+    val (ex, ey) = Conic.gnomForward(90.0, 0.0, 0.0, 0.0)
+    assert(ex.isNaN && ey.isNaN)
+    // stereographic antipode only
+    val (ax, ay) = Conic.stereForward(-170.0, -40.0, 40.0, 10.0)
+    assert(ax.isNaN && ay.isNaN)
+    // ...but the far hemisphere is fine for stere (one-point compactification)
+    val (bx, by) = Conic.stereForward(-170.0, -39.0, 40.0, 10.0)
+    assert(!bx.isNaN && !by.isNaN)
+    // ortho inverse off the disc
+    val (nx, ny) = Conic.orthoInverse(Conic.A * 1.01, 0.0, 40.0, 10.0)
+    assert(nx.isNaN && ny.isNaN)
+  }
+
+  test("gnomonic: great circles map to straight lines (the defining property)") {
+    // Three points on one great circle (the plane through two random
+    // points and the origin) must be collinear in gnomonic coordinates.
+    val d2r = math.Pi / 180.0
+    def unit(lon: Double, lat: Double) = {
+      val (lo, la) = (lon * d2r, lat * d2r)
+      (math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo), math.sin(la))
+    }
+    val a = unit(-20.0, 25.0); val b = unit(55.0, 60.0)
+    // midpoint on the sphere of the arc a→b
+    val m0 = ((a._1 + b._1) / 2, (a._2 + b._2) / 2, (a._3 + b._3) / 2)
+    val n = math.sqrt(m0._1 * m0._1 + m0._2 * m0._2 + m0._3 * m0._3)
+    val m = (m0._1 / n, m0._2 / n, m0._3 / n)
+    def toLonLat(v: (Double, Double, Double)) =
+      (math.atan2(v._2, v._1) / d2r, math.asin(v._3) / d2r)
+    val pts = Seq(a, m, b).map(toLonLat).map { case (lo, la) =>
+      Conic.gnomForward(lo, la, 40.0, 10.0)
+    }
+    val (x1, y1) = pts(0); val (x2, y2) = pts(1); val (x3, y3) = pts(2)
+    val cross = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+    val scale = math.hypot(x3 - x1, y3 - y1) * math.hypot(x2 - x1, y2 - y1)
+    assert(math.abs(cross) / scale < 1e-9, s"deviation ${cross / scale}")
+  }
+
+  test("stereographic: conformal (local circles stay circles, k uniform in direction)") {
+    // Scale factor along the meridian equals scale along the parallel at
+    // a test point (numeric differentiation) — conformality check.
+    val (lat0, lon0) = (40.0, 10.0)
+    val (lon, lat) = (35.0, 55.0)
+    val h = 1e-6
+    val d2r = math.Pi / 180.0
+    val (x0, y0) = Conic.stereForward(lon, lat, lat0, lon0)
+    val (xm, ym) = Conic.stereForward(lon, lat + h, lat0, lon0)
+    val (xp, yp) = Conic.stereForward(lon + h, lat, lat0, lon0)
+    val kMeridian = math.hypot(xm - x0, ym - y0) / (h * d2r * Conic.A)
+    val kParallel = math.hypot(xp - x0, yp - y0) / (h * d2r * Conic.A * math.cos(lat * d2r))
+    assert(math.abs(kMeridian / kParallel - 1.0) < 1e-4, s"$kMeridian vs $kParallel")
+  }
 }
