@@ -329,6 +329,39 @@ object Queries4 {
           CAST(0 AS BIGINT) AS orlon_u, CAST(0 AS BIGINT) AS orlat_u,
           CAST(0 AS BIGINT) AS grlon_u, CAST(0 AS BIGINT) AS grlat_u,
           CAST(0 AS BIGINT) AS srlon_u, CAST(0 AS BIGINT) AS srlat_u
-      FROM v ORDER BY event_id"""})
+      FROM v ORDER BY event_id"""}),
+
+    // -- Streaming late-data drop semantics (s03): the watermark contract
+    // that keeps streaming aggregation state BOUNDED at scale. Events
+    // arrive as 4 deterministic microbatches (event_id % 4 — each spans
+    // the full event-time range, so batches 1-3 are almost entirely
+    // late), one checkpoint-restarted AvailableNow run per batch; the
+    // watermark while processing batch k is max(event-time ms over
+    // batches < k) − 600500, and a row survives iff its 5-minute window
+    // end is above it. The oracle replays exactly that advancement:
+    // per-batch max, prefix max, keep-predicate, aggregate. The 500 ms
+    // delay offset keeps the watermark off every window-end boundary so
+    // no equality-strictness ambiguity exists (boundary-collision-free
+    // verified at sf0.001/0.01/0.1). Complements s01, which phases
+    // arrival monotonically so NOTHING drops.
+    ("s03_stream_late", (s, dir) => {
+      streaming.StreamJobs.lateDemo(s, s"$dir/events.parquet",
+        "/tmp/graft_s03_work")
+    }, Some("""
+      WITH e AS (SELECT event_id, event_type, value, epoch_us(ts) AS us,
+                        event_id % 4 AS b FROM events),
+      w AS (SELECT *, (us // 300000000) * 300 AS wstart,
+                   (us // 300000000) * 300000 + 300000 AS wend_ms,
+                   us // 1000 AS ms FROM e),
+      bm AS (SELECT b, max(ms) AS mx FROM w GROUP BY b),
+      pm AS (SELECT b, max(mx) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+             FROM bm),
+      kept AS (SELECT w.* FROM w JOIN pm USING (b)
+               WHERE pm.prevmax IS NULL OR w.wend_ms > pm.prevmax - 600500)
+      SELECT CAST(wstart AS BIGINT) AS wstart, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM kept GROUP BY 1, 2 ORDER BY wstart, event_type"""))
   )
 }

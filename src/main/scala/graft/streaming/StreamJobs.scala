@@ -51,14 +51,15 @@ object StreamJobs {
     * counts → parquet sink with checkpointing (exactly-once). */
   def runFileStream(spark: SparkSession, inDir: String, outDir: String,
                     checkpointDir: String, schemaFrom: String,
-                    maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+                    maxFilesPerTrigger: Option[Int] = None,
+                    watermark: String = "10 minutes"): StreamingQuery = {
     val schema = spark.read.parquet(schemaFrom).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     // watermarks require TIMESTAMP; events.ts arrives TIMESTAMP_NTZ (cast is
     // value-preserving under the pinned UTC session timezone)
     val in = reader.parquet(inDir).withColumn("ts", col("ts").cast("timestamp"))
-    windowedCounts(in).writeStream
+    windowedCounts(in, watermark = watermark).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -101,6 +102,53 @@ object StreamJobs {
       sliced.where(col("__slice") === i).drop("__slice")
         .repartition(1).write.mode("append").parquet(inDir)
     } :+ { () => sentinel.repartition(1).write.mode("append").parquet(inDir) }
+  }
+
+  /** Late-data watermark semantics, end-to-end and DETERMINISTIC (the
+    * contract that makes streaming aggregation bounded-state at scale:
+    * rows whose window closed under the watermark are dropped, not
+    * buffered forever). The events table arrives as `nSlices` microbatches
+    * sliced by `event_id % nSlices` — every slice spans the full
+    * event-time range, so slice 0 advances the watermark to ~(global max −
+    * delay) and the later slices arrive almost entirely late. Each slice
+    * is one file and one checkpoint-restarted AvailableNow run, so batch
+    * boundaries (and therefore watermark advancement) are exactly
+    * reproducible: the watermark used while processing slice k is
+    * max(event-time ms over slices < k) − delayMs, and a row is kept iff
+    * its window end (ms) exceeds it. The delay is 600500 ms — the odd
+    * 500 ms offset keeps the watermark off every window-end boundary
+    * (multiples of 300 000 ms), so the keep/drop predicate can never sit
+    * on an equality whose strictness would have to match Spark's
+    * internals bit-for-bit. A +1 h sentinel then closes all real windows
+    * and a final no-data restart flushes them (same machinery as
+    * [[resumeDemo]]). Returns the surviving windowed counts. */
+  def lateDemo(spark: SparkSession, eventsParquet: String, work: String,
+               nSlices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rmr(spark, work)
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    val ev = spark.read.parquet(eventsParquet)
+    val tsSec = col("ts").cast("timestamp").cast("long")
+    val t1 = ev.agg(max(tsSec)).head().getLong(0)
+    val sentinel = ev.limit(1)
+      .withColumn("ts", lit(t1 + 3600L).cast("timestamp").cast("timestamp_ntz"))
+      .withColumn("event_type", lit("sentinel_flush"))
+      .withColumn("value", lit(0.0))
+    def run(): Unit =
+      runFileStream(spark, inDir, outDir, ck, eventsParquet,
+        watermark = "600500 milliseconds").awaitTermination()
+    for (k <- 0 until nSlices) {
+      ev.where(col("event_id") % nSlices === k)
+        .repartition(1).write.mode("append").parquet(inDir)
+      run()
+    }
+    sentinel.repartition(1).write.mode("append").parquet(inDir)
+    run()
+    run() // no-data flush: emits the windows the sentinel's watermark closed
+    spark.read.parquet(outDir)
+      .where(col("event_type") =!= "sentinel_flush")
+      .select(col("wstart"), col("event_type"), col("n"), col("sum_cents"))
+      .orderBy("wstart", "event_type")
   }
 
   /** End-to-end resumable streaming job (the streaming twin of the batch

@@ -60,4 +60,41 @@ class StreamResumeSpec extends AnyFunSuite {
     assert(got.length === expected.length)
     assert(got.toSeq === expected.toSeq)
   }
+
+  test("late-data watermark drop: interleaved arrival drops exactly the analytic set") {
+    // lateDemo slices by event_id % 4 (every slice spans the full range →
+    // slices 1-3 arrive almost entirely late). Replay Spark's watermark
+    // advancement analytically IN BATCH SQL and require (a) exact
+    // equality and (b) that the drop path genuinely fired.
+    val got = StreamJobs.lateDemo(spark, s"$sfDir/events.parquet",
+        "/tmp/graft_stream_late_spec")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    ev.createOrReplaceTempView("ev_late")
+    val expected = spark.sql("""
+      WITH e AS (SELECT event_id, event_type, value,
+                        unix_micros(CAST(ts AS TIMESTAMP)) AS us,
+                        event_id % 4 AS b FROM ev_late),
+      w AS (SELECT *, CAST(us / 300000000 AS BIGINT) * 300 AS wstart,
+                   CAST(us / 300000000 AS BIGINT) * 300000 + 300000 AS wend_ms,
+                   CAST(us / 1000 AS BIGINT) AS ms FROM e),
+      bm AS (SELECT b, max(ms) AS mx FROM w GROUP BY b),
+      pm AS (SELECT b, max(mx) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+             FROM bm),
+      kept AS (SELECT w.* FROM w JOIN pm USING (b)
+               WHERE pm.prevmax IS NULL OR w.wend_ms > pm.prevmax - 600500)
+      SELECT wstart, event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM kept GROUP BY 1, 2 ORDER BY wstart, event_type""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    assert(got.toSeq === expected.toSeq)
+    val keptRows = got.map(_._3).sum
+    val totalRows = ev.count()
+    assert(keptRows < totalRows, s"no rows dropped ($keptRows of $totalRows) — late path untested")
+    // slices 1-3 are ~75% of rows and almost all late: expect a large drop
+    assert(keptRows < totalRows / 2, s"drop too small: $keptRows of $totalRows")
+  }
 }
