@@ -362,6 +362,65 @@ object Queries4 {
       SELECT CAST(wstart AS BIGINT) AS wstart, event_type,
              count(*) AS n,
              CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
-      FROM kept GROUP BY 1, 2 ORDER BY wstart, event_type"""))
+      FROM kept GROUP BY 1, 2 ORDER BY wstart, event_type""")),
+
+    // -- Edit-family metadata pipeline (q31): gdal vector set-field-type /
+    // edit rename / rename-layer / export-schema
+    // (apps/gdalalg_vector_{set_field_type,edit,rename_layer,
+    // export_schema}.h) — the schema-surgery steps are pure Catalyst
+    // metadata ops (cast / withColumnRenamed / view rename), and
+    // export-schema emits the resulting layer schema with OGR field-type
+    // names (OFTInteger/Integer64/Real/String/Date/DateTime). The gate
+    // checks BOTH the exported schema after the edit pipeline and that
+    // the retyped VALUES flowed through the casts correctly.
+    ("q31_edit_schema", (s, dir) => {
+      prep(s)
+      val sp = s
+      import sp.implicits._
+      val edited = t(s, dir, "events")
+        .withColumn("event_id", col("event_id").cast("int")) // set-field-type
+        .withColumn("day", col("ts").cast("timestamp").cast("date"))
+        .drop("ts")
+        .withColumnRenamed("props", "attributes") // edit: rename fields
+        .withColumnRenamed("user_id", "uid")
+      edited.createOrReplaceTempView("events_v2") // rename-layer
+      def ogrType(dt: org.apache.spark.sql.types.DataType): String = {
+        import org.apache.spark.sql.types._
+        dt match {
+          case IntegerType => "integer"
+          case LongType => "integer64"
+          case DoubleType => "real"
+          case StringType => "string"
+          case DateType => "date"
+          case _: TimestampNTZType | _: TimestampType => "datetime"
+          case other => other.simpleString
+        }
+      }
+      val schemaDf = edited.schema.fields.zipWithIndex.toSeq
+        .map { case (f, i) => ("schema", i.toLong, f.name, ogrType(f.dataType)) }
+        .toDF("part", "ord", "k", "v")
+      val aggDf = s.sql("""
+        SELECT 'agg' AS part, CAST(0 AS BIGINT) AS ord, 'sum_ids' AS k,
+               CAST(sum(event_id) AS STRING) AS v FROM events_v2
+        UNION ALL SELECT 'agg', 1, 'n_days',
+               CAST(count(DISTINCT day) AS STRING) FROM events_v2
+        UNION ALL SELECT 'agg', 2, 'n_attrs',
+               CAST(count(attributes) AS STRING) FROM events_v2""")
+      schemaDf.unionByName(aggDf).orderBy("part", "ord")
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('schema', 0, 'event_id', 'integer'),
+        ('schema', 1, 'uid', 'integer64'),
+        ('schema', 2, 'event_type', 'string'),
+        ('schema', 3, 'value', 'real'),
+        ('schema', 4, 'attributes', 'string'),
+        ('schema', 5, 'day', 'date')) AS t(part, ord, k, v)
+      UNION ALL SELECT 'agg', 0, 'sum_ids',
+        CAST(sum(CAST(event_id AS INTEGER)) AS VARCHAR) FROM events
+      UNION ALL SELECT 'agg', 1, 'n_days',
+        CAST(count(DISTINCT CAST(ts AS DATE)) AS VARCHAR) FROM events
+      UNION ALL SELECT 'agg', 2, 'n_attrs',
+        CAST(count(props) AS VARCHAR) FROM events
+      ORDER BY part, ord"""))
   )
 }
