@@ -421,6 +421,90 @@ object Queries4 {
         CAST(count(DISTINCT CAST(ts AS DATE)) AS VARCHAR) FROM events
       UNION ALL SELECT 'agg', 2, 'n_attrs',
         CAST(count(props) AS VARCHAR) FROM events
-      ORDER BY part, ord"""))
+      ORDER BY part, ord""")),
+
+    // -- Geocoding analog (g54): OGRGeocode / OGRGeocodeReverse matching
+    // semantics (ogr/ogr_geocoding.cpp) against a gazetteer table — the
+    // network service is out of scope, the cache-and-match algorithm is
+    // in-engine (engine/Geocode.scala). Gazetteer = the nation table
+    // placed on the deterministic point cloud; forward queries are four
+    // deterministic corruptions of nation names (case/padding/prefix
+    // noise/doubled separator — ids ≥ 25 have NO exact match and force
+    // the fuzzy path), scored by exact integer trigram-Jaccard millis
+    // with (sim desc, name, key) tie-break; reverse queries take the
+    // nearest entry by the exact great-circle used in g04. The oracle
+    // ranks the full candidate set single-pass — equivalent because an
+    // exact normalized match has identical trigram sets (sim = 1000) and
+    // distinct gazetteer names here have distinct trigram sets.
+    ("g54_geocode", (s, dir) => {
+      prep(s)
+      val gaz = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("key"),
+        col("n_name").as("name"),
+        expr(lonOf("n_nationkey")).as("lon"),
+        expr(latOf("n_nationkey")).as("lat"))
+      val queries = t(s, dir, "events").where(col("event_id") < 400)
+        .withColumn("base",
+          concat(lit("NATION_"), expr("CAST(event_id % 30 AS STRING)")))
+        .select(col("event_id").as("qid"),
+          expr("""CASE CAST(event_id % 4 AS INT)
+            WHEN 0 THEN lower(base)
+            WHEN 1 THEN concat('  ', base, ' ')
+            WHEN 2 THEN concat('X', base)
+            ELSE replace(base, '_', '__') END""").as("query"))
+      val fwd = engine.Geocode.forward(queries, gaz)
+        .select(lit("f").as("part"), col("qid"), col("key"), col("name"),
+          col("sim_milli"), lit(0L).as("dist_hm"))
+      val pts = Queries.eventPoints(s, dir)
+        .where(col("event_id") >= 5000 && col("event_id") < 5300)
+        .select(col("event_id").as("qid"),
+          col("lon").as("plon"), col("lat").as("plat"))
+      val rev = engine.Geocode.reverse(pts, gaz)
+        .select(lit("r").as("part"), col("qid"), col("key"), col("name"),
+          lit(0L).as("sim_milli"),
+          expr("CAST(floor(dist_m / 100.0 + 0.5) AS BIGINT)").as("dist_hm"))
+      fwd.unionByName(rev).orderBy("part", "qid")
+    }, Some {
+      val tgN = trigramCodes("lower(trim(regexp_replace(name, '\\s+', ' ', 'g')))", duck = true)
+      val tgS = trigramCodes("s", duck = true)
+      s"""WITH gaz AS (SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name,
+              ${lonOf("n_nationkey")} AS lon, ${latOf("n_nationkey")} AS lat
+            FROM nation),
+      q AS (SELECT event_id AS qid,
+              concat('NATION_', CAST(event_id % 30 AS VARCHAR)) AS base
+            FROM events WHERE event_id < 400),
+      nq AS (SELECT qid, lower(trim(regexp_replace(
+              CASE CAST(qid % 4 AS INT)
+                WHEN 0 THEN lower(base)
+                WHEN 1 THEN concat('  ', base, ' ')
+                WHEN 2 THEN concat('X', base)
+                ELSE replace(base, '_', '__') END, '\\s+', ' ', 'g'))) AS s
+            FROM q),
+      gt AS (SELECT key, name, list_distinct($tgN) AS tg FROM gaz),
+      qt AS (SELECT qid, list_distinct($tgS) AS tq FROM nq),
+      sc AS (SELECT qid, key, name,
+              len(list_filter(tq, x -> list_contains(tg, x))) AS inter,
+              len(tq) + len(tg) AS tot
+            FROM qt, gt),
+      sm AS (SELECT qid, key, name, (inter * 1000) // (tot - inter) AS sim
+            FROM sc WHERE tot - inter > 0),
+      rk AS (SELECT *, row_number() OVER
+              (PARTITION BY qid ORDER BY sim DESC, name, key) AS rn
+            FROM sm WHERE sim >= 400),
+      fwd AS (SELECT 'f' AS part, qid, key, name,
+              CAST(sim AS BIGINT) AS sim_milli, CAST(0 AS BIGINT) AS dist_hm
+            FROM rk WHERE rn = 1),
+      pts AS (SELECT event_id AS qid, ${lonOf("event_id")} AS plon,
+              ${latOf("event_id")} AS plat
+            FROM events WHERE event_id >= 5000 AND event_id < 5300),
+      rj AS (SELECT qid, key, name,
+              ${greatCircle("plat", "plon", "lat", "lon")} AS d
+            FROM pts, gaz),
+      rr AS (SELECT *, row_number() OVER
+              (PARTITION BY qid ORDER BY d, key) AS rn FROM rj),
+      rev AS (SELECT 'r' AS part, qid, key, name, CAST(0 AS BIGINT) AS sim_milli,
+              CAST(floor(d / 100.0 + 0.5) AS BIGINT) AS dist_hm
+            FROM rr WHERE rn = 1)
+      SELECT * FROM fwd UNION ALL SELECT * FROM rev ORDER BY part, qid"""})
   )
 }
