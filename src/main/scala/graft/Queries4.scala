@@ -505,6 +505,50 @@ object Queries4 {
       rev AS (SELECT 'r' AS part, qid, key, name, CAST(0 AS BIGINT) AS sim_milli,
               CAST(floor(d / 100.0 + 0.5) AS BIGINT) AS dist_hm
             FROM rr WHERE rn = 1)
-      SELECT * FROM fwd UNION ALL SELECT * FROM rev ORDER BY part, qid"""})
+      SELECT * FROM fwd UNION ALL SELECT * FROM rev ORDER BY part, qid"""}),
+
+    // -- gdal vector combine (g55): group-by + geometry COLLECT (no union —
+    // contrast dissolve), gdalalg_vector_combine.cpp. Source layer declares
+    // POINT → destination MULTIPOINT (OGR_GT_GetCollection, combine.cpp:227);
+    // every 5th customer carries a MULTIPOINT whose components are flattened
+    // into the group collection (keep-nested=false, combine.cpp:455-461);
+    // members keep source FID order. add-extra-fields=always_identical keeps
+    // nat2 (identical within every group by construction) and drops
+    // c_mktsegment (every nation has >=2 segments at both test scales —
+    // verified in the fixture data), mirroring the reference's SQLite
+    // MIN(COUNT(DISTINCT COALESCE(f,'__NULL__'))==1) prepass.
+    ("g55_combine", (s, dir) => {
+      prep(s)
+      val c = t(s, dir, "customer").where(col("c_custkey") < 400)
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_custkey") % 360 - 180).cast("long").as("x"),
+          (col("c_custkey") % 170 - 85).cast("long").as("y"),
+          col("c_mktsegment"),
+          (col("c_nationkey") * 2).cast("long").as("nat2"))
+        .withColumn("wkt", when(col("c_custkey") % 5 === 0,
+            concat(lit("MULTIPOINT (("), col("x"), lit(" "), col("y"),
+              lit("),("), col("x") + 1, lit(" "), col("y") + 1, lit("))")))
+          .otherwise(
+            concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")"))))
+      engine.Combine.combine(c, Seq("c_nationkey"), "c_custkey", "wkt",
+          srcGeomType = "POINT", keepNested = false,
+          addExtraFields = "always_identical",
+          extraFields = Seq("c_mktsegment", "nat2"))
+        .orderBy("c_nationkey")
+    }, Some("""
+      WITH src AS (
+        SELECT c_custkey, c_nationkey,
+               c_custkey % 360 - 180 AS x, c_custkey % 170 - 85 AS y
+        FROM customer WHERE c_custkey < 400),
+      frag AS (
+        SELECT c_custkey, c_nationkey,
+          CASE WHEN c_custkey % 5 = 0 THEN
+            '(' || x || ' ' || y || '),(' || (x + 1) || ' ' || (y + 1) || ')'
+          ELSE '(' || x || ' ' || y || ')' END AS f
+        FROM src)
+      SELECT c_nationkey, CAST(c_nationkey * 2 AS BIGINT) AS nat2,
+        'MULTIPOINT (' || string_agg(f, ',' ORDER BY c_custkey) || ')'
+          AS geometry_wkt
+      FROM frag GROUP BY c_nationkey ORDER BY c_nationkey"""))
   )
 }
