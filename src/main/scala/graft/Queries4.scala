@@ -549,6 +549,74 @@ object Queries4 {
       SELECT c_nationkey, CAST(c_nationkey * 2 AS BIGINT) AS nat2,
         'MULTIPOINT (' || string_agg(f, ',' ORDER BY c_custkey) || ')'
           AS geometry_wkt
-      FROM frag GROUP BY c_nationkey ORDER BY c_nationkey"""))
+      FROM frag GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // -- gdalenhance histogram equalization (r48): the reference's full
+    // chain — GetDefaultHistogram (min/max + half-bucket-extended 256-bin
+    // histogram, out-of-range clamped into end buckets, nodata skipped;
+    // gdalrasterband.cpp) → ComputeEqualizationLUTs (extreme buckets zeroed,
+    // midpoint-rule integer cumulative, integer LUT scale; gdalenhance.cpp)
+    // → EnhancerCallback per-pixel application (nodata pass-through, NaN-safe
+    // bin ladder). The DuckDB twin rebuilds the identical synthetic raster
+    // and replays every step in the same operation order; tiles compare by
+    // GDALChecksumImage.
+    ("r48_enhance_equalize", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val base = engine.Raster.syntheticTiles(s, 3, tileSize = 64) { (gx, gy) =>
+        if ((gx * 31 + gy * 17) % 97 == 0) 250.0
+        else ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      engine.Enhance.equalize(base, Some(250.0))
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks").orderBy("x", "y")
+    }, Some {
+      val cks64 = "CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])" +
+        "[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT)"
+      s"""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 511)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS gy) ys),
+      v AS (SELECT gx, gy,
+            CASE WHEN (gx * 31 + gy * 17) % 97 = 0 THEN 250.0
+                 ELSE CAST((gx * 7919 + gy * 104729) % 9973 AS DOUBLE) END AS v
+            FROM px),
+      mm AS (SELECT min(v) AS mn, max(v) AS mx FROM v WHERE v <> 250.0),
+      rng AS (SELECT mn - (mx - mn) / 510.0 AS smin,
+                     mx + (mx - mn) / 510.0 AS smax FROM mm),
+      hb AS (SELECT CASE WHEN v = 250.0 THEN NULL ELSE
+              LEAST(255, GREATEST(0, CAST(floor((v - smin) *
+                (256.0 / (smax - smin))) AS INT))) END AS bin
+            FROM v, rng),
+      hist0 AS (SELECT bin, count(*) AS c FROM hb
+            WHERE bin IS NOT NULL GROUP BY bin),
+      bins AS (SELECT unnest(generate_series(0, 255)) AS bin),
+      hist AS (SELECT b.bin,
+              CASE WHEN b.bin = 0 OR b.bin = 255 THEN 0
+                   ELSE COALESCE(h.c, 0) END AS c
+            FROM bins b LEFT JOIN hist0 h ON h.bin = b.bin),
+      cum AS (SELECT bin,
+              COALESCE(SUM(c) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + c // 2 AS cm,
+              SUM(c) OVER () AS total FROM hist),
+      lut AS (SELECT bin, LEAST(255, GREATEST(0,
+              CAST((cm * 256) // GREATEST(total, 1) AS INT))) AS lv FROM cum),
+      ab AS (SELECT gx, gy, v,
+              CASE WHEN v = 250.0 THEN -1
+                   WHEN NOT((v - smin) * (256.0 / (smax - smin)) > 0) THEN 0
+                   WHEN NOT((v - smin) * (256.0 / (smax - smin)) < 255) THEN 255
+                   ELSE CAST(floor((v - smin) * (256.0 / (smax - smin))) AS INT)
+              END AS ib
+            FROM v, rng),
+      outp AS (SELECT gx, gy,
+              CASE WHEN ab.ib = -1 THEN 250 ELSE l.lv END AS ov
+            FROM ab LEFT JOIN lut l ON l.bin = ab.ib),
+      cells AS (SELECT gx // 64 AS tx, gy // 64 AS ty,
+              gx % 64 AS cx, gy % 64 AS cy, CAST(ov AS BIGINT) AS iv
+            FROM outp)
+      SELECT tx AS x, ty AS y, $cks64 AS cks
+      FROM cells GROUP BY 1, 2 ORDER BY x, y"""})
   )
 }
