@@ -617,6 +617,86 @@ object Queries4 {
               gx % 64 AS cx, gy % 64 AS cy, CAST(ov AS BIGINT) AS iv
             FROM outp)
       SELECT tx AS x, ty AS y, $cks64 AS cks
-      FROM cells GROUP BY 1, 2 ORDER BY x, y"""})
+      FROM cells GROUP BY 1, 2 ORDER BY x, y"""}),
+
+    // -- GDALIsLineOfSightVisible (r49): many-query point-to-point LOS over
+    // a tiled DEM (alg/los.cpp). 60 queries mix the reference's four paths —
+    // A/B pre-checks, A==B shortcut, vertical/horizontal inclusive walks,
+    // and both Bresenham octant families. The DuckDB twin replays the walk
+    // with the balance-form Bresenham's CLOSED FORM
+    // (y_i = yA + incy*floor((2*dy*i + dx)/(2*dx)), verified against the
+    // loop on tie cases) and the same euclidean z-lerp operation order;
+    // the first blocking step per query must agree exactly.
+    ("r49_line_of_sight", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def f(x: Long, y: Long) = ((x * 37 + y * 53) % 211).toDouble
+      val dem = engine.Raster.syntheticTiles(s, 3, tileSize = 64)(f)
+      val qs = s.range(0, 60).map { qid =>
+        val xa = ((qid * 97) % 512).toInt; val ya = ((qid * 61) % 512).toInt
+        var xb = ((qid * 173 + 31) % 512).toInt
+        var yb = ((qid * 131 + 7) % 512).toInt
+        if (qid % 7 == 0) xb = xa
+        if (qid % 7 == 1) yb = ya
+        if (qid % 7 == 2) { xb = xa; yb = ya }
+        engine.Los.LosQuery(qid, xa, ya, f(xa, ya) + (qid % 9),
+          xb, yb, f(xb, yb) + ((qid * 2) % 13))
+      }
+      engine.Los.lineOfSight(dem, qs, 64)
+        .select(col("qid"), col("visible"),
+          col("ix").cast("long").as("ix"), col("iy").cast("long").as("iy"))
+        .orderBy("qid")
+    }, Some {
+      def fT(x: String, y: String) = s"CAST((($x) * 37 + ($y) * 53) % 211 AS DOUBLE)"
+      s"""
+      WITH q0 AS (SELECT unnest(generate_series(0, 59)) AS qid),
+      q AS (SELECT qid,
+        (qid * 97) % 512 AS xa, (qid * 61) % 512 AS ya,
+        CASE WHEN qid % 7 IN (0, 2) THEN (qid * 97) % 512
+             ELSE (qid * 173 + 31) % 512 END AS xb,
+        CASE WHEN qid % 7 IN (1, 2) THEN (qid * 61) % 512
+             ELSE (qid * 131 + 7) % 512 END AS yb
+        FROM q0),
+      qz AS (SELECT *, ${fT("xa", "ya")} + (qid % 9) AS za,
+                    ${fT("xb", "yb")} + ((qid * 2) % 13) AS zb FROM q),
+      pre AS (SELECT qid, -2 AS step, xa AS x, ya AS y, za AS z FROM qz
+        UNION ALL SELECT qid, -1, xb, yb, zb FROM qz),
+      vert AS (SELECT qid, abs(y - ya) AS step, xa AS x, y,
+          za + (CAST(y - ya AS DOUBLE) / CAST(yb - ya AS DOUBLE)) * (zb - za) AS z
+        FROM qz, UNNEST(generate_series(ya, yb,
+          CASE WHEN yb >= ya THEN 1 ELSE -1 END)) AS t(y)
+        WHERE xa = xb AND ya <> yb),
+      horz AS (SELECT qid, abs(x - xa) AS step, x, ya AS y,
+          za + (CAST(x - xa AS DOUBLE) / CAST(xb - xa AS DOUBLE)) * (zb - za) AS z
+        FROM qz, UNNEST(generate_series(xa, xb,
+          CASE WHEN xb >= xa THEN 1 ELSE -1 END)) AS t(x)
+        WHERE ya = yb AND xa <> xb),
+      dd AS (SELECT *, abs(xb - xa) AS dx, abs(yb - ya) AS dy,
+          CASE WHEN xb >= xa THEN 1 ELSE -1 END AS incx,
+          CASE WHEN yb >= ya THEN 1 ELSE -1 END AS incy
+        FROM qz WHERE xa <> xb AND ya <> yb),
+      dshal AS (SELECT qid, i AS step, xa + incx * i AS x,
+          ya + incy * ((2 * dy * i + dx) // (2 * dx)) AS y,
+          xa, ya, za, xb, yb, zb
+        FROM dd, UNNEST(generate_series(0, dx)) AS t(i) WHERE dx >= dy),
+      dsteep AS (SELECT qid, i AS step,
+          xa + incx * ((2 * dx * i + dy) // (2 * dy)) AS x,
+          ya + incy * i AS y, xa, ya, za, xb, yb, zb
+        FROM dd, UNNEST(generate_series(0, dy)) AS t(i) WHERE dx < dy),
+      diag AS (SELECT qid, step, x, y,
+          za + sqrt(CAST((x - xa) * (x - xa) + (y - ya) * (y - ya) AS DOUBLE)
+                  / CAST((xb - xa) * (xb - xa) + (yb - ya) * (yb - ya) AS DOUBLE))
+             * (zb - za) AS z
+        FROM (SELECT * FROM dshal UNION ALL SELECT * FROM dsteep)),
+      pts AS (SELECT * FROM pre UNION ALL SELECT * FROM vert
+        UNION ALL SELECT * FROM horz UNION ALL SELECT qid, step, x, y, z FROM diag),
+      blocked AS (SELECT qid, step, x, y FROM pts
+        WHERE NOT (z >= ${fT("x", "y")})),
+      hit AS (SELECT qid, x, y FROM (SELECT qid, x, y, row_number()
+          OVER (PARTITION BY qid ORDER BY step) AS rn FROM blocked) WHERE rn = 1)
+      SELECT qz.qid, h.qid IS NULL AS visible,
+        CAST(coalesce(h.x, -1) AS BIGINT) AS ix,
+        CAST(coalesce(h.y, -1) AS BIGINT) AS iy
+      FROM qz LEFT JOIN hit h ON h.qid = qz.qid ORDER BY qz.qid"""})
   )
 }
