@@ -697,6 +697,102 @@ object Queries4 {
       SELECT qz.qid, h.qid IS NULL AS visible,
         CAST(coalesce(h.x, -1) AS BIGINT) AS ix,
         CAST(coalesce(h.y, -1) AS BIGINT) AS iy
-      FROM qz LEFT JOIN hit h ON h.qid = qz.qid ORDER BY qz.qid"""})
+      FROM qz LEFT JOIN hit h ON h.qid = qz.qid ORDER BY qz.qid"""}),
+
+    // -- GDALInterpolateAtPoint (r50): fractional-pixel raster sampling with
+    // all four reference algorithms (alg/gdal_interpolateatpoint.cpp):
+    // nearest (trunc), bilinear (pixel-center delta, fail on any nodata
+    // sample), cubic Catmull-Rom and cubic B-spline (4x4 window, nodata
+    // samples skipped with weight renormalization). The DuckDB twin computes
+    // the same windows from the closed-form DEM with the kernel sums emitted
+    // as EXPLICIT left-associated 16-term expressions in the engine's
+    // accumulation order (and nodata terms contributing +0.0, which is
+    // IEEE-identical to skipping) so the doubles match bit-for-bit.
+    // Out-of-bounds queries (qid%11==0) must come back NULL.
+    ("r50_interpolate_at_point", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def f(x: Long, y: Long) =
+        if ((x * 13 + y * 7) % 89 == 0) 250.0 else ((x * 3 + y * 5) % 97).toDouble
+      val dem = engine.Raster.syntheticTiles(s, 3, tileSize = 64)(f)
+      val qs = s.range(0, 80).select(col("id").as("qid"),
+        when(col("id") % 11 === 0, lit(600.5))
+          .otherwise((col("id") * 1237 % 5000) / lit(10.0) + 3.0).as("x"),
+        ((col("id") * 911 % 5000) / lit(10.0) + 3.0).as("y"))
+      val runs = Seq("nearest", "bilinear", "cubic", "cubicspline").map { alg =>
+        engine.InterpAtPoint.interpolate(dem, qs, alg, 512, 512,
+            Some(250.0), 64)
+          .select(lit(alg).as("alg"), col("qid"),
+            floor(col("value") * 1e7 + 0.5).cast("long").as("v_e7"))
+      }
+      runs.reduce(_ unionAll _).orderBy("alg", "qid")
+    }, Some {
+      def fD(x: String, y: String) =
+        s"(CASE WHEN (($x) * 13 + ($y) * 7) % 89 = 0 THEN 250.0" +
+        s" ELSE CAST((($x) * 3 + ($y) * 5) % 97 AS DOUBLE) END)"
+      // Catmull-Rom weight of t (gdalresamplingkernels.h:23)
+      def kCubic(t: String) =
+        s"(CASE WHEN abs($t) <= 1.0 THEN ($t)*($t) * (1.5*abs($t) - 2.5) + 1" +
+        s" WHEN abs($t) <= 2.0 THEN ($t)*($t) * (-0.5*abs($t) + 2.5) - 4*abs($t) + 2" +
+        s" ELSE 0.0 END)"
+      // cubic B-spline weight (gdalresamplingkernels.h:45)
+      def kSpline(t: String) = {
+        def cube(e: String) = s"(CASE WHEN $e <= 0.0 THEN 0.0 ELSE ($e)*($e)*($e) END)"
+        s"(CASE WHEN ($t) > 2.0 THEN 0.0 ELSE 0.16666666666666666667 * " +
+        s"(${cube(s"($t) + 2.0")} - 4.0 * ${cube(s"($t) + 1.0")}" +
+        s" + 6.0 * ${cube(t)} - 4.0 * ${cube(s"($t) - 1.0")}) END)"
+      }
+      // 4x4 sum in the engine's row-major accumulation order; nodata terms
+      // add +0.0 (IEEE-identical to skipping)
+      def sum4x4(kern: String => String): (String, String) = {
+        val terms = for (ki <- 0 to 3; kj <- 0 to 3) yield {
+          val v = fD(s"wbx + $kj", s"wby + $ki")
+          val w = s"(${kern(s"(${kj - 1}.0) - ddx")} * ${kern(s"(${ki - 1}.0) - ddy")})"
+          (s"(CASE WHEN $v = 250.0 THEN 0.0 ELSE $v * $w END)",
+           s"(CASE WHEN $v = 250.0 THEN 0.0 ELSE $w END)")
+        }
+        (terms.map(_._1).mkString("(0.0 + ", " + ", ")"),
+         terms.map(_._2).mkString("(0.0 + ", " + ", ")"))
+      }
+      val (chS, cwS) = sum4x4(kCubic)
+      val (shS, swS) = sum4x4(kSpline)
+      s"""
+      WITH q0 AS (SELECT unnest(generate_series(0, 79)) AS qid),
+      q AS (SELECT qid,
+        CASE WHEN qid % 11 = 0 THEN 600.5
+             ELSE (qid * 1237 % 5000) / 10.0 + 3.0 END AS x,
+        (qid * 911 % 5000) / 10.0 + 3.0 AS y FROM q0),
+      inb AS (SELECT *, (x >= 0 AND x <= 512 AND y >= 0 AND y <= 512) AS ok
+        FROM q),
+      base AS (SELECT qid, x, y, ok,
+        CAST(floor(x - 0.5) AS INT) AS dX, CAST(floor(y - 0.5) AS INT) AS dY,
+        (x - 0.5) - floor(x - 0.5) AS ddx,
+        (y - 0.5) - floor(y - 0.5) AS ddy FROM inb),
+      nearv AS (SELECT qid, CASE WHEN NOT ok THEN NULL
+          WHEN ${fD("CAST(floor(x) AS INT)", "CAST(floor(y) AS INT)")} = 250.0
+            THEN NULL
+          ELSE ${fD("CAST(floor(x) AS INT)", "CAST(floor(y) AS INT)")} END AS v
+        FROM base),
+      bilv AS (SELECT qid, CASE WHEN NOT ok THEN NULL
+          WHEN ${fD("dX", "dY")} = 250.0 OR ${fD("dX + 1", "dY")} = 250.0
+            OR ${fD("dX", "dY + 1")} = 250.0 OR ${fD("dX + 1", "dY + 1")} = 250.0
+            THEN NULL
+          ELSE (${fD("dX", "dY")} * (1.0 - ddx) + ${fD("dX + 1", "dY")} * ddx)
+                 * (1.0 - ddy)
+               + (${fD("dX", "dY + 1")} * (1.0 - ddx)
+                 + ${fD("dX + 1", "dY + 1")} * ddx) * ddy END AS v
+        FROM base),
+      cwin AS (SELECT qid, ok, ddx, ddy, dX - 1 AS wbx, dY - 1 AS wby FROM base),
+      cubv AS (SELECT qid, CASE WHEN NOT ok THEN NULL
+          WHEN $cwS = 0.0 THEN NULL ELSE $chS / $cwS END AS v FROM cwin),
+      splv AS (SELECT qid, CASE WHEN NOT ok THEN NULL
+          WHEN $swS = 0.0 THEN NULL ELSE $shS / $swS END AS v FROM cwin),
+      allv AS (
+        SELECT 'nearest' AS alg, qid, v FROM nearv
+        UNION ALL SELECT 'bilinear', qid, v FROM bilv
+        UNION ALL SELECT 'cubic', qid, v FROM cubv
+        UNION ALL SELECT 'cubicspline', qid, v FROM splv)
+      SELECT alg, qid, CAST(floor(v * 1e7 + 0.5) AS BIGINT) AS v_e7
+      FROM allv ORDER BY alg, qid"""})
   )
 }
