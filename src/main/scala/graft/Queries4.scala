@@ -793,6 +793,72 @@ object Queries4 {
         UNION ALL SELECT 'cubic', qid, v FROM cubv
         UNION ALL SELECT 'cubicspline', qid, v FROM splv)
       SELECT alg, qid, CAST(floor(v * 1e7 + 0.5) AS BIGINT) AS v_e7
-      FROM allv ORDER BY alg, qid"""})
+      FROM allv ORDER BY alg, qid"""}),
+
+    // -- GDALApplyVerticalShiftGrid (r51): geoid→ellipsoid height shift
+    // (alg/gdalapplyverticalshiftgrid.cpp). A 64×64 shift surface resampled
+    // to a 512×512 DEM with the InterpolateAtPoint bilinear (the reference's
+    // warped-VRT bilinear analog, border drag collapsing to the edge sample),
+    // then per pixel (src*srcUnitToMeter ± grid)/dstUnitToMeter with source
+    // nodata passing through unchanged (IReadBlock lines 230-263). Forward
+    // and inverse runs share one oracle; tiles compare by checksum.
+    ("r51_vertical_shift", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def f1(gx: Long, gy: Long) =
+        if ((gx * 5 + gy * 3) % 61 == 0) -1.0 else ((gx * 7 + gy * 11) % 127).toDouble
+      def f2(i: Long, j: Long) = (((i * 13 + j * 17) % 31) - 15).toDouble
+      val dem = engine.Raster.syntheticTiles(s, 3, tileSize = 64)(f1)
+      val grid = engine.Raster.syntheticTiles(s, 1, tileSize = 32)(f2)
+      val runs = Seq(("fwd", false), ("inv", true)).map { case (tag, invFlag) =>
+        engine.VerticalShift.applyShift(dem, grid, 512, 512, 64, 64, invFlag,
+            2.0, 0.5, Some(-1.0), 64, 32)
+          .map(t => (t.x.toLong, t.y.toLong,
+            engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+          .toDF("x", "y", "cks").withColumn("mode", lit(tag))
+      }
+      runs.reduce(_ unionAll _).select("mode", "x", "y", "cks")
+        .orderBy("mode", "x", "y")
+    }, Some {
+      val cks64 = "CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])" +
+        "[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT)"
+      def f2(i: String, j: String) =
+        s"CAST(((($i) * 13 + ($j) * 17) % 31) - 15 AS DOUBLE)"
+      s"""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 511)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS gy) ys),
+      v AS (SELECT gx, gy,
+            CASE WHEN (gx * 5 + gy * 3) % 61 = 0 THEN -1.0
+                 ELSE CAST((gx * 7 + gy * 11) % 127 AS DOUBLE) END AS src,
+            (gx + 0.5) * ${64.0 / 512.0} AS gxp,
+            (gy + 0.5) * ${64.0 / 512.0} AS gyp FROM px),
+      b AS (SELECT *, CAST(floor(gxp - 0.5) AS INT) AS dX,
+            CAST(floor(gyp - 0.5) AS INT) AS dY,
+            (gxp - 0.5) - floor(gxp - 0.5) AS ddx,
+            (gyp - 0.5) - floor(gyp - 0.5) AS ddy FROM v),
+      c AS (SELECT *,
+            CASE WHEN dX < 0 THEN 0 WHEN dX > 62 THEN 63 ELSE dX END AS cx0,
+            CASE WHEN dX < 0 THEN 0 WHEN dX > 62 THEN 63 ELSE dX + 1 END AS cx1,
+            CASE WHEN dY < 0 THEN 0 WHEN dY > 62 THEN 63 ELSE dY END AS cy0,
+            CASE WHEN dY < 0 THEN 0 WHEN dY > 62 THEN 63 ELSE dY + 1 END AS cy1
+            FROM b),
+      g AS (SELECT gx, gy, src,
+            (${f2("cx0", "cy0")} * (1.0 - ddx) + ${f2("cx1", "cy0")} * ddx)
+              * (1.0 - ddy)
+            + (${f2("cx0", "cy1")} * (1.0 - ddx) + ${f2("cx1", "cy1")} * ddx)
+              * ddy AS gv
+            FROM c),
+      outv AS (
+        SELECT 'fwd' AS mode, gx, gy, CASE WHEN src = -1.0 THEN src
+          ELSE (src * 2.0 + gv) / 0.5 END AS ov FROM g
+        UNION ALL
+        SELECT 'inv', gx, gy, CASE WHEN src = -1.0 THEN src
+          ELSE (src * 2.0 - gv) / 0.5 END FROM g),
+      cells AS (SELECT mode, gx // 64 AS tx, gy // 64 AS ty,
+            gx % 64 AS cx, gy % 64 AS cy,
+            CAST(floor(ov + 0.5) AS BIGINT) AS iv FROM outv)
+      SELECT mode, tx AS x, ty AS y, $cks64 AS cks
+      FROM cells GROUP BY 1, 2, 3 ORDER BY mode, x, y"""})
   )
 }
