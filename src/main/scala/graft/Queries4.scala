@@ -859,6 +859,56 @@ object Queries4 {
             gx % 64 AS cx, gy % 64 AS cy,
             CAST(floor(ov + 0.5) AS BIGINT) AS iv FROM outv)
       SELECT mode, tx AS x, ty AS y, $cks64 AS cks
-      FROM cells GROUP BY 1, 2, 3 ORDER BY mode, x, y"""})
+      FROM cells GROUP BY 1, 2, 3 ORDER BY mode, x, y"""}),
+
+    // -- warp under a fitted HOMOGRAPHY transformer (r52): the projective
+    // member of the gdalwarp transformer stack (GDALCreateHomography-
+    // TransformerFromGCPs, alg/gdal_homography.cpp — normalized 8-dof DLT
+    // normal equations with the h[6]=1 rank fix, convexity check, and
+    // normalization composition). 16 GCPs sampled from an exact projective
+    // map; the fit recovers it to ~1e-11 px, so the DuckDB oracle evaluates
+    // the generating closed form directly (same scheme as the r26/r27
+    // polynomial and TPS gates). near kernel; checksum per 256-px dst tile.
+    ("r52_warp_homography", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      import engine.{GcpTransform, Homography}
+      val base = engine.Raster.syntheticTiles(s, 3) { (gx, gy) =>
+        ((gx * 7919 + gy * 104729) % 9973).toDouble
+      }
+      def den(x: Double, y: Double) = 1.0 + 1.523e-5 * x - 2.0741e-5 * y
+      def mx(x: Double, y: Double) = (120.7133 + 1.7317071 * x + 0.0310971 * y) / den(x, y)
+      def my(x: Double, y: Double) = (57.3177 + 0.0290137 * x + 1.8103911 * y) / den(x, y)
+      val gcps = for (i <- 0 until 4; j <- 0 until 4) yield {
+        val x = i * 341.0; val y = j * 341.0
+        GcpTransform.Gcp(x, y, mx(x, y), my(x, y))
+      }
+      val h = Homography.fromGcps(gcps)
+      engine.Raster.warpTransformed(base, 2, 4, 4,
+          (x, y) => Homography.applyH(h, x, y)
+            .getOrElse((Double.NaN, Double.NaN)),
+          "near", 2048, 2048)
+        .map(t => (t.x.toLong, t.y.toLong,
+          engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+        .toDF("x", "y", "cks")
+        .withColumn("z", lit(2).cast("long"))
+        .select("z", "x", "y", "cks").orderBy("x", "y")
+    }, Some {
+      val sx = "(120.7133 + 1.7317071*gx + 0.0310971*gy) / (1.0 + 1.523e-5*gx - 2.0741e-5*gy)"
+      val sy = "(57.3177 + 0.0290137*gx + 1.8103911*gy) / (1.0 + 1.523e-5*gx - 2.0741e-5*gy)"
+      s"""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+          FROM (SELECT unnest(generate_series(0, 1023)) AS gx) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS gy) ys),
+      sm AS (SELECT gx, gy,
+          CAST(floor(($sx) + 0.5) AS BIGINT) AS nx,
+          CAST(floor(($sy) + 0.5) AS BIGINT) AS ny FROM px),
+      v AS (SELECT gx, gy, CASE WHEN nx BETWEEN 0 AND 2047 AND ny BETWEEN 0 AND 2047
+          THEN (nx * 7919 + ny * 104729) % 9973 ELSE 0 END AS iv FROM sm),
+      cells AS (SELECT gx >> 8 AS tx, gy >> 8 AS ty, gx % 256 AS cx, gy % 256 AS cy, iv
+          FROM v)
+      SELECT CAST(2 AS BIGINT) AS z, tx AS x, ty AS y,
+        CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT) AS cks
+      FROM cells GROUP BY 2, 3 ORDER BY x, y"""})
   )
 }
