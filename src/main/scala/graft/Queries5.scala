@@ -1,0 +1,295 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 continuation gates. Same conventions as [[Queries]]. */
+object Queries5 {
+
+  // ------------------------------------------------------------------
+  // SURF correlator gates (r53 detection, r54 matching). The synthetic
+  // pair is a lattice of square pyramids with quasi-random integer
+  // amplitudes; image 2 is image 1 translated by (5, 9), so interior
+  // feature points have bit-identical descriptors and the matcher must
+  // recover the translation. All pixel values are small integers, so
+  // every integral-image / Haar / Hessian sum is exact in IEEE doubles
+  // and the DuckDB twin (windowed prefix sums + corner joins, a
+  // different evaluation ORDER) still agrees bit-for-bit.
+  // ------------------------------------------------------------------
+
+  private val SurfH = 96
+  private val SurfW = 96
+  private val SurfShiftR = 5
+  private val SurfShiftC = 9
+  private val SurfThr = 0.05
+  private val MatchThr = 0.015
+
+  /** Blob-lattice luminosity: 8px cells, centred square pyramids of
+    * height amp(cell) ∈ [0, 8]. Identical closed form in [[surfSqlPix]]. */
+  private def surfPixel(r: Int, c: Int): Double = {
+    val br = r / 8; val bc = c / 8
+    val dr = r - br * 8 - 4; val dc = c - bc * 8 - 4
+    val amp = (br * br * 3 + bc * bc * 5 + br * bc) % 9
+    val d = math.max(math.abs(dr), math.abs(dc))
+    if (d < 4) amp.toDouble * (4 - d) else 0.0
+  }
+
+  private def surfImages(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val imgs = Seq(1L, 2L).map { id =>
+      val (sr, sc) = if (id == 2L) (SurfShiftR, SurfShiftC) else (0, 0)
+      (id, SurfH, SurfW,
+        Array.tabulate(SurfH * SurfW)(i => surfPixel(i / SurfW + sr, i % SurfW + sc)))
+    }
+    s.createDataset(imgs).toDF("img_id", "h", "w", "pixels")
+  }
+
+  /** DuckDB twin of the full SURF detection pipeline, shared by both
+    * gates. Emits CTEs through `fp` (feature points) and `dvals`
+    * (descriptor components keyed 0..63). Structured relationally —
+    * prefix-sum integral image, one row per boundary-clamped rectangle
+    * CORNER — so nothing materializes a per-row copy of the image. */
+  private def surfDetectCtes: String = {
+    val H = SurfH; val W = SurfW
+    def fSql(rE: String, cE: String): String =
+      s"""(CASE WHEN greatest(abs(($rE) - (($rE)//8)*8 - 4), abs(($cE) - (($cE)//8)*8 - 4)) < 4
+          THEN CAST((((($rE)//8)*(($rE)//8)*3 + (($cE)//8)*(($cE)//8)*5 + (($rE)//8)*(($cE)//8)) % 9)
+               * (4 - greatest(abs(($rE) - (($rE)//8)*8 - 4), abs(($cE) - (($cE)//8)*8 - 4))) AS DOUBLE)
+          ELSE 0.0 END)"""
+    s"""
+    imgs AS (SELECT 1 AS img UNION ALL SELECT 2),
+    cells AS (SELECT a.range AS r, b.range AS c FROM range($H) a, range($W) b),
+    pix AS (SELECT img, r, c,
+              CASE WHEN img = 2 THEN ${fSql(s"r + $SurfShiftR", s"c + $SurfShiftC")}
+                   ELSE ${fSql("r", "c")} END AS v
+            FROM imgs, cells),
+    rc0 AS (SELECT img, r, c, SUM(v) OVER (PARTITION BY img, r ORDER BY c) AS s1 FROM pix),
+    ii AS MATERIALIZED (SELECT img, r, c, SUM(s1) OVER (PARTITION BY img, c ORDER BY r) AS s FROM rc0),
+    lyrdef(oct, lyr, fs, radius, lobe, lp, norm) AS (VALUES
+      (1,1,7,3,2,3,49),(1,2,13,6,4,7,169),(1,3,19,9,6,11,361),(1,4,25,12,8,15,625),
+      (2,1,13,6,4,7,169),(2,2,25,12,8,15,625),(2,3,37,18,12,23,1369),(2,4,49,24,16,31,2401)),
+    band AS (SELECT i.img, l.oct, l.lyr, l.fs, l.radius, l.lobe, l.lp, l.norm, g.r, g.c
+             FROM lyrdef l, imgs i, cells g
+             WHERE g.r >= l.radius AND g.r <= $H - l.radius
+               AND g.c >= l.radius AND g.c <= $W - l.radius),
+    rects AS (SELECT img, oct, lyr, norm, r, c,
+                     u.rid, u.coef, u.tag, u.rrow, u.rcol, u.rw, u.rh
+              FROM band, UNNEST([
+                {'rid': 1, 'coef': 1.0, 'tag': 'xx', 'rrow': r - lobe + 1, 'rcol': c - radius, 'rw': fs, 'rh': lp},
+                {'rid': 2, 'coef': -3.0, 'tag': 'xx', 'rrow': r - lobe + 1, 'rcol': c - (lobe - 1)//2, 'rw': lobe, 'rh': lp},
+                {'rid': 3, 'coef': 1.0, 'tag': 'yy', 'rrow': r - radius, 'rcol': c - lobe - 1, 'rw': lp, 'rh': fs},
+                {'rid': 4, 'coef': -3.0, 'tag': 'yy', 'rrow': r - lobe + 1, 'rcol': c - lobe + 1, 'rw': lp, 'rh': lobe},
+                {'rid': 5, 'coef': 1.0, 'tag': 'xy', 'rrow': r - lobe, 'rcol': c - lobe, 'rw': lobe, 'rh': lobe},
+                {'rid': 6, 'coef': 1.0, 'tag': 'xy', 'rrow': r + 1, 'rcol': c + 1, 'rw': lobe, 'rh': lobe},
+                {'rid': 7, 'coef': -1.0, 'tag': 'xy', 'rrow': r - lobe, 'rcol': c + 1, 'rw': lobe, 'rh': lobe},
+                {'rid': 8, 'coef': -1.0, 'tag': 'xy', 'rrow': r + 1, 'rcol': c - lobe, 'rw': lobe, 'rh': lobe}
+              ]) AS t(u)),
+    rcorn AS (SELECT img, oct, lyr, norm, r, c, rid, coef, tag, v.cs,
+                     CASE WHEN v.cn IN ('a', 'b') THEN ltr ELSE rbr END AS rr,
+                     CASE WHEN v.cn IN ('a', 'd') THEN ltc ELSE rbc END AS cc
+              FROM (SELECT *,
+                      CASE WHEN rrow <= $H THEN rrow - 1 ELSE -1 END AS ltr,
+                      CASE WHEN rcol <= $W THEN rcol - 1 ELSE -1 END AS ltc,
+                      CASE WHEN rrow + rh - 1 < $H THEN rrow + rh - 1 ELSE ${H - 1} END AS rbr,
+                      CASE WHEN rcol + rw - 1 < $W THEN rcol + rw - 1 ELSE ${W - 1} END AS rbc
+                    FROM rects) rx,
+                   UNNEST([{'cn': 'a', 'cs': 1.0}, {'cn': 'b', 'cs': -1.0},
+                           {'cn': 'c', 'cs': 1.0}, {'cn': 'd', 'cs': -1.0}]) AS t2(v)),
+    rsums AS (SELECT img, oct, lyr, norm, r, c, rid, coef, tag,
+                     CASE WHEN s0 > 0 THEN s0 ELSE 0 END AS rs
+              FROM (SELECT rcorn.img, oct, lyr, norm, rcorn.r, rcorn.c, rid, coef, tag,
+                           SUM(cs * COALESCE(iv.s, 0)) AS s0
+                    FROM rcorn LEFT JOIN ii iv
+                      ON iv.img = rcorn.img AND iv.r = rcorn.rr AND iv.c = rcorn.cc
+                    GROUP BY ALL) t3),
+    hes AS MATERIALIZED (SELECT img, oct, lyr, r, c,
+                   (dxx/norm)*(dyy/norm) - 0.9*0.9*(dxy/norm)*(dxy/norm) AS det,
+                   CASE WHEN dxx/norm + dyy/norm >= 0 THEN 1 ELSE -1 END AS sgn
+            FROM (SELECT img, oct, lyr, norm, r, c,
+                         SUM(CASE WHEN tag = 'xx' THEN coef*rs ELSE 0 END) AS dxx,
+                         SUM(CASE WHEN tag = 'yy' THEN coef*rs ELSE 0 END) AS dyy,
+                         SUM(CASE WHEN tag = 'xy' THEN coef*rs ELSE 0 END) AS dxy
+                  FROM rsums GROUP BY ALL) t4),
+    trip(oct, k, botl, midl, topl, toprad, scale, radius) AS (VALUES
+      (1,0,1,2,3,9,2,6),(1,1,2,3,4,12,2,9),(2,0,1,2,3,18,4,12),(2,1,2,3,4,24,4,18)),
+    cand AS (SELECT h.img, t.oct, t.k, h.r, h.c, h.det, h.sgn,
+                    t.scale, t.radius, t.botl, t.midl, t.topl
+             FROM hes h JOIN trip t ON h.oct = t.oct AND h.lyr = t.midl
+             WHERE h.r > t.toprad AND h.c > t.toprad
+               AND h.r + t.toprad < $H AND h.c + t.toprad < $W
+               AND h.det >= $SurfThr),
+    neigh AS (SELECT h.img, h.oct, h.lyr, h.r + o.di AS rr, h.c + o.dj AS cc, h.det AS nd,
+                     (o.di = 0 AND o.dj = 0) AS slf
+              FROM hes h, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(di, dj)),
+    ext AS (SELECT c.img, c.oct, c.k, c.r, c.c, c.det, c.sgn, c.scale, c.radius
+            FROM cand c JOIN neigh n ON n.img = c.img AND n.oct = c.oct
+                 AND n.rr = c.r AND n.cc = c.c AND n.lyr IN (c.botl, c.midl, c.topl)
+            GROUP BY ALL
+            HAVING bool_and(CASE WHEN n.lyr = c.midl AND n.slf THEN true
+                                 ELSE n.nd < c.det END)),
+    fp AS MATERIALIZED (SELECT img,
+                  row_number() OVER (PARTITION BY img ORDER BY oct, k, r, c) - 1 AS fid,
+                  c AS x, r AS y, scale, radius, sgn FROM ext),
+    q16 AS (SELECT a.range AS qr, b.range AS qc FROM range(4) a, range(4) b),
+    s25 AS (SELECT a.range AS sr, b.range AS sc FROM range(5) a, range(5) b),
+    dsub AS (SELECT f.img, f.fid, q.qr, q.qc, s.sr, s.sc, f.scale,
+                    f.y - 10*f.scale + q.qr*5*f.scale + s.sr*f.scale + f.scale//2 - f.scale AS hr0,
+                    f.x - 10*f.scale + q.qc*5*f.scale + s.sc*f.scale + f.scale//2 - f.scale AS hc0
+             FROM fp f, q16 q, s25 s),
+    hrect AS (SELECT img, fid, qr, qc, sr, sc,
+                     u.hid, u.ax, u.sg, u.rrow, u.rcol, u.rw, u.rh
+              FROM dsub, UNNEST([
+                {'hid': 1, 'ax': 'x', 'sg': 1.0, 'rrow': hr0, 'rcol': hc0 + scale, 'rw': scale, 'rh': 2*scale},
+                {'hid': 2, 'ax': 'x', 'sg': -1.0, 'rrow': hr0, 'rcol': hc0, 'rw': scale, 'rh': 2*scale},
+                {'hid': 3, 'ax': 'y', 'sg': 1.0, 'rrow': hr0 + scale, 'rcol': hc0, 'rw': 2*scale, 'rh': scale},
+                {'hid': 4, 'ax': 'y', 'sg': -1.0, 'rrow': hr0, 'rcol': hc0, 'rw': 2*scale, 'rh': scale}
+              ]) AS t(u)),
+    hcorn AS (SELECT img, fid, qr, qc, sr, sc, hid, ax, sg, v.cs,
+                     CASE WHEN v.cn IN ('a', 'b') THEN ltr ELSE rbr END AS rr,
+                     CASE WHEN v.cn IN ('a', 'd') THEN ltc ELSE rbc END AS cc
+              FROM (SELECT *,
+                      CASE WHEN rrow <= $H THEN rrow - 1 ELSE -1 END AS ltr,
+                      CASE WHEN rcol <= $W THEN rcol - 1 ELSE -1 END AS ltc,
+                      CASE WHEN rrow + rh - 1 < $H THEN rrow + rh - 1 ELSE ${H - 1} END AS rbr,
+                      CASE WHEN rcol + rw - 1 < $W THEN rcol + rw - 1 ELSE ${W - 1} END AS rbc
+                    FROM hrect) hx,
+                   UNNEST([{'cn': 'a', 'cs': 1.0}, {'cn': 'b', 'cs': -1.0},
+                           {'cn': 'c', 'cs': 1.0}, {'cn': 'd', 'cs': -1.0}]) AS t2(v)),
+    hrsums AS (SELECT img, fid, qr, qc, sr, sc, hid, ax, sg,
+                      CASE WHEN s0 > 0 THEN s0 ELSE 0 END AS rs
+               FROM (SELECT hcorn.img, fid, qr, qc, sr, sc, hid, ax, sg,
+                            SUM(cs * COALESCE(iv.s, 0)) AS s0
+                     FROM hcorn LEFT JOIN ii iv
+                       ON iv.img = hcorn.img AND iv.r = hcorn.rr AND iv.c = hcorn.cc
+                     GROUP BY ALL) t5),
+    hwav AS (SELECT img, fid, qr, qc, sr, sc,
+                    SUM(CASE WHEN ax = 'x' THEN sg*rs ELSE 0 END) AS hx,
+                    SUM(CASE WHEN ax = 'y' THEN sg*rs ELSE 0 END) AS hy
+             FROM hrsums GROUP BY ALL),
+    dcomp AS (SELECT img, fid, qr, qc,
+                     SUM(hx) AS dx, SUM(hy) AS dy,
+                     SUM(abs(hx)) AS adx, SUM(abs(hy)) AS ady
+              FROM hwav GROUP BY ALL),
+    dvals AS MATERIALIZED (
+      SELECT img, fid, (qr*4 + qc)*4 + 0 AS k, dx AS v FROM dcomp
+      UNION ALL SELECT img, fid, (qr*4 + qc)*4 + 1, dy FROM dcomp
+      UNION ALL SELECT img, fid, (qr*4 + qc)*4 + 2, adx FROM dcomp
+      UNION ALL SELECT img, fid, (qr*4 + qc)*4 + 3, ady FROM dcomp)"""
+  }
+
+  private def surfPointsSql: String =
+    s"""WITH ${surfDetectCtes}
+    SELECT CAST(f.img AS BIGINT) AS img_id, CAST(f.fid AS BIGINT) AS fid,
+           CAST(f.x AS BIGINT) AS x, CAST(f.y AS BIGINT) AS y,
+           CAST(f.scale AS BIGINT) AS scale, CAST(f.radius AS BIGINT) AS radius,
+           CAST(f.sgn AS BIGINT) AS sign,
+           CAST(sum((d.k + 1) * d.v) AS BIGINT) AS desc_cks
+    FROM fp f JOIN dvals d ON d.img = f.img AND d.fid = f.fid
+    GROUP BY f.img, f.fid, f.x, f.y, f.scale, f.radius, f.sgn
+    ORDER BY img_id, fid"""
+
+  private def surfMatchSql: String = {
+    val distTerms = (1 to 64)
+      .map(k => s"(a.d[$k] - b.d[$k])*(a.d[$k] - b.d[$k])")
+      .mkString(" + ")
+    s"""WITH RECURSIVE ${surfDetectCtes},
+    descs AS MATERIALIZED (SELECT img, fid, list(v ORDER BY k) AS d FROM dvals GROUP BY img, fid),
+    n12 AS (SELECT count(*) FILTER (WHERE img = 1) AS n1,
+                   count(*) FILTER (WHERE img = 2) AS n2 FROM fp),
+    sw AS MATERIALIZED (SELECT n2 <= n1 AS swp, CASE WHEN n2 <= n1 THEN n2 ELSE n1 END AS len1 FROM n12),
+    p1 AS MATERIALIZED (SELECT f.fid AS pid, f.x, f.y, f.sgn, d.d
+          FROM fp f JOIN descs d ON d.img = f.img AND d.fid = f.fid, sw
+          WHERE f.img = CASE WHEN sw.swp THEN 2 ELSE 1 END),
+    p2 AS MATERIALIZED (SELECT f.fid AS pid, f.x, f.y, f.sgn, d.d
+          FROM fp f JOIN descs d ON d.img = f.img AND d.fid = f.fid, sw
+          WHERE f.img = CASE WHEN sw.swp THEN 1 ELSE 2 END),
+    dist AS MATERIALIZED (SELECT a.pid AS i1, b.pid AS i2, sqrt($distTerms) AS dd
+          FROM p1 a, p2 b WHERE a.sgn = b.sgn),
+    darr AS MATERIALIZED (SELECT i1, list(i2 ORDER BY i2) AS js, list(dd ORDER BY i2) AS ds
+          FROM dist GROUP BY i1),
+    greedy AS (
+      -- the reference's sequential scan (gdal_simplesurf.cpp:434-487)
+      -- replayed one p_1 index per recursion step; the second-best is the
+      -- FIRST examined distance min'd with every later distance that
+      -- exceeds the running minimum of its prefix (the order-dependent
+      -- update rule), computed by list lambdas over the j-ordered arrays
+      SELECT -1 AS i, CAST([] AS BIGINT[]) AS used,
+             CAST(NULL AS BIGINT) AS mj, CAST(NULL AS DOUBLE) AS md, false AS ok
+      UNION ALL
+      SELECT g.i + 1,
+             CASE WHEN s.ok THEN list_append(g.used, s.bj) ELSE g.used END,
+             s.bj, s.bd, s.ok
+      FROM greedy g
+      LEFT JOIN darr d ON d.i1 = g.i + 1,
+      LATERAL (SELECT list_filter(d.js, j -> NOT list_contains(g.used, j)) AS ej,
+                      list_filter(d.ds, (x, ix) -> NOT list_contains(g.used, d.js[ix])) AS ed) e,
+      LATERAL (SELECT list_min(e.ed) AS bd0,
+                      e.ej[list_position(e.ed, list_min(e.ed))] AS bj0,
+                      least(e.ed[1],
+                            list_min(list_filter(e.ed, (x, ix) -> ix > 1
+                              AND list_min(e.ed[1:ix-1]) < x))) AS b2) m,
+      LATERAL (SELECT m.bj0 AS bj, m.bd0 AS bd,
+                      (m.b2 IS NOT NULL AND m.b2 > 0 AND m.bd0 IS NOT NULL
+                       AND m.bd0 / m.b2 < 0.8) AS ok) s
+      WHERE g.i + 1 < (SELECT len1 FROM sw)
+    ),
+    acc AS (SELECT i, mj, md FROM greedy WHERE ok),
+    mx AS (SELECT max(md) AS m FROM acc),
+    nrm AS (SELECT row_number() OVER (ORDER BY i) - 1 AS mi, i, mj,
+                   CASE WHEN mx.m <> 0 THEN md / mx.m ELSE md END AS nd
+            FROM acc, mx
+            WHERE (CASE WHEN mx.m <> 0 THEN md / mx.m ELSE md END) <= $MatchThr),
+    res AS (SELECT nrm.mi, nrm.nd,
+                   CASE WHEN sw.swp THEN b.x ELSE a.x END AS x1,
+                   CASE WHEN sw.swp THEN b.y ELSE a.y END AS y1,
+                   CASE WHEN sw.swp THEN a.x ELSE b.x END AS x2,
+                   CASE WHEN sw.swp THEN a.y ELSE b.y END AS y2
+            FROM nrm JOIN p1 a ON a.pid = nrm.i JOIN p2 b ON b.pid = nrm.mj, sw)
+    SELECT CAST(mi AS BIGINT) AS mi,
+           CAST(x1*10 + 5 AS BIGINT) AS px1, CAST(y1*10 + 5 AS BIGINT) AS py1,
+           CAST(x2*10 + 5 AS BIGINT) AS px2, CAST(y2*10 + 5 AS BIGINT) AS py2,
+           CAST(floor(nd * 1000000000.0 + 0.5) AS BIGINT) AS nd_e9
+    FROM res ORDER BY mi"""
+  }
+
+  val defs7: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // -- SURF feature detection (r53): GDALSimpleSURF fast-Hessian octave
+    // map + 64-component Haar descriptor (alg/gdal_simplesurf.cpp,
+    // alg/gdal_octave.cpp), octaves 1-2. Map-only per image; the DuckDB
+    // twin recomputes the whole pipeline relationally (prefix-sum integral
+    // image, corner joins, neighbor-join extremum test) and agrees exactly
+    // because all sums are integer-exact.
+    ("r53_surf_points", (s, _) => {
+      engine.Surf.detectPoints(surfImages(s), 1, 2, SurfThr)
+        .select(col("img_id").cast("long"), col("fid").cast("long").as("fid"),
+          col("x").cast("long").as("x"), col("y").cast("long").as("y"),
+          col("scale").cast("long").as("scale"),
+          col("radius").cast("long").as("radius"),
+          col("sign").cast("long").as("sign"),
+          expr("CAST(aggregate(zip_with(desc, sequence(1, 64)," +
+            " (v, i) -> v * i), 0D, (acc, x) -> acc + x) AS BIGINT)")
+            .as("desc_cks"))
+        .orderBy("img_id", "fid")
+    }, Some(surfPointsSql)),
+
+    // -- SURF matching → GCPs (r54): GDALComputeMatchingPoints
+    // (alg/gdalmatching.cpp) over the translated image pair — greedy
+    // nearest-descriptor matching with the reference's order-dependent
+    // second-best scan, ratio pruning, max-normalization, 0.015 threshold,
+    // half-pixel GCP centres. The DuckDB twin replays the greedy scan with
+    // a recursive CTE carrying the already-matched set.
+    ("r54_surf_match", (s, _) => {
+      import s.implicits._
+      val pairs = s.createDataset(Seq((1L, 2L))).toDF("id1", "id2")
+      engine.Surf.matchImagePairs(surfImages(s), pairs, 1, 2, SurfThr, MatchThr)
+        .select(col("mi").cast("long").as("mi"),
+          (col("pixel") * 10).cast("long").as("px1"),
+          (col("line") * 10).cast("long").as("py1"),
+          (col("gcp_x") * 10).cast("long").as("px2"),
+          (col("gcp_y") * 10).cast("long").as("py2"),
+          floor(col("ndist") * lit(1.0e9) + lit(0.5)).cast("long").as("nd_e9"))
+        .orderBy("mi")
+    }, Some(surfMatchSql))
+  )
+}
