@@ -252,7 +252,121 @@ object Queries5 {
     FROM res ORDER BY mi"""
   }
 
+  // ------------------------------------------------------------------
+  // RPC transformer gates (r55 forward, r56 inverse). Synthetic RPC00B
+  // model (mildly perspective camera: dominant linear terms + small
+  // second/third-order distortion) over an exact-decimal point lattice.
+  // Both engines evaluate the identical IEEE expression tree (the
+  // reference's even/odd strided accumulation order), so the scaled
+  // BIGINT outputs agree bit-for-bit.
+  // ------------------------------------------------------------------
+
+  private val RpcM = engine.Rpc.Model(
+    lineOff = 5500.0, sampOff = 6000.0,
+    latOff = -27.0, longOff = 44.0, heightOff = 300.0,
+    lineScale = 6000.0, sampScale = 6500.0,
+    latScale = 0.4, longScale = 0.5, heightScale = 500.0,
+    lineNum = Array(-0.0018, 0.0021, -1.0023, 0.0095, -0.0012, 0.0004,
+      -0.0007, 0.0013, 0.0019, -0.0004, 0.00017, -0.00023, 0.00051,
+      -0.00012, 0.00033, 0.00072, -0.00008, 0.00019, 0.00027, -0.00005),
+    lineDen = Array(1.0, 0.00038, -0.00044, 0.00018, 0.000042, -0.000025,
+      0.000033, 0.000028, -0.000019, 0.000011, 5.2e-6, 2.7e-6, -1.9e-6,
+      1.1e-6, 2.1e-6, -1.3e-6, 6.0e-7, 1.5e-6, -8.0e-7, 2.5e-7),
+    sampNum = Array(0.0025, 1.0012, -0.0031, 0.0124, 0.0018, -0.0006,
+      0.0003, 0.0021, -0.0014, 0.0005, 0.00021, 0.00062, -0.00034,
+      0.00011, 0.00042, -0.00013, 0.00007, 0.00025, -0.00012, 0.00004),
+    sampDen = Array(1.0, 0.00042, -0.00031, 0.00022, 0.000051, -0.000032,
+      0.000021, 0.000032, -0.000024, 0.000013, 6.1e-6, 3.2e-6, -2.3e-6,
+      1.4e-6, 2.5e-6, -1.6e-6, 7.0e-7, 1.8e-6, -9.0e-7, 3.0e-7),
+    minLong = 43.5, minLat = -27.4, maxLong = 44.5, maxLat = -26.6)
+
+  /** Exact-decimal lon/lat/height lattice, identical closed form in the
+    * SQL twins (81 × 65 grid, heights on a 41-step cycle). */
+  private def rpcPoints(s: SparkSession): DataFrame =
+    s.range(81 * 65).select(
+      col("id").as("i"),
+      (lit(43.6) + (col("id") % 81).cast("double") * lit(0.01)).as("lon"),
+      (lit(-27.32) + expr("id div 81").cast("double") * lit(0.01)).as("lat"),
+      (lit(100.0) + (col("id") % 41).cast("double") * lit(10.0)).as("hgt"))
+
+  private val rpcPtsSql: String =
+    """pts AS (SELECT range AS i,
+         43.6 + CAST(range % 81 AS DOUBLE) * 0.01 AS lon,
+         -27.32 + CAST(range // 81 AS DOUBLE) * 0.01 AS lat,
+         100.0 + CAST(range % 41 AS DOUBLE) * 10.0 AS hgt
+       FROM range(5265))"""
+
+  /** Even/odd strided dot product as SQL, mirroring Rpc.evalCol's exact
+    * association order (left-assoc even chain + left-assoc odd chain). */
+  private def rpcDotSql(c: Array[Double]): String = {
+    def chain(idx: Range): String =
+      idx.map(i => s"t$i*(${c(i)})").mkString(" + ")
+    s"((${chain(0 until 20 by 2)}) + (${chain(1 until 20 by 2)}))"
+  }
+
+  private val rpcNormTermsSql: String =
+    """norm AS (SELECT i,
+         (CASE WHEN (lon - 44.0) < -270 THEN (lon - 44.0) + 360
+               WHEN (lon - 44.0) > 270 THEN (lon - 44.0) - 360
+               ELSE (lon - 44.0) END) / 0.5 AS l,
+         (lat - (-27.0)) / 0.4 AS p,
+         (hgt - 300.0) / 500.0 AS h
+       FROM pts),
+    trm AS (SELECT i, 1.0 AS t0, l AS t1, p AS t2, h AS t3,
+         l*p AS t4, l*h AS t5, p*h AS t6, l*l AS t7, p*p AS t8, h*h AS t9,
+         l*p*h AS t10, l*l*l AS t11, l*p*p AS t12, l*h*h AS t13,
+         l*l*p AS t14, p*p*p AS t15, p*h*h AS t16, l*l*h AS t17,
+         p*p*h AS t18, h*h*h AS t19
+       FROM norm)"""
+
+  private def rpcForwardSql: String =
+    s"""WITH $rpcPtsSql, $rpcNormTermsSql
+    SELECT i,
+      CAST(floor(((${rpcDotSql(RpcM.sampNum)}) / (${rpcDotSql(RpcM.sampDen)})
+        * 6500.0 + 6000.0 + 0.5) * 1000000.0 + 0.5) AS BIGINT) AS px_e6,
+      CAST(floor(((${rpcDotSql(RpcM.lineNum)}) / (${rpcDotSql(RpcM.lineDen)})
+        * 6000.0 + 5500.0 + 0.5) * 1000000.0 + 0.5) AS BIGINT) AS ln_e6
+    FROM trm ORDER BY i"""
+
+  private def rpcInverseSql: String =
+    s"""WITH $rpcPtsSql
+    SELECT i,
+      CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS lon_e6,
+      CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS lat_e6
+    FROM pts ORDER BY i"""
+
   val defs7: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // -- RPC forward transform (r55): RPC00B rational polynomial camera
+    // model, (long,lat,height) → (pixel,line) (alg/gdal_rpc.cpp
+    // RPCTransformPoint). Map-only pure-Column arithmetic (whole-stage
+    // codegen, no UDF); the DuckDB twin evaluates the identical
+    // expression tree in the reference's even/odd accumulation order.
+    ("r55_rpc_forward", (s, _) => {
+      engine.Rpc.forward(rpcPoints(s), RpcM, col("lon"), col("lat"), col("hgt"))
+        .select(col("i"),
+          floor(col("pixel") * lit(1000000.0) + lit(0.5)).cast("long").as("px_e6"),
+          floor(col("line") * lit(1000000.0) + lit(0.5)).cast("long").as("ln_e6"))
+        .orderBy("i")
+    }, Some(rpcForwardSql)),
+
+    // -- RPC inverse transform (r56): iterative pixel→geodetic inversion
+    // (alg/gdal_rpc.cpp RPCInverseTransformPoint — affine init from the
+    // finite-difference reference-point geotransform, Newton-style
+    // updates). Gate shape: forward → inverse round trip at a 1e-9 px
+    // threshold recovers the exact-decimal input lattice; the oracle
+    // derives the expected micro-degrees directly from the inputs.
+    ("r56_rpc_inverse", (s, _) => {
+      val fwd = engine.Rpc.forward(rpcPoints(s), RpcM,
+          col("lon"), col("lat"), col("hgt"))
+        .select(col("i"), col("pixel"), col("line"), col("hgt"))
+      engine.Rpc.inverse(fwd, RpcM, col("pixel"), col("line"), col("hgt"),
+          pixErrThreshold = 1e-9, maxIterations = 40)
+        .select(col("i"),
+          floor(col("lon") * lit(1000000.0) + lit(0.5)).cast("long").as("lon_e6"),
+          floor(col("lat") * lit(1000000.0) + lit(0.5)).cast("long").as("lat_e6"))
+        .orderBy("i")
+    }, Some(rpcInverseSql)),
 
     // -- SURF feature detection (r53): GDALSimpleSURF fast-Hessian octave
     // map + 64-component Haar descriptor (alg/gdal_simplesurf.cpp,
