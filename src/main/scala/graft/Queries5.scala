@@ -335,7 +335,157 @@ object Queries5 {
       CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS lat_e6
     FROM pts ORDER BY i"""
 
+  // ------------------------------------------------------------------
+  // Geolocation-array transformer gates (r57 forward, r58 inverse).
+  // Synthetic swath grid: mildly sheared + curved closed-form geoloc
+  // arrays with a nodata hole, exercising interior bilinear, beyond-
+  // border clamping, right/bottom edge retreats, and the nodata
+  // degradation chain. The r57 DuckDB twin replays PixelLineToXY's
+  // decision tree relationally; r58 is the forward→inverse round trip
+  // whose oracle derives expected pixel/line directly from the input
+  // lattice (the max-accuracy inverse is exact inside a containing quad).
+  // ------------------------------------------------------------------
+
+  private val GlW = 33; private val GlH = 25
+  private val GlNd = -999.0
+  private def glGx(i: Int, j: Int): Double =
+    if (j == 10 && (i == 20 || i == 21)) GlNd
+    else 500.0 + i * 2.0 + j * 0.35 + (i * j) * 0.002
+  private def glGy(i: Int, j: Int): Double =
+    200.0 + j * 1.8 - i * 0.25 + (i * i) * 0.001
+
+  private lazy val GlGrid = engine.GeoLocGrid(GlW, GlH,
+    Array.tabulate(GlW * GlH)(k => glGx(k % GlW, k / GlW)),
+    Array.tabulate(GlW * GlH)(k => glGy(k % GlW, k / GlW)),
+    pixelOffset = 0.5, pixelStep = 2.0, lineOffset = 1.5, lineStep = 2.0,
+    noDataX = Some(GlNd))
+
+  private def glGxSql(iE: String, jE: String): String =
+    s"""(CASE WHEN ($jE) = 10 AND (($iE) = 20 OR ($iE) = 21) THEN -999.0
+        ELSE 500.0 + CAST($iE AS DOUBLE)*2.0 + CAST($jE AS DOUBLE)*0.35
+             + CAST(($iE)*($jE) AS DOUBLE)*0.002 END)"""
+  private def glGySql(iE: String, jE: String): String =
+    s"""(200.0 + CAST($jE AS DOUBLE)*1.8 - CAST($iE AS DOUBLE)*0.25
+        + CAST(($iE)*($iE) AS DOUBLE)*0.001)"""
+
+  /** PixelLineToXY as SQL for one output axis: the same decision tree
+    * (nodata short-circuit, interior bilinear, edge retreat, nodata
+    * degradation to one-axis linear / point) with decisions on the X
+    * array and values from `vf`. */
+  private def glForwardAxisSql(vf: (String, String) => String): String = {
+    val nd00r = s"""${glGxSql("ix", "iy")} = -999.0"""
+    val bilOk = s"""ix+1 < $GlW AND iy+1 < $GlH
+      AND ${glGxSql("ix+1", "iy")} <> -999.0
+      AND ${glGxSql("ix", "iy+1")} <> -999.0
+      AND ${glGxSql("ix+1", "iy+1")} <> -999.0"""
+    s"""CASE WHEN ${glGxSql("ix0", "iy0")} = -999.0 THEN NULL
+         WHEN $nd00r THEN NULL
+         WHEN $bilOk THEN
+           (1.0 - (gll - CAST(iy AS DOUBLE))) * (${vf("ix", "iy")}
+             + (glp - CAST(ix AS DOUBLE)) * (${vf("ix+1", "iy")} - ${vf("ix", "iy")}))
+           + (gll - CAST(iy AS DOUBLE)) * (${vf("ix", "iy+1")}
+             + (glp - CAST(ix AS DOUBLE)) * (${vf("ix+1", "iy+1")} - ${vf("ix", "iy+1")}))
+         WHEN ix+1 < $GlW AND ${glGxSql("ix+1", "iy")} <> -999.0 THEN
+           ${vf("ix", "iy")} + (glp - CAST(ix AS DOUBLE)) * (${vf("ix+1", "iy")} - ${vf("ix", "iy")})
+         WHEN iy+1 < $GlH AND ${glGxSql("ix", "iy+1")} <> -999.0 THEN
+           ${vf("ix", "iy")} + (gll - CAST(iy AS DOUBLE)) * (${vf("ix", "iy+1")} - ${vf("ix", "iy")})
+         ELSE ${vf("ix", "iy")} END"""
+  }
+
+  private def geolocForwardSql: String = {
+    val bil1 = s"""(ix0+1 < $GlW AND iy0+1 < $GlH
+      AND ${glGxSql("ix0+1", "iy0")} <> -999.0
+      AND ${glGxSql("ix0", "iy0+1")} <> -999.0
+      AND ${glGxSql("ix0+1", "iy0+1")} <> -999.0)"""
+    s"""WITH q AS (SELECT range AS k,
+           -2.0 + CAST(range % 29 AS DOUBLE) * 2.5 AS px,
+           -1.0 + CAST(range // 29 AS DOUBLE) * 2.0 AS py
+         FROM range(${29 * 27})),
+       c0 AS (SELECT k, (px - 0.5)/2.0 - 0.5 AS glp, (py - 1.5)/2.0 - 0.5 AS gll FROM q),
+       c1 AS (SELECT k, glp, gll,
+           CAST(trunc(least(greatest(0.0, glp), ${GlW - 1}.0)) AS INT) AS ix0,
+           CAST(trunc(least(greatest(0.0, gll), ${GlH - 1}.0)) AS INT) AS iy0 FROM c0),
+       c2 AS (SELECT *, $bil1 AS bil1 FROM c1),
+       c3 AS (SELECT k, glp, gll, ix0, iy0,
+           CASE WHEN NOT bil1 AND ix0 = ${GlW - 1} AND ix0 >= 1 AND iy0+1 < $GlH THEN ix0 - 1
+                WHEN NOT bil1 AND iy0 = ${GlH - 1} AND iy0 >= 1 AND ix0+1 < $GlW THEN ix0
+                WHEN NOT bil1 AND ix0 = ${GlW - 1} AND iy0 = ${GlH - 1} THEN ix0 - 1
+                ELSE ix0 END AS ix,
+           CASE WHEN NOT bil1 AND ix0 = ${GlW - 1} AND ix0 >= 1 AND iy0+1 < $GlH THEN iy0
+                WHEN NOT bil1 AND iy0 = ${GlH - 1} AND iy0 >= 1 AND ix0+1 < $GlW THEN iy0 - 1
+                WHEN NOT bil1 AND ix0 = ${GlW - 1} AND iy0 = ${GlH - 1} THEN iy0 - 1
+                ELSE iy0 END AS iy
+           FROM c2)
+       SELECT k,
+         COALESCE(CAST(floor((${glForwardAxisSql(glGxSql)}) * 10000000.0 + 0.5) AS BIGINT), -1) AS gx_e7,
+         COALESCE(CAST(floor((${glForwardAxisSql(glGySql)}) * 10000000.0 + 0.5) AS BIGINT), -1) AS gy_e7
+       FROM c3 ORDER BY k"""
+  }
+
+  // note the quarter-offset line lattice: a query exactly ON a horizontal
+  // cell edge makes the inverse-bilinear quadratic's A term float-noise
+  // around 0, and the reference's strict s1∈[0,1] root selection
+  // (gdalgeoloc.cpp:987-991) can then pick the far root — a reference
+  // edge quirk we mirror rather than fix, so gates avoid the measure-zero
+  // degenerate set exactly as the reference's own tests do
+  private def geolocInverseSql: String =
+    s"""WITH q AS (SELECT range AS k,
+           0.5 + CAST(range % 60 AS DOUBLE) * 0.5 AS glp,
+           0.25 + CAST(range // 60 AS DOUBLE) * 0.5 AS gll
+         FROM range(2760))
+       SELECT k,
+         CAST(floor(((glp + 0.5) * 2.0 + 0.5) * 1000000.0 + 0.5) AS BIGINT) AS px_e6,
+         CAST(floor(((gll + 0.5) * 2.0 + 1.5) * 1000000.0 + 0.5) AS BIGINT) AS ln_e6
+       FROM q
+       WHERE NOT (glp >= 18.5 AND glp <= 22.5 AND gll >= 8.5 AND gll <= 11.5)
+       ORDER BY k"""
+
   val defs7: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // -- Geolocation-array forward transform (r57): raster pixel/line →
+    // geoX/geoY by bilinear interpolation in the geoloc arrays with the
+    // reference's clamping/edge-retreat/nodata semantics
+    // (alg/gdalgeoloc.cpp PixelLineToXY). Map-only broadcast-grid UDF;
+    // the twin replays the decision tree relationally, bit-for-bit.
+    ("r57_geoloc_forward", (s, _) => {
+      val q = s.range(29 * 27).select(col("id").as("k"),
+        (lit(-2.0) + (col("id") % 29).cast("double") * lit(2.5)).as("px"),
+        (lit(-1.0) + expr("id div 29").cast("double") * lit(2.0)).as("py"))
+      engine.GeoLoc.forward(q, GlGrid, col("px"), col("py"))
+        .select(col("k"),
+          coalesce(floor(col("geo_x") * lit(10000000.0) + lit(0.5)).cast("long"),
+            lit(-1L)).as("gx_e7"),
+          coalesce(floor(col("geo_y") * lit(10000000.0) + lit(0.5)).cast("long"),
+            lit(-1L)).as("gy_e7"))
+        .orderBy("k")
+    }, Some(geolocForwardSql)),
+
+    // -- Geolocation-array inverse transform (r58): geoX/geoY →
+    // pixel/line via the generated backmap (distributed oversampled
+    // sweep → exact per-node inverse-bilinear → IDW + line-bridge hole
+    // fill) + max-accuracy containing-quad refinement
+    // (alg/gdalgeoloc.cpp GenerateBackMap + Transform dst→src). Gate:
+    // forward→inverse round trip recovers the input lattice exactly at
+    // micro-pixel rounding; the hole-adjacent region is excluded in both
+    // engines by the same closed-form filter.
+    ("r58_geoloc_inverse", (s, _) => {
+      val q = s.range(2760).select(col("id").as("k"),
+          (lit(0.5) + (col("id") % 60).cast("double") * lit(0.5)).as("glp"),
+          (lit(0.25) + expr("id div 60").cast("double") * lit(0.5)).as("gll"))
+        .filter(!(col("glp") >= 18.5 && col("glp") <= 22.5 &&
+          col("gll") >= 8.5 && col("gll") <= 11.5))
+        .select(col("k"),
+          ((col("glp") + lit(0.5)) * lit(2.0) + lit(0.5)).as("px"),
+          ((col("gll") + lit(0.5)) * lit(2.0) + lit(1.5)).as("py"))
+      val fwd = engine.GeoLoc.forward(q, GlGrid, col("px"), col("py"))
+        .select(col("k"), col("geo_x"), col("geo_y"))
+      val bm = engine.GeoLoc.buildBackMap(s, GlGrid)
+      engine.GeoLoc.inverse(fwd, GlGrid, bm, col("geo_x"), col("geo_y"))
+        .select(col("k"),
+          floor(col("pixel") * lit(1000000.0) + lit(0.5)).cast("long").as("px_e6"),
+          floor(col("line") * lit(1000000.0) + lit(0.5)).cast("long").as("ln_e6"))
+        .orderBy("k")
+    }, Some(geolocInverseSql)),
 
     // -- RPC forward transform (r55): RPC00B rational polynomial camera
     // model, (long,lat,height) → (pixel,line) (alg/gdal_rpc.cpp
