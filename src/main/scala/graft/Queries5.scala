@@ -6,6 +6,11 @@ import org.apache.spark.sql.functions._
 /** Round-5 continuation gates. Same conventions as [[Queries]]. */
 object Queries5 {
 
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def prep(s: SparkSession): Unit = functions.GraftFunctions.register(s)
+
   // ------------------------------------------------------------------
   // SURF correlator gates (r53 detection, r54 matching). The synthetic
   // pair is a lattice of square pyramids with quasi-random integer
@@ -554,6 +559,55 @@ object Queries5 {
           (col("gcp_y") * 10).cast("long").as("py2"),
           floor(col("ndist") * lit(1.0e9) + lit(0.5)).cast("long").as("nd_e9"))
         .orderBy("mi")
-    }, Some(surfMatchSql))
+    }, Some(surfMatchSql)),
+
+    // -- Curve-exact (non-linearized) measures (g56): arc length |Δα|·R and
+    // curve-polygon area straight off the CIRCULARSTRING control points —
+    // full-circle π·R², convex control-polygon + circular-segment shortcut,
+    // linearize fallback (ogrcircularstring.cpp:195,874; ogrcompoundcurve.cpp:864;
+    // ogrgeometryfactory.cpp:5809). Power-of-two radii keep every step of
+    // GetCurveParameters' scale-normalized arithmetic exact in IEEE doubles,
+    // so the closed-form DuckDB twin (mirrored op-for-op) agrees bit-for-bit.
+    ("g56_curve_exact", (s, dir) => {
+      prep(s)
+      def u(c: String) = expr(s"CAST(floor(($c) * 1000000.0 + 0.5) AS BIGINT)")
+      t(s, dir, "documents").where(col("doc_id") < 6000)
+        .withColumn("r", expr(
+          "CASE WHEN doc_id % 3 = 0 THEN 1.0D WHEN doc_id % 3 = 1 THEN 2.0D ELSE 4.0D END"))
+        .withColumn("rs", expr("CAST(r AS STRING)"))
+        .withColumn("nrs", expr("CAST(-r AS STRING)"))
+        .withColumn("r2s", expr("CAST(2*r AS STRING)"))
+        .withColumn("nr2s", expr("CAST(-(2*r) AS STRING)"))
+        .withColumn("r3s", expr("CAST(3*r AS STRING)"))
+        .select(col("doc_id"),
+          u("st_curve_length(concat('CIRCULARSTRING (', nrs, ' 0, 0 ', rs, ', ', rs, ' 0)'))")
+            .as("len_semi_u"),
+          u("st_curve_length(concat('CIRCULARSTRING (', nrs, ' 0, ', rs, ' 0, ', nrs, ' 0)'))")
+            .as("len_circ_u"),
+          u("st_curve_area(concat('CIRCULARSTRING (', nrs, ' 0, ', rs, ' 0, ', nrs, ' 0)'))")
+            .as("area_circ_u"),
+          u("st_curve_area(concat('CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (', nrs, " +
+            "' 0, 0 ', rs, ', ', rs, ' 0), (', rs, ' 0, ', nrs, ' 0)))'))")
+            .as("area_half_u"),
+          u("st_curve_area(concat('CURVEPOLYGON (CIRCULARSTRING (', nr2s, ' 0, ', r2s, " +
+            "' 0, ', nr2s, ' 0), CIRCULARSTRING (', nrs, ' 0, ', rs, ' 0, ', nrs, ' 0))'))")
+            .as("area_hole_u"),
+          u("st_curve_length(concat('MULTICURVE (CIRCULARSTRING (', nrs, ' 0, 0 ', rs, " +
+            "', ', rs, ' 0), (', rs, ' 0, ', rs, ' ', r3s, '))'))")
+            .as("len_multi_u"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH b AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 1.0 WHEN doc_id % 3 = 1 THEN 2.0 ELSE 4.0 END AS r
+        FROM documents WHERE doc_id < 6000)
+      SELECT doc_id,
+        CAST(floor((pi() * r) * 1000000.0 + 0.5) AS BIGINT) AS len_semi_u,
+        CAST(floor((2 * pi() * r) * 1000000.0 + 0.5) AS BIGINT) AS len_circ_u,
+        CAST(floor((pi() * (r * r)) * 1000000.0 + 0.5) AS BIGINT) AS area_circ_u,
+        CAST(floor((r * r + 0.5 * r * r * abs((pi()/2 - pi()) - sin(pi()/2 - pi())
+          + (0 - pi()/2) - sin(0 - pi()/2))) * 1000000.0 + 0.5) AS BIGINT) AS area_half_u,
+        CAST(floor((pi() * ((2*r) * (2*r)) - pi() * (r * r)) * 1000000.0 + 0.5) AS BIGINT) AS area_hole_u,
+        CAST(floor((pi() * r + 3 * r) * 1000000.0 + 0.5) AS BIGINT) AS len_multi_u
+      FROM b ORDER BY doc_id"""))
   )
 }

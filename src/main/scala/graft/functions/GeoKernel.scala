@@ -48,6 +48,13 @@ object GeoKernel {
 
   def asText(wkb: Array[Byte]): String = Wkt.write(decode(wkb))
 
+  // ---- curve-exact measures on raw curve WKT (no linearization);
+  // null when the input is not a parseable 2-D curve type
+  def curveLength(wkt: String): java.lang.Double =
+    CurveMeasure.curveLength(wkt).map(java.lang.Double.valueOf).orNull
+  def curveArea(wkt: String): java.lang.Double =
+    CurveMeasure.curveArea(wkt).map(java.lang.Double.valueOf).orNull
+
   def point(x: Double, y: Double): Array[Byte] = Wkb.write(Point(x, y))
 
   // ---- predicates (hot join path: direct-on-WKB, zero materialization)

@@ -171,6 +171,56 @@ case class StGeodesicLength(child: Expression) extends GeoUnary {
   protected override def withNewChildInternal(n: Expression): StGeodesicLength = copy(child = n)
 }
 
+/** st_curve_length(wkt) — curve-exact (non-linearized) length of arc
+  * geometry, straight from the CIRCULARSTRING control points. Ref:
+  * OGRCircularString::get_Length (/root/reference/ogr/ogrcircularstring.cpp:195)
+  * via OGRGeometryFactory::GetCurveParameters (ogrgeometryfactory.cpp:5809).
+  * Null when the WKT is not a parseable 2-D curve type. */
+case class StCurveLength(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_curve_length"
+  protected override def nullSafeEval(wkt: Any): Any =
+    GeoKernel.curveLength(wkt.asInstanceOf[UTF8String].toString)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("clen")
+      s"""
+         |java.lang.Double $tmp = ${K.N}.curveLength($c.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  protected override def withNewChildInternal(n: Expression): StCurveLength = copy(child = n)
+}
+
+/** st_curve_area(wkt) — curve-exact area of closed arc geometry
+  * (full-circle π·R², convex control-polygon + circular segments,
+  * linearize fallback). Ref: OGRCircularString::get_Area
+  * (/root/reference/ogr/ogrcircularstring.cpp:874), OGRCompoundCurve::get_Area
+  * (ogrcompoundcurve.cpp:864), OGRCurvePolygon::get_Area. */
+case class StCurveArea(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_curve_area"
+  protected override def nullSafeEval(wkt: Any): Any =
+    GeoKernel.curveArea(wkt.asInstanceOf[UTF8String].toString)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("carea")
+      s"""
+         |java.lang.Double $tmp = ${K.N}.curveArea($c.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  protected override def withNewChildInternal(n: Expression): StCurveArea = copy(child = n)
+}
+
 /** st_length(wkb). Ref: ST_Length (ogrsqlitesqlfunctions.cpp:978). */
 case class StLength(child: Expression) extends GeoUnary {
   override def dataType: DataType = DoubleType

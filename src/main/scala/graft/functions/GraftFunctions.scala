@@ -33,6 +33,8 @@ object GraftFunctions {
     arity("st_y", 1)(a => StY(a(0))),
     arity("st_area", 1)(a => StArea(a(0))),
     arity("st_length", 1)(a => StLength(a(0))),
+    arity("st_curve_length", 1)(a => StCurveLength(a(0))),
+    arity("st_curve_area", 1)(a => StCurveArea(a(0))),
     arity("st_geodesic_area", 1)(a => StGeodesicArea(a(0))),
     arity("st_geodesic_length", 1)(a => StGeodesicLength(a(0))),
     arity("st_envelope", 1)(a => StEnvelope(a(0))),
@@ -186,6 +188,8 @@ object gf {
   def st_y(wkb: Column): Column = call_function("st_y", wkb)
   def st_area(wkb: Column): Column = call_function("st_area", wkb)
   def st_length(wkb: Column): Column = call_function("st_length", wkb)
+  def st_curve_length(wkt: Column): Column = call_function("st_curve_length", wkt)
+  def st_curve_area(wkt: Column): Column = call_function("st_curve_area", wkt)
   def st_geodesic_area(wkb: Column): Column = call_function("st_geodesic_area", wkb)
   def st_geodesic_length(wkb: Column): Column = call_function("st_geodesic_length", wkb)
   def st_envelope(wkb: Column): Column = call_function("st_envelope", wkb)
