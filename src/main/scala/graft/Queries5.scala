@@ -608,6 +608,53 @@ object Queries5 {
           + (0 - pi()/2) - sin(0 - pi()/2))) * 1000000.0 + 0.5) AS BIGINT) AS area_half_u,
         CAST(floor((pi() * ((2*r) * (2*r)) - pi() * (r * r)) * 1000000.0 + 0.5) AS BIGINT) AS area_hole_u,
         CAST(floor((pi() * r + 3 * r) * 1000000.0 + 0.5) AS BIGINT) AS len_multi_u
-      FROM b ORDER BY doc_id"""))
+      FROM b ORDER BY doc_id""")),
+
+    // -- Winnowing document fingerprints (d10): rightmost-minimal 5-gram
+    // hash per 8-gram window (Schleimer–Wilkerson–Aiken SIGMOD 2003), the
+    // position-robust fingerprint family next to MinHash (d04) / SimHash
+    // (d06). Map-only single-pass kernel; the DuckDB twin replays the
+    // window argmax relationally (all hash arithmetic integer-exact).
+    // Gate shape: per-doc fingerprint count + packed (pos·2^32+h) sum.
+    ("d10_winnow_fp", (s, dir) => {
+      prep(s)
+      t(s, dir, "documents")
+        .withColumn("fps", expr("text_winnow(text, 5, 8)"))
+        .select(col("doc_id"),
+          expr("CAST(size(fps) AS BIGINT)").as("fp_cnt"),
+          expr("aggregate(fps, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("fp_sum"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          CAST(((((ascii(substr(text, pos+1, 1)) * 31 + ascii(substr(text, pos+2, 1))) * 31
+            + ascii(substr(text, pos+3, 1))) * 31 + ascii(substr(text, pos+4, 1))) * 31
+            + ascii(substr(text, pos+5, 1))) AS BIGINT) AS h
+        FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) - 5)) AS pos
+              FROM documents)
+      ),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+      wm AS (
+        SELECT e.doc_id, e.pos AS we, g2.pos AS pos, g2.h AS h
+        FROM g e
+        JOIN n ON n.doc_id = e.doc_id
+        JOIN g g2 ON g2.doc_id = e.doc_id
+          AND g2.pos BETWEEN e.pos - least(8, n.ng) + 1 AND e.pos
+        WHERE e.pos >= least(8, n.ng) - 1
+      ),
+      mn AS (SELECT doc_id, we, min(h) AS mh FROM wm GROUP BY 1, 2),
+      sel AS (
+        SELECT wm.doc_id, max(wm.pos) AS pos, mn.mh AS h
+        FROM wm JOIN mn ON wm.doc_id = mn.doc_id AND wm.we = mn.we AND wm.h = mn.mh
+        GROUP BY wm.doc_id, mn.we, mn.mh
+      ),
+      fp AS (SELECT DISTINCT doc_id, pos, h FROM sel)
+      SELECT d.doc_id,
+        CAST(coalesce(f.c, 0) AS BIGINT) AS fp_cnt,
+        CAST(coalesce(f.s, 0) AS BIGINT) AS fp_sum
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, count(*) AS c, sum(pos * 4294967296 + h) AS s FROM fp GROUP BY 1
+      ) f ON f.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
   )
 }

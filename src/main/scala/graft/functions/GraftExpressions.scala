@@ -1147,6 +1147,24 @@ case class TextMinHash(child: Expression)
   protected override def withNewChildInternal(n: Expression): TextMinHash = copy(child = n)
 }
 
+/** text_winnow(s, k, w) → array<long> of winnowing fingerprints packed as
+  * pos·2^32 + hash — rightmost-minimal k-gram hash per w-gram window
+  * (Schleimer–Wilkerson–Aiken SIGMOD 2003; see TextKernel.winnow). */
+case class TextWinnow(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "text_winnow"
+  protected override def nullSafeEval(s: Any, k: Any, w: Any): Any =
+    new GenericArrayData(graft.functions.TextKernel.winnow(
+      s.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, k, w) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextKernel.winnow($s, $k, $w))")
+  protected override def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): TextWinnow =
+    copy(first = a, second = b, third = c)
+}
+
 /** text_simhash16(s) → 16-bit SimHash fingerprint as long, one pass. */
 case class TextSimHash16(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {

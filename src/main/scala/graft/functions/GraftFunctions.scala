@@ -130,6 +130,7 @@ object GraftFunctions {
     arity("text_trigram_codes", 1)(a => TextTrigramCodes(a(0))),
     arity("text_minhash", 1)(a => TextMinHash(a(0))),
     arity("text_simhash16", 1)(a => TextSimHash16(a(0))),
+    arity("text_winnow", 3)(a => TextWinnow(a(0), a(1), a(2))),
     arity("vec_dot", 2)(a => VecDot(a(0), a(1))),
     arity("vec_norm", 1)(a => VecNorm(a(0))),
   )
@@ -246,6 +247,7 @@ object gf {
   def text_trigram_codes(s: Column): Column = call_function("text_trigram_codes", s)
   def text_minhash(s: Column): Column = call_function("text_minhash", s)
   def text_simhash16(s: Column): Column = call_function("text_simhash16", s)
+  def text_winnow(s: Column, k: Column, w: Column): Column = call_function("text_winnow", s, k, w)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vec_norm(a: Column): Column = call_function("vec_norm", a)
 }

@@ -90,6 +90,44 @@ object TextKernel {
     while (k < 16) { if (acc(k) > 0) out |= (1L << k); k += 1 }
     out
   }
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003). k-gram
+    * polynomial hashes h_i = Σ_j c_{i+j}·31^(k−1−j) — exact in a Long with
+    * no modulus for BMP chars and small k — then each sliding window of w
+    * grams selects its rightmost minimal hash; every selected (pos, hash)
+    * is recorded once (selections are non-decreasing in pos, so consecutive
+    * dedup equals global dedup). Documents with fewer than w grams degrade
+    * to one window over all grams — the paper's at-least-one-fingerprint
+    * guarantee. Returns packed longs pos·2^32 + hash (gram start, 0-based).
+    * Single pass, map-only: the 100-TB shape is fingerprint → explode →
+    * hash-join on (hash), the same bucket-bounded plan as d05's LSH. */
+  def winnow(s: UTF8String, k: Int, w: Int): Array[Long] = {
+    val str = s.toString
+    val ng = str.length - k + 1
+    if (ng <= 0 || k <= 0 || w <= 0) return Array.emptyLongArray
+    val h = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      var v = 0L
+      var j = 0
+      while (j < k) { v = v * 31L + str.charAt(i + j).toInt; j += 1 }
+      h(i) = v
+      i += 1
+    }
+    val we = math.min(w, ng)
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var last = -1
+    var e = we - 1
+    while (e < ng) {
+      var m = e
+      var p = e - 1
+      while (p > e - we) { if (h(p) < h(m)) m = p; p -= 1 }
+      if (m != last) { out += (m.toLong << 32) | h(m); last = m }
+      e += 1
+    }
+    out.toArray
+  }
 }
 
 /** Sequential-fold vector kernels for the embedding similarity family —
