@@ -445,6 +445,59 @@ object Queries5 {
        WHERE NOT (glp >= 18.5 AND glp <= 22.5 AND gll >= 8.5 AND gll <= 11.5)
        ORDER BY k"""
 
+  // closed forms shared by the r59 engine run and its DuckDB twin
+  private def mpRe(x: String, y: String) =
+    s"(CAST((($x)*13 + ($y)*7) % 21 AS DOUBLE) - 10.0)"
+  private def mpIm(x: String, y: String) =
+    s"(CAST((($x)*5 + ($y)*11) % 17 AS DOUBLE) - 8.0)"
+
+  /** DuckDB twin of the AVERAGE_MAGPHASE 2×2 reduction: per parent pixel it
+    * evaluates the identical IEEE expression tree (integer-exact block sums,
+    * correctly-rounded sqrt, FLOAT casts at the averaged components, a
+    * FLOAT×FLOAT ratio multiply), then the reference checksum + a 2^20
+    * fixed-point sum per band. */
+  private def magphaseSql: String = {
+    val pr = "([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]"
+    s"""
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+          FROM (SELECT unnest(generate_series(0, 255)) AS gx) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS gy) ys),
+      raw AS (SELECT gx, gy,
+          ${mpRe("2*gx", "2*gy")} AS r00, ${mpRe("2*gx+1", "2*gy")} AS r10,
+          ${mpRe("2*gx", "2*gy+1")} AS r01, ${mpRe("2*gx+1", "2*gy+1")} AS r11,
+          ${mpIm("2*gx", "2*gy")} AS i00, ${mpIm("2*gx+1", "2*gy")} AS i10,
+          ${mpIm("2*gx", "2*gy+1")} AS i01, ${mpIm("2*gx+1", "2*gy+1")} AS i11
+        FROM px),
+      v AS (SELECT gx, gy,
+          CAST((r00 + r10 + r01 + r11) / 4 AS FLOAT) AS nr,
+          CAST((i00 + i10 + i01 + i11) / 4 AS FLOAT) AS ni,
+          (sqrt(r00*r00 + i00*i00) + sqrt(r10*r10 + i10*i10)
+            + sqrt(r01*r01 + i01*i01) + sqrt(r11*r11 + i11*i11)) / 4 AS desired
+        FROM raw),
+      w AS (SELECT gx, gy, nr, ni,
+          CASE WHEN m <> 0.0 THEN desired / m ELSE 1.0 END AS ratio
+        FROM (SELECT v.*, sqrt(CAST(nr AS DOUBLE)*CAST(nr AS DOUBLE)
+            + CAST(ni AS DOUBLE)*CAST(ni AS DOUBLE)) AS m FROM v)),
+      o AS (SELECT gx AS cx, gy AS cy,
+          CAST(nr * CAST(ratio AS FLOAT) AS DOUBLE) AS ore,
+          CAST(ni * CAST(ratio AS FLOAT) AS DOUBLE) AS oim
+        FROM w),
+      b AS (
+        SELECT 1 AS band, cx, cy,
+          CAST(floor(ore + 0.5) AS BIGINT) AS iv,
+          CAST(floor(ore * 1048576.0 + 0.5) AS BIGINT) AS uv FROM o
+        UNION ALL
+        SELECT 2, cx, cy,
+          CAST(floor(oim + 0.5) AS BIGINT),
+          CAST(floor(oim * 1048576.0 + 0.5) AS BIGINT) FROM o
+      )
+      SELECT CAST(0 AS BIGINT) AS z, CAST(0 AS BIGINT) AS x, CAST(0 AS BIGINT) AS y,
+        CAST(band AS BIGINT) AS band,
+        CAST(((sum(iv % $pr) % 65536) + 65536) % 65536 AS BIGINT) AS cks,
+        CAST(sum(uv) AS BIGINT) AS sum_u
+      FROM b GROUP BY band ORDER BY band"""
+  }
+
   val defs7: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // -- Geolocation-array forward transform (r57): raster pixel/line →
@@ -655,6 +708,32 @@ object Queries5 {
       FROM documents d LEFT JOIN (
         SELECT doc_id, count(*) AS c, sum(pos * 4294967296 + h) AS s FROM fp GROUP BY 1
       ) f ON f.doc_id = d.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // -- AVERAGE_MAGPHASE complex overview (r59): the complex-data pyramid
+    // kernel (gcore/overview.cpp:4527-4580) — componentwise mean rescaled
+    // to the mean magnitude, CFloat32 store semantics mirrored. One
+    // (re,im)-pair shuffle for the level; the twin replays the per-pixel
+    // IEEE expression tree and agrees on checksum + 2^20 fixed-point sums.
+    ("r59_magphase_overview", (s, _) => {
+      val sp = s
+      import sp.implicits._
+      val re = engine.Raster.syntheticTiles(s, 1, band = 1) { (gx, gy) =>
+        ((gx * 13 + gy * 7) % 21).toDouble - 10.0 }
+      val im = engine.Raster.syntheticTiles(s, 1, band = 2) { (gx, gy) =>
+        ((gx * 5 + gy * 11) % 17).toDouble - 8.0 }
+      engine.Raster.pyramidUpMagphase(re.unionByName(im), 1, 2)
+        .map { ti =>
+          var su = 0L
+          var i = 0
+          while (i < ti.pixels.length) {
+            su += math.floor(ti.pixels(i) * 1048576.0 + 0.5).toLong; i += 1
+          }
+          (ti.z.toLong, ti.x.toLong, ti.y.toLong, ti.band.toLong,
+            engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong, su)
+        }
+        .toDF("z", "x", "y", "band", "cks", "sum_u")
+        .orderBy("band")
+    }, Some(magphaseSql))
   )
 }

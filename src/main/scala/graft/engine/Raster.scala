@@ -112,6 +112,81 @@ object Raster {
       }
   }
 
+  /** One complex pyramid level up with the AVERAGE_MAGPHASE kernel
+    * (GDALRegenerateOverviewsInternal complex path,
+    * /root/reference/gcore/overview.cpp:4527-4580): the parent pixel is the
+    * componentwise mean of its 2×2 source block, rescaled so its magnitude
+    * equals the mean of the source magnitudes — preserving average power in
+    * SAR-style data where opposite-phase samples would otherwise cancel.
+    * The reference's CFloat32 stores are mirrored exactly: the averaged
+    * components are cast to float, the ratio multiply is a float×float
+    * multiply. Magnitude uses sqrt(re²+im²); std::hypot differs only as an
+    * overflow guard and is identical for values whose squared sum is exact.
+    * A complex band is an (re, im) tile pair (the r46 convention); BOTH
+    * bands reduce in ONE groupByKey shuffle keyed (z−1, x/2, y/2) with the
+    * band ids carried in the values, so the complex pyramid costs the same
+    * single shuffle per level as the real-valued [[pyramidUp]]. */
+  def pyramidUpMagphase(tiles: Dataset[Tile], reBand: Int, imBand: Int): Dataset[Tile] = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.filter(t => t.band == reBand || t.band == imBand)
+      .groupByKey(t => (t.z - 1, t.x / 2, t.y / 2))
+      .flatMapGroups { (key: (Int, Int, Int), ts: Iterator[Tile]) =>
+        val (z, px, py) = key
+        val children = ts.toArray
+        val w = children(0).w; val h = children(0).h
+        val outRe = new Array[Double](w * h)
+        val outIm = new Array[Double](w * h)
+        for (((cx0, cy0), pair) <- children.groupBy(c => (c.x, c.y))) {
+          val ox = (cx0 - px * 2) * w / 2
+          val oy = (cy0 - py * 2) * h / 2
+          val reP = pair.find(_.band == reBand).map(_.pixels).orNull
+          val imP = pair.find(_.band == imBand).map(_.pixels).orNull
+          var cy = 0
+          while (cy < h) {
+            var cx = 0
+            while (cx < w) {
+              if ((cx & 1) == 0 && (cy & 1) == 0) {
+                // 2x2 block totals in the reference's row-major order
+                var totR = 0.0; var totI = 0.0; var totM = 0.0
+                var n = 0
+                var dy = 0
+                while (dy < 2) {
+                  var dx = 0
+                  while (dx < 2) {
+                    val xx = cx + dx; val yy = cy + dy
+                    if (xx < w && yy < h) {
+                      val idx = yy * w + xx
+                      val r = if (reP != null) reP(idx) else 0.0
+                      val i = if (imP != null) imP(idx) else 0.0
+                      totR += r; totI += i
+                      totM += math.sqrt(r * r + i * i)
+                      n += 1
+                    }
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                val nR = (totR / n).toFloat
+                val nI = (totI / n).toFloat
+                val m = math.sqrt(nR.toDouble * nR.toDouble + nI.toDouble * nI.toDouble)
+                val desired = totM / n
+                val ratio = if (m != 0.0) desired / m else 1.0
+                val rf = ratio.toFloat
+                val oIdx = (oy + cy / 2) * w + (ox + cx / 2)
+                outRe(oIdx) = (nR * rf).toDouble
+                outIm(oIdx) = (nI * rf).toDouble
+              }
+              cx += 1
+            }
+            cy += 1
+          }
+        }
+        Seq(Tile(z, px, py, reBand, w, h, outRe),
+          Tile(z, px, py, imBand, w, h, outIm))
+      }
+  }
+
   /** GDALCopyWord rounding: half away from zero, then clamp to the output
     * type's range (/root/reference/gcore/gdal_priv_templates.hpp:262-345). */
   private def clampFun(outType: String): Double => Double = {
