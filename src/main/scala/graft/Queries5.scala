@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import QueryFixtures._
 
 /** Round-5 continuation gates. Same conventions as [[Queries]]. */
 object Queries5 {
@@ -734,6 +735,24 @@ object Queries5 {
         }
         .toDF("z", "x", "y", "band", "cks", "sum_u")
         .orderBy("band")
-    }, Some(magphaseSql))
+    }, Some(magphaseSql)),
+
+    // -- Stream-static PIP enrichment (s04): the flagship spatial join with
+    // a streaming point side — stateless append-mode micro-batches over the
+    // same st_cell + broadcast + WKB-refine plan, across a checkpoint
+    // restart (re-enrichment on restart would duplicate rows and fail the
+    // compare). Twin: the batch g03 oracle.
+    ("s04_stream_pip", (s, dir) => {
+      streaming.StreamJobs.streamPipJoin(s, s"$dir/events.parquet",
+        "/tmp/graft_s04_work", Queries.fixturePolyDf(s), z = 3,
+        lonOf("event_id"), latOf("event_id"))
+    }, Some {
+      val arms = polygons.map { case (id, _, _) =>
+        s"SELECT event_id, '$id' AS poly_id FROM pts WHERE ${insidePolySql(id, "lon", "lat")}"
+      }
+      s"""WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+            ${latOf("event_id")} AS lat FROM events)
+          ${arms.mkString(" UNION ALL ")} ORDER BY event_id, poly_id"""
+    })
   )
 }

@@ -160,6 +160,44 @@ object StreamJobs {
     * (parquet sink commit log); a final no-new-data restart flushes
     * watermark-closed windows. Returns the final windowed counts minus the
     * sentinel — byte-identical to the batch twin q13_time_window. */
+  /** Stream-static spatial enrichment: the flagship point-in-polygon join
+    * ([[graft.engine.SpatialJoin.pipJoin]]) with a STREAMING point side and
+    * a static broadcast polygon side. The join is stateless — no watermark,
+    * no state store — so it runs in append mode and scales to unbounded
+    * ingest: every micro-batch costs exactly the batch plan (map-side
+    * st_cell + broadcast hash join + direct-on-WKB refine) and nothing
+    * accumulates. Events arrive as three file slices across TWO
+    * checkpoint-restarted AvailableNow runs, so the gate also proves the
+    * file-source offset log prevents re-enrichment on restart (duplicates
+    * would fail the row-count compare). Returns the enriched pairs —
+    * byte-identical to the batch twin g03_pip_join. */
+  def streamPipJoin(spark: SparkSession, eventsParquet: String, work: String,
+                    polys: DataFrame, z: Int,
+                    lonExpr: String, latExpr: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rmr(spark, work)
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    val ev = spark.read.parquet(eventsParquet)
+    def stage(k: Int): Unit =
+      ev.where(col("event_id") % 3 === k)
+        .repartition(1).write.mode("append").parquet(inDir)
+    def run(): Unit = {
+      val pts = spark.readStream.schema(ev.schema).parquet(inDir)
+        .select(col("event_id"), expr(lonExpr).as("lon"), expr(latExpr).as("lat"))
+      val joined = graft.engine.SpatialJoin.pipJoin(pts, polys, z)
+        .select("event_id", "poly_id")
+      joined.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    stage(0); stage(1)
+    run()
+    stage(2)
+    run() // restart from checkpoint: slices 0-1 must not re-enrich
+    spark.read.parquet(outDir).orderBy("event_id", "poly_id")
+  }
+
   def resumeDemo(spark: SparkSession, eventsParquet: String, work: String): DataFrame = {
     import org.apache.spark.sql.functions._
     rmr(spark, work)
