@@ -753,6 +753,99 @@ object Queries5 {
       s"""WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
             ${latOf("event_id")} AS lat FROM events)
           ${arms.mkString(" UNION ALL ")} ORDER BY event_id, poly_id"""
-    })
+    }),
+
+    // -- Linear referencing (g57): ogrlineref's station/interpolate/subline
+    // family (apps/ogrlineref.cpp; Project → GEOS LengthIndexedLine,
+    // Value/getSubLine ogrlinestring.cpp:2119,2237) over 20 integer
+    // staircase routes: station + squared offset of each query point
+    // (first-strict-min segment scan), the point at a fractional station,
+    // and the subline vertex count (2 + interior vertices, the reference
+    // walk's closed form for fractional bounds). The twin replays the
+    // segment argmin and interpolation with identical IEEE ops.
+    ("g57_lineref", (s, dir) => {
+      import s.implicits._
+      val lines = (0 until 20).map { l =>
+        val buf = scala.collection.mutable.ArrayBuffer(0.0, 0.0)
+        var x = 0.0; var y = 0.0
+        for (k <- 0 until 12) {
+          val sl = ((l * 7 + k * 3) % 5) + 1
+          if (k % 2 == 0) x += sl else y += sl
+          buf += x; buf += y
+        }
+        (l.toLong, buf.toSeq)
+      }.toDF("line_id", "coords")
+      val pts = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 20).as("line_id"),
+        expr("CAST((doc_id*37) % 400 AS DOUBLE) / 16.0").as("px"),
+        expr("CAST((doc_id*59) % 320 AS DOUBLE) / 16.0").as("py"),
+        expr("CAST(doc_id % 40 AS DOUBLE) / 8.0 + 0.0625").as("a"),
+        expr("CAST(doc_id % 40 AS DOUBLE) / 8.0 + 0.0625 + CAST(doc_id % 48 AS DOUBLE) / 8.0 + 0.25").as("b"))
+      val f = udf { (coords: Seq[Double], px: Double, py: Double, a: Double, b: Double) =>
+        val c = coords.toArray
+        val (st, d2) = engine.LinearRef.project(c, px, py)
+        val (vx, vy) = engine.LinearRef.value(c, a)
+        val subN = engine.LinearRef.subLine(c, a, b).map(_.length / 2).getOrElse(-1)
+        Array(st, d2, vx, vy, subN.toDouble)
+      }
+      pts.join(broadcast(lines), "line_id")
+        .withColumn("r", f(col("coords"), col("px"), col("py"), col("a"), col("b")))
+        .select(col("doc_id"),
+          expr("CAST(floor(r[0] * 1000000.0 + 0.5) AS BIGINT)").as("station_u"),
+          expr("CAST(floor(r[1] * 1000000.0 + 0.5) AS BIGINT)").as("d2_u"),
+          expr("CAST(floor(r[2] * 1000000.0 + 0.5) AS BIGINT)").as("vx_u"),
+          expr("CAST(floor(r[3] * 1000000.0 + 0.5) AS BIGINT)").as("vy_u"),
+          expr("CAST(r[4] AS BIGINT)").as("sub_n"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id % 20 AS l,
+          CAST((doc_id*37) % 400 AS DOUBLE)/16.0 AS px,
+          CAST((doc_id*59) % 320 AS DOUBLE)/16.0 AS py,
+          CAST(doc_id % 40 AS DOUBLE)/8.0 + 0.0625 AS a,
+          CAST(doc_id % 40 AS DOUBLE)/8.0 + 0.0625 + CAST(doc_id % 48 AS DOUBLE)/8.0 + 0.25 AS b
+        FROM documents),
+      seg0 AS (SELECT ls.l AS l, ks.k AS k,
+          CAST(((ls.l*7 + ks.k*3) % 5) + 1 AS BIGINT) AS sl
+        FROM (SELECT unnest(generate_series(0, 19)) AS l) ls
+        CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS k) ks),
+      seg AS (SELECT l, k, sl,
+          CAST(coalesce(sum(CASE WHEN k % 2 = 0 THEN sl END) OVER
+            (PARTITION BY l ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS x1,
+          CAST(coalesce(sum(CASE WHEN k % 2 = 1 THEN sl END) OVER
+            (PARTITION BY l ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS y1,
+          CAST(coalesce(sum(sl) OVER
+            (PARTITION BY l ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS cum
+        FROM seg0),
+      sg AS (SELECT l, k, cum, CAST(sl AS DOUBLE) AS sl, x1, y1,
+          CASE WHEN k % 2 = 0 THEN CAST(sl AS DOUBLE) ELSE 0.0 END AS dx,
+          CASE WHEN k % 2 = 1 THEN CAST(sl AS DOUBLE) ELSE 0.0 END AS dy
+        FROM seg),
+      pr AS (SELECT d.doc_id, sg.k,
+          sg.cum + r * sg.sl AS station,
+          (d.px - (sg.x1 + r * sg.dx)) * (d.px - (sg.x1 + r * sg.dx))
+            + (d.py - (sg.y1 + r * sg.dy)) * (d.py - (sg.y1 + r * sg.dy)) AS d2
+        FROM d JOIN sg ON sg.l = d.l,
+        LATERAL (SELECT CASE WHEN rr < 0.0 THEN 0.0 WHEN rr > 1.0 THEN 1.0 ELSE rr END AS r
+          FROM (SELECT ((d.px - sg.x1) * sg.dx + (d.py - sg.y1) * sg.dy)
+                  / (sg.dx * sg.dx + sg.dy * sg.dy) AS rr) t)),
+      best AS (SELECT doc_id, station, d2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY d2, k) AS rn FROM pr)
+        WHERE rn = 1),
+      vv AS (SELECT d.doc_id,
+          sg.x1 * (1 - (d.a - sg.cum) / sg.sl) + (sg.x1 + sg.dx) * ((d.a - sg.cum) / sg.sl) AS vx,
+          sg.y1 * (1 - (d.a - sg.cum) / sg.sl) + (sg.y1 + sg.dy) * ((d.a - sg.cum) / sg.sl) AS vy
+        FROM d JOIN sg ON sg.l = d.l AND sg.cum <= d.a AND sg.cum + sg.sl >= d.a),
+      sn AS (SELECT d.doc_id, 2 + count(*) FILTER (WHERE sg.cum > d.a AND sg.cum < d.b) AS sub_n
+        FROM d JOIN sg ON sg.l = d.l GROUP BY d.doc_id)
+      SELECT d.doc_id,
+        CAST(floor(best.station * 1000000.0 + 0.5) AS BIGINT) AS station_u,
+        CAST(floor(best.d2 * 1000000.0 + 0.5) AS BIGINT) AS d2_u,
+        CAST(floor(vv.vx * 1000000.0 + 0.5) AS BIGINT) AS vx_u,
+        CAST(floor(vv.vy * 1000000.0 + 0.5) AS BIGINT) AS vy_u,
+        CAST(sn.sub_n AS BIGINT) AS sub_n
+      FROM d JOIN best ON best.doc_id = d.doc_id
+      JOIN vv ON vv.doc_id = d.doc_id
+      JOIN sn ON sn.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
   )
 }
