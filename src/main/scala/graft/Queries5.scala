@@ -846,6 +846,81 @@ object Queries5 {
       FROM d JOIN best ON best.doc_id = d.doc_id
       JOIN vv ON vv.doc_id = d.doc_id
       JOIN sn ON sn.doc_id = d.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // -- Antimeridian wrapping (g58): WRAPDATELINE=YES over dateline-
+    // crossing lines and polygons (ogrgeometryfactory.cpp:4430-4620).
+    // Lines: the big-gap heuristic decides split-vs-keep (the 350°
+    // threshold at DATELINEOFFSET=10), crossing segments interpolate a
+    // ±180 vertex pair — the twin replays the decision and the crossing
+    // arithmetic. Polygons: unwrap (+360) then Martinez–Rueda clip against
+    // the two world rectangles — pinned by piece count + exact areas.
+    ("g58_wrapdateline", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        expr("CAST(171 + doc_id % 8 AS DOUBLE)").as("lx1"),
+        expr("CAST(doc_id % 7 - 3 AS DOUBLE)").as("ly1"),
+        expr("CAST(-179 + doc_id % 6 AS DOUBLE)").as("lx2"),
+        expr("CAST(doc_id % 5 - 2 AS DOUBLE)").as("ly2"),
+        expr("CAST(176 + doc_id % 3 AS DOUBLE)").as("px1"),
+        expr("CAST(-178 + doc_id % 3 AS DOUBLE)").as("px2"),
+        expr("CAST(-(doc_id % 5) - 5 AS DOUBLE)").as("pymin"),
+        expr("CAST(doc_id % 6 + 5 AS DOUBLE)").as("pymax"))
+      val lstat = udf { (wkb: Array[Byte]) =>
+        def f(v: Double): Long = math.floor(v * 1000000.0 + 0.5).toLong
+        graft.geom.Wkb.read(wkb) match {
+          case graft.geom.MultiLineString(ls) =>
+            var cks = 0L
+            for (l <- ls; i <- 0 until l.coords.length / 2)
+              cks += f(l.coords(2 * i)) * 7 + f(l.coords(2 * i + 1)) * 13
+            Array(ls.length.toLong, cks)
+          case _ => Array(-1L, -1L)
+        }
+      }
+      val pstat = udf { (wkb: Array[Byte]) =>
+        graft.geom.Wkb.read(wkb) match {
+          case graft.geom.MultiPolygon(ps) =>
+            Array(ps.length.toLong,
+              ps.map(p => math.floor(graft.geom.GeoOps.area(p) * 1000000.0 + 0.5).toLong).sum)
+          case _ => Array(-1L, -1L)
+        }
+      }
+      base
+        .withColumn("lw", gf.st_wrapdateline(gf.st_geomfromtext(expr(
+          "concat('LINESTRING (', lx1, ' ', ly1, ', ', lx2, ' ', ly2, ')')")), lit(10.0)))
+        .withColumn("pw", gf.st_wrapdateline(gf.st_geomfromtext(expr(
+          "concat('POLYGON ((', px1, ' ', pymin, ', ', px2, ' ', pymin, ', ', px2, ' ', " +
+            "pymax, ', ', px1, ' ', pymax, ', ', px1, ' ', pymin, '))')")), lit(10.0)))
+        .withColumn("ls", lstat(col("lw")))
+        .withColumn("ps", pstat(col("pw")))
+        .select(col("doc_id"),
+          expr("ls[0]").as("ln_pieces"), expr("ls[1]").as("ln_cks"),
+          expr("ps[0]").as("pg_pieces"), expr("ps[1]").as("pg_area_u"))
+        .orderBy("doc_id")
+    }, Some {
+      def f(x: String) = s"CAST(floor(($x) * 1000000.0 + 0.5) AS BIGINT)"
+      s"""
+      WITH d AS (SELECT doc_id,
+          CAST(171 + doc_id % 8 AS DOUBLE) AS lx1, CAST(doc_id % 7 - 3 AS DOUBLE) AS ly1,
+          CAST(-179 + doc_id % 6 AS DOUBLE) AS lx2, CAST(doc_id % 5 - 2 AS DOUBLE) AS ly2,
+          CAST(176 + doc_id % 3 AS DOUBLE) AS px1, CAST(-178 + doc_id % 3 AS DOUBLE) AS px2,
+          CAST(-(doc_id % 5) - 5 AS DOUBLE) AS pymin, CAST(doc_id % 6 + 5 AS DOUBLE) AS pymax
+        FROM documents),
+      y AS (SELECT *, ratio * ly2 + (1 - ratio) * ly1 AS yc FROM (
+        SELECT *, (lx1 - lx2) > 350.0 AS split,
+          (180.0 - lx1) / ((lx2 + 360.0) - lx1) AS ratio FROM d))
+      SELECT doc_id,
+        CAST(CASE WHEN split THEN 2 ELSE 1 END AS BIGINT) AS ln_pieces,
+        CAST(CASE WHEN split THEN
+            ${f("lx1")}*7 + ${f("ly1")}*13 + ${f("180.0")}*7 + ${f("yc")}*13
+            + ${f("-180.0")}*7 + ${f("yc")}*13 + ${f("lx2")}*7 + ${f("ly2")}*13
+          ELSE ${f("lx1")}*7 + ${f("ly1")}*13 + ${f("lx2")}*7 + ${f("ly2")}*13
+          END AS BIGINT) AS ln_cks,
+        CAST(2 AS BIGINT) AS pg_pieces,
+        CAST(${f("(180.0 - px1) * (pymax - pymin)")}
+          + ${f("((px2 + 360.0) - 180.0) * (pymax - pymin)")} AS BIGINT) AS pg_area_u
+      FROM y ORDER BY doc_id"""
+    })
   )
 }

@@ -55,6 +55,11 @@ object GeoKernel {
   def curveArea(wkt: String): java.lang.Double =
     CurveMeasure.curveArea(wkt).map(java.lang.Double.valueOf).orNull
 
+  /** WRAPDATELINE=YES: cut/wrap a geometry at the antimeridian
+    * (ogrgeometryfactory.cpp:4430-4620; see graft.geom.Dateline). */
+  def wrapDateline(wkb: Array[Byte], offset: Double): Array[Byte] =
+    Wkb.write(Dateline.cut(decode(wkb), offset))
+
   def point(x: Double, y: Double): Array[Byte] = Wkb.write(Point(x, y))
 
   // ---- predicates (hot join path: direct-on-WKB, zero materialization)

@@ -221,6 +221,24 @@ case class StCurveArea(child: Expression)
   protected override def withNewChildInternal(n: Expression): StCurveArea = copy(child = n)
 }
 
+/** st_wrapdateline(wkb, offset) — cut/wrap at the antimeridian, the
+  * WRAPDATELINE=YES transform option (OGRGeometryFactory::
+  * transformWithOptions, ogrgeometryfactory.cpp:4430-4620; DATELINEOFFSET
+  * default 10). Lines split with interpolated ±180 crossing vertices;
+  * polygons unwrap (+360) and clip against the two world rectangles. */
+case class StWrapDateline(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_wrapdateline"
+  protected override def nullSafeEval(wkb: Any, off: Any): Any =
+    GeoKernel.wrapDateline(wkb.asInstanceOf[Array[Byte]], off.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, o) => s"${K.N}.wrapDateline($w, $o)")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StWrapDateline =
+    copy(left = l, right = r)
+}
+
 /** st_length(wkb). Ref: ST_Length (ogrsqlitesqlfunctions.cpp:978). */
 case class StLength(child: Expression) extends GeoUnary {
   override def dataType: DataType = DoubleType

@@ -34,6 +34,7 @@ object GraftFunctions {
     arity("st_area", 1)(a => StArea(a(0))),
     arity("st_length", 1)(a => StLength(a(0))),
     arity("st_curve_length", 1)(a => StCurveLength(a(0))),
+    arity("st_wrapdateline", 2)(a => StWrapDateline(a(0), a(1))),
     arity("st_curve_area", 1)(a => StCurveArea(a(0))),
     arity("st_geodesic_area", 1)(a => StGeodesicArea(a(0))),
     arity("st_geodesic_length", 1)(a => StGeodesicLength(a(0))),
@@ -190,6 +191,7 @@ object gf {
   def st_area(wkb: Column): Column = call_function("st_area", wkb)
   def st_length(wkb: Column): Column = call_function("st_length", wkb)
   def st_curve_length(wkt: Column): Column = call_function("st_curve_length", wkt)
+  def st_wrapdateline(wkb: Column, off: Column): Column = call_function("st_wrapdateline", wkb, off)
   def st_curve_area(wkt: Column): Column = call_function("st_curve_area", wkt)
   def st_geodesic_area(wkb: Column): Column = call_function("st_geodesic_area", wkb)
   def st_geodesic_length(wkb: Column): Column = call_function("st_geodesic_length", wkb)
