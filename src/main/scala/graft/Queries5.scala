@@ -499,6 +499,56 @@ object Queries5 {
       FROM b GROUP BY band ORDER BY band"""
   }
 
+  /** DuckDB twin of the r60 approx-transformer run: the subdivision
+    * recursion replayed as a recursive CTE — every node's anchors are pure
+    * base-transform evaluations at (lo, lo+(n−1)/2, hi), so the error
+    * check, the ≤5-point exact fallback, and the interpolation leaves are
+    * all closed-form and bit-identical. */
+  private def approxSql: String = {
+    val N = 512; val tol = "0.05"
+    def bx(i: String) = s"(CAST($i AS DOUBLE) + 40.0*sin(CAST($i AS DOUBLE)/64.0))"
+    def byr(i: String, r: String) = s"((20.0 + CAST($r AS DOUBLE)) + CAST($i AS DOUBLE)*CAST($i AS DOUBLE)/4096.0)"
+    def by(i: String) = byr(i, "nd.r")
+    def byl(i: String) = byr(i, "l.r")
+    s"""
+    WITH RECURSIVE nd(r, lo, hi, typ) AS (
+      SELECT CAST(range AS BIGINT), 0, ${N - 1}, 'p' FROM range(16)
+      UNION ALL
+      SELECT nd.r, c.clo, c.chi, c.ctyp
+      FROM nd,
+      LATERAL (SELECT nd.hi - nd.lo + 1 AS n, (nd.hi - nd.lo) // 2 AS nM) p,
+      LATERAL (SELECT nd.lo + p.nM AS mid) m,
+      LATERAL (SELECT (${bx("nd.hi")} - ${bx("nd.lo")}) / (CAST(nd.hi AS DOUBLE) - CAST(nd.lo AS DOUBLE)) AS dX,
+                      (${by("nd.hi")} - ${by("nd.lo")}) / (CAST(nd.hi AS DOUBLE) - CAST(nd.lo AS DOUBLE)) AS dY) dd,
+      LATERAL (SELECT abs(${bx("nd.lo")} + dd.dX * (CAST(m.mid AS DOUBLE) - CAST(nd.lo AS DOUBLE)) - ${bx("m.mid")})
+                    + abs(${by("nd.lo")} + dd.dY * (CAST(m.mid AS DOUBLE) - CAST(nd.lo AS DOUBLE)) - ${by("m.mid")}) AS err) e,
+      (VALUES (0), (1)) s(k),
+      LATERAL (SELECT
+         CASE WHEN e.err <= $tol THEN (CASE WHEN s.k = 0 THEN nd.lo END)
+              WHEN s.k = 0 THEN nd.lo ELSE m.mid END AS clo,
+         CASE WHEN e.err <= $tol THEN (CASE WHEN s.k = 0 THEN nd.hi END)
+              WHEN s.k = 0 THEN m.mid - 1 ELSE nd.hi END AS chi,
+         CASE WHEN e.err <= $tol THEN 'i'
+              WHEN s.k = 0 THEN (CASE WHEN p.nM <= 5 THEN 'e' ELSE 'p' END)
+              ELSE (CASE WHEN p.n - p.nM <= 5 THEN 'e' ELSE 'p' END) END AS ctyp) c
+      WHERE nd.typ = 'p' AND c.clo IS NOT NULL
+    ),
+    leaves AS (SELECT r, lo, hi, typ FROM nd WHERE typ IN ('i', 'e')),
+    px AS (SELECT unnest(generate_series(0, ${N - 1})) AS i),
+    vals AS (
+      SELECT l.r AS r, px.i,
+        CASE WHEN l.typ = 'e' THEN ${bx("px.i")}
+             ELSE ${bx("l.lo")} + ((${bx("l.hi")} - ${bx("l.lo")}) / (CAST(l.hi AS DOUBLE) - CAST(l.lo AS DOUBLE))) * (CAST(px.i AS DOUBLE) - CAST(l.lo AS DOUBLE)) END AS X,
+        CASE WHEN l.typ = 'e' THEN ${byl("px.i")}
+             ELSE ${byl("l.lo")} + ((${byl("l.hi")} - ${byl("l.lo")}) / (CAST(l.hi AS DOUBLE) - CAST(l.lo AS DOUBLE))) * (CAST(px.i AS DOUBLE) - CAST(l.lo AS DOUBLE)) END AS Y
+      FROM px JOIN leaves l ON px.i BETWEEN l.lo AND l.hi
+    )
+    SELECT r, CAST(i AS BIGINT) AS i,
+      CAST(floor(X*1000000.0 + 0.5) AS BIGINT) AS xu,
+      CAST(floor(Y*1000000.0 + 0.5) AS BIGINT) AS yu
+    FROM vals ORDER BY r, i"""
+  }
+
   val defs7: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // -- Geolocation-array forward transform (r57): raster pixel/line →
@@ -921,6 +971,31 @@ object Queries5 {
         CAST(${f("(180.0 - px1) * (pymax - pymin)")}
           + ${f("((px2 + 360.0) - 180.0) * (pymax - pymin)")} AS BIGINT) AS pg_area_u
       FROM y ORDER BY doc_id"""
-    })
+    }),
+
+    // -- Error-bounded approximate transformer (r60): GDALApproxTransform's
+    // scanline subdivision (gdaltransformer.cpp:4375, internal :4080) over
+    // a nonlinear base transform — middle-error check, recursive halving,
+    // ≤5-point exact fallback, interpolation leaves overwriting the ends.
+    // 16 independent scanlines run as a distributed map; the twin replays
+    // the recursion as a recursive CTE (all anchors are closed-form base
+    // evaluations), bit-for-bit.
+    ("r60_approx_transform", (s, _) => {
+      val sp = s
+      import sp.implicits._
+      s.range(16).as[Long].flatMap { r =>
+        val y = 20.0 + r
+        val xs = Array.tabulate(512)(_.toDouble)
+        val ys = Array.fill(512)(y)
+        val base = (x: Double, yy: Double) =>
+          (x + 40.0 * math.sin(x / 64.0), yy + x * x / 4096.0)
+        val (ox, oy) = engine.ApproxTransform.transformRow(base, 0.05, xs, ys)
+        (0 until 512).map { i =>
+          (r, i.toLong,
+            math.floor(ox(i) * 1000000.0 + 0.5).toLong,
+            math.floor(oy(i) * 1000000.0 + 0.5).toLong)
+        }
+      }.toDF("r", "i", "xu", "yu").orderBy("r", "i")
+    }, Some(approxSql))
   )
 }
