@@ -996,6 +996,38 @@ object Queries5 {
             math.floor(oy(i) * 1000000.0 + 0.5).toLong)
         }
       }.toDF("r", "i", "xu", "yu").orderBy("r", "i")
-    }, Some(approxSql))
+    }, Some(approxSql)),
+
+    // -- Multidimensional mosaic (m07): gdal mdim mosaic
+    // (apps/gdalalg_mdim_mosaic.cpp) — four blocks placed at resolved
+    // offsets into a 16×20 output on a NON-aligned (5,7) chunk grid, with
+    // two overlap regions (later input wins) and an uncovered strip
+    // (fill). The twin is the per-cell placement decision tree.
+    ("m07_mdim_mosaic", (s, _) => {
+      prep(s)
+      def block(k: Int, h: Long, w: Long) =
+        engine.MdArray.create(s, Array(h, w), Array(3, 5))(c =>
+          (k * 1000 + c(0) * 31 + c(1)).toDouble)
+      val out = engine.MdArray.mosaic(s, Seq(
+          (block(1, 8, 12), Array(0L, 0L)),
+          (block(2, 8, 10), Array(0L, 10L)),
+          (block(3, 6, 20), Array(8L, 0L)),
+          (block(4, 4, 6), Array(10L, 12L))),
+        shape = Array(16L, 20L), chunk = Array(5, 7), fill = -1.0)
+      out.toTable.select(col("d0").as("i"), col("d1").as("j"),
+          col("v").cast("long").as("v"))
+        .orderBy("i", "j")
+    }, Some("""
+      WITH px AS (SELECT xs.i AS i, ys.j AS j
+          FROM (SELECT unnest(generate_series(0, 15)) AS i) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS j) ys)
+      SELECT i, j, CAST(
+        CASE WHEN i BETWEEN 10 AND 13 AND j BETWEEN 12 AND 17
+               THEN 4000 + (i-10)*31 + (j-12)
+             WHEN i BETWEEN 8 AND 13 THEN 3000 + (i-8)*31 + j
+             WHEN i < 8 AND j >= 10 THEN 2000 + i*31 + (j-10)
+             WHEN i < 8 THEN 1000 + i*31 + j
+             ELSE -1 END AS BIGINT) AS v
+      FROM px ORDER BY i, j"""))
   )
 }

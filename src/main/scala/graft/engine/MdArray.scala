@@ -102,6 +102,114 @@ object MdArray {
     new MdArray(spark, shape.clone(), chunk.clone(), chunks, identityView(shape))
   }
 
+  /** Multidimensional mosaic — gdal mdim mosaic
+    * (/root/reference/apps/gdalalg_mdim_mosaic.cpp): place each input
+    * array at its integer offset in a common output grid. The reference
+    * resolves offsets from regularly-spaced 1-D indexing variables
+    * (off_d = (start_in − start_out)/spacing, validated per dimension);
+    * this API takes the resolved offsets. Later inputs win where they
+    * overlap; cells covered by no input take `fill`; input cells falling
+    * outside the output shape are clipped.
+    *
+    * One shuffle: every source chunk is mapped to the output chunks its
+    * global footprint intersects (chunk-granular, never per cell) and the
+    * pieces are assembled per output chunk — the standard re-chunk plan,
+    * so a 10^12-cell mosaic moves each byte once. */
+  def mosaic(spark: SparkSession, inputs: Seq[(MdArray, Array[Long])],
+             shape: Array[Long], chunk: Array[Int],
+             fill: Double = Double.NaN): MdArray = {
+    import spark.implicits._
+    val rank = shape.length
+    require(inputs.nonEmpty && inputs.forall(_._2.length == rank))
+    val oShape = shape.clone(); val oChunk = chunk.clone()
+    val oGrid = gridDims(oShape, oChunk)
+    val pieces = inputs.zipWithIndex.map { case ((arrIn, offIn), k) =>
+      val arr = arrIn.materialize()
+      val bShape = arr.baseShape; val bChunk = arr.chunk
+      val bGrid = gridDims(bShape, bChunk)
+      val off = offIn.clone()
+      arr.chunks.as[(Long, Array[Double])].flatMap { case (cid, data) =>
+        val idx = delinearize(cid, bGrid)
+        val ext = extents(idx, bShape, bChunk)
+        val glo = Array.tabulate(rank)(d => off(d) + idx(d) * bChunk(d))
+        // output-chunk index box this source chunk touches (after clipping)
+        val lo = new Array[Long](rank); val hi = new Array[Long](rank)
+        var empty = false
+        var d = 0
+        while (d < rank) {
+          val a = math.max(0L, glo(d))
+          val b = math.min(oShape(d), glo(d) + ext(d)) - 1
+          if (b < a) empty = true
+          lo(d) = a / oChunk(d); hi(d) = b / oChunk(d)
+          d += 1
+        }
+        if (empty) Iterator.empty
+        else {
+          val cnt = (0 until rank).map(d => (hi(d) - lo(d) + 1)).product
+          (0L until cnt).iterator.map { r0 =>
+            val oIdx = new Array[Long](rank)
+            var r = r0; var dd = rank - 1
+            while (dd >= 0) {
+              val span = hi(dd) - lo(dd) + 1
+              oIdx(dd) = lo(dd) + r % span; r /= span; dd -= 1
+            }
+            (linearize(oIdx, oGrid), k, glo, ext.clone(), data)
+          }
+        }
+      }
+    }.reduce(_ union _)
+    val (shC, chC, grC, fillC) = (oShape, oChunk, oGrid, fill)
+    val chunks = pieces.groupByKey(_._1).mapGroups { (ocid, it) =>
+      val oIdx = delinearize(ocid, grC)
+      val oExt = extents(oIdx, shC, chC)
+      val oBase = Array.tabulate(shC.length)(d => oIdx(d) * chC(d))
+      val len = oExt.product
+      val out = Array.fill(len)(fillC)
+      for ((_, _, glo, ext, data) <- it.toArray.sortBy(_._2)) {
+        val a = new Array[Long](shC.length); val b = new Array[Long](shC.length)
+        var ok = true
+        var d = 0
+        while (d < shC.length) {
+          a(d) = math.max(oBase(d), math.max(0L, glo(d)))
+          b(d) = math.min(oBase(d) + oExt(d), math.min(shC(d), glo(d) + ext(d)))
+          if (b(d) <= a(d)) ok = false
+          d += 1
+        }
+        if (ok) {
+          val span = Array.tabulate(shC.length)(d => (b(d) - a(d)).toInt)
+          val n = span.map(_.toLong).product
+          var i = 0L
+          while (i < n) {
+            var r = i
+            var oPos = 0L; var sPos = 0L
+            var dd = shC.length - 1
+            var oMul = 1L; var sMul = 1L
+            while (dd >= 0) {
+              val g = a(dd) + r % span(dd); r /= span(dd)
+              oPos += (g - oBase(dd)) * oMul
+              sPos += (g - glo(dd)) * sMul
+              oMul *= oExt(dd); sMul *= ext(dd)
+              dd -= 1
+            }
+            out(oPos.toInt) = data(sPos.toInt)
+            i += 1
+          }
+        }
+      }
+      (ocid, out)
+    }.toDF("cid", "data")
+    // output chunks no input touches still exist — as all-fill chunks
+    val fillChunks = spark.range(oGrid.product)
+      .join(chunks, col("id") === col("cid"), "left_anti")
+      .select(col("id").as("cid")).as[Long]
+      .map { ocid =>
+        val oIdx = delinearize(ocid, grC)
+        (ocid, Array.fill(extents(oIdx, shC, chC).product)(fillC))
+      }.toDF("cid", "data")
+    new MdArray(spark, oShape, oChunk, chunks.unionByName(fillChunks),
+      identityView(oShape))
+  }
+
   /** Mesh-grid views (GDALMDArray::GetMeshGrid,
     * gcore/multidim/gdalmultidim_array_meshgrid.cpp:252-330 — the NumPy
     * meshgrid semantics): from n rank-1 arrays x1(N1)..xn(Nn), return n
