@@ -1028,6 +1028,64 @@ object Queries5 {
              WHEN i < 8 AND j >= 10 THEN 2000 + i*31 + (j-10)
              WHEN i < 8 THEN 1000 + i*31 + j
              ELSE -1 END AS BIGINT) AS v
-      FROM px ORDER BY i, j"""))
+      FROM px ORDER BY i, j""")),
+
+    // -- Partial overview refresh (r61): gdal raster overview refresh
+    // (PartialRefresh, apps/gdalalg_raster_overview_refresh.cpp) — a
+    // localized base update dirties 4 of 16 z2 tiles; z1 recomputes only
+    // the 2 affected parents, z0 its 1, everything else is reused from
+    // the stale pyramid. Gate output: the refreshed z1+z0 checksums; the
+    // twin computes the updated pyramid closed-form (all values exact
+    // dyadic rationals, so grouped sums replay the box filter).
+    ("r61_overview_refresh", (s, _) => {
+      val sp = s
+      import sp.implicits._
+      def f(gx: Long, gy: Long): Double = ((gx * 7919 + gy * 104729) % 9973).toDouble
+      def dirtyTile(gx: Long, gy: Long): Boolean = {
+        val tx = gx >> 8; val ty = gy >> 8
+        tx >= 2 && tx <= 3 && ty >= 1 && ty <= 2
+      }
+      val oldBase = engine.Raster.syntheticTiles(s, 2)(f)
+      val newBase = engine.Raster.syntheticTiles(s, 2) { (gx, gy) =>
+        if (dirtyTile(gx, gy)) f(gx, gy) + ((gx + gy) % 11).toDouble else f(gx, gy)
+      }
+      val oldZ1 = engine.Raster.pyramidUp(oldBase)
+      val oldZ0 = engine.Raster.pyramidUp(oldZ1)
+      val dirty0 = Seq((2, 1), (2, 2), (3, 1), (3, 2)).toDF("dx", "dy")
+      val (newZ1, dirty1) = engine.Raster.refreshLevelUp(oldZ1, newBase, dirty0)
+      val (newZ0, _) = engine.Raster.refreshLevelUp(oldZ0, newZ1, dirty1)
+      newZ1.unionByName(newZ0)
+        .map(ti => (ti.z.toLong, ti.x.toLong, ti.y.toLong,
+          engine.Raster.checksum(ti.pixels, ti.w, ti.h).toLong))
+        .toDF("z", "x", "y", "cks")
+        .orderBy("z", "x", "y")
+    }, Some {
+      val pr = "([7,11,13,17,19,23,29,31,37,41,43])[CAST((cy * 256 + cx) % 11 AS INT) + 1]"
+      s"""
+      WITH p0 AS (SELECT xs.gx AS gx, ys.gy AS gy
+          FROM (SELECT unnest(generate_series(0, 1023)) AS gx) xs
+          CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS gy) ys),
+      v0 AS (SELECT gx, gy,
+          CAST((gx * 7919 + gy * 104729) % 9973 AS DOUBLE)
+          + CASE WHEN (gx >> 8) BETWEEN 2 AND 3 AND (gy >> 8) BETWEEN 1 AND 2
+                 THEN CAST((gx + gy) % 11 AS DOUBLE) ELSE 0.0 END AS v
+        FROM p0),
+      v1 AS (SELECT gx // 2 AS gx, gy // 2 AS gy, sum(v) / 4 AS v
+        FROM v0 GROUP BY 1, 2),
+      v2 AS (SELECT gx // 2 AS gx, gy // 2 AS gy, sum(v) / 4 AS v
+        FROM v1 GROUP BY 1, 2),
+      b AS (
+        SELECT CAST(1 AS BIGINT) AS z, gx >> 8 AS x, gy >> 8 AS y,
+          CAST(gx % 256 AS BIGINT) AS cx, CAST(gy % 256 AS BIGINT) AS cy,
+          CAST(floor(v + 0.5) AS BIGINT) AS iv FROM v1
+        UNION ALL
+        SELECT CAST(0 AS BIGINT), gx >> 8, gy >> 8,
+          CAST(gx % 256 AS BIGINT), CAST(gy % 256 AS BIGINT),
+          CAST(floor(v + 0.5) AS BIGINT) FROM v2
+      )
+      SELECT z, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        CAST(((sum(iv % $pr) % 65536) + 65536) % 65536 AS BIGINT) AS cks
+      FROM b GROUP BY z, x, y ORDER BY z, x, y"""
+    })
   )
 }

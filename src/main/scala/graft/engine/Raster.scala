@@ -112,6 +112,36 @@ object Raster {
       }
   }
 
+  /** Partial overview refresh, one level up — `gdal raster overview
+    * refresh --bbox/--like/--use-source-timestamp`
+    * (/root/reference/apps/gdalalg_raster_overview_refresh.cpp
+    * PartialRefresh :68, PartialRefreshFromSourceExtent :279): recompute
+    * ONLY the parent tiles whose footprint intersects the dirty child
+    * region and reuse every other tile of the existing overview level.
+    *
+    * `dirty` holds the dirty child keys as (dx, dy) at the CHILD level;
+    * returns the refreshed parent level plus the parent-level dirty keys
+    * (feed them to the next level up). The recompute cost is proportional
+    * to the dirty area, not the raster — the incremental path a 10^12-tile
+    * pyramid needs after a localized update. */
+  def refreshLevelUp(oldParents: Dataset[Tile], children: Dataset[Tile],
+                     dirty: DataFrame, sum: Boolean = false): (Dataset[Tile], DataFrame) = {
+    val spark = children.sparkSession
+    import spark.implicits._
+    val dirtyParents = dirty
+      .select(expr("dx div 2").cast("int").as("dx"), expr("dy div 2").cast("int").as("dy"))
+      .distinct()
+    val affectedChildren = children
+      .join(dirtyParents.withColumnRenamed("dx", "__px").withColumnRenamed("dy", "__py"),
+        expr("x div 2") === col("__px") && expr("y div 2") === col("__py"), "left_semi")
+      .as[Tile]
+    val recomputed = pyramidUp(affectedChildren, sum)
+    val kept = oldParents
+      .join(dirtyParents, col("x") === col("dx") && col("y") === col("dy"), "left_anti")
+      .as[Tile]
+    (kept.unionByName(recomputed), dirtyParents)
+  }
+
   /** One complex pyramid level up with the AVERAGE_MAGPHASE kernel
     * (GDALRegenerateOverviewsInternal complex path,
     * /root/reference/gcore/overview.cpp:4527-4580): the parent pixel is the
