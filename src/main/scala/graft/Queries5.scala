@@ -1086,6 +1086,41 @@ object Queries5 {
       SELECT z, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
         CAST(((sum(iv % $pr) % 65536) + 65536) % 65536 AS BIGINT) AS cks
       FROM b GROUP BY z, x, y ORDER BY z, x, y"""
-    })
+    }),
+
+    // -- Multimodal audio payloads (m08): REAL 16-bit PCM WAV containers
+    // built, carried as opaque binary, header-validated and analyzed in
+    // one pass (peak, exact sum-of-squares, zero crossings) — the audio
+    // twin of the m03 image-decode path. The twin derives the same stats
+    // from the closed-form sample generator.
+    ("m08_audio_stats", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val n = 64 + (id % 64).toInt
+        val rate = 8000 + (id % 4).toInt * 4000
+        val samples = Array.tabulate(n)(t =>
+          (((id * 7 + t * 13) % 4001) - 2000).toShort)
+        val st = engine.Multimodal.wavStats(
+          engine.Multimodal.pcmWav(samples, rate))
+        (id, st.sampleRate.toLong, st.nSamples.toLong,
+          st.peak.toLong, st.sumSq, st.zeroCross.toLong)
+      }.toDF("doc_id", "rate", "n_samples", "peak", "sumsq", "zc")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n,
+          8000 + (doc_id % 4) * 4000 AS rate FROM documents),
+      smp AS (SELECT d.doc_id, d.n, d.rate, t.t,
+          ((d.doc_id * 7 + t.t * 13) % 4001) - 2000 AS s
+        FROM d JOIN (SELECT unnest(generate_series(0, 127)) AS t) t ON t.t < d.n),
+      w AS (SELECT doc_id, n, rate, s,
+          lag(s) OVER (PARTITION BY doc_id ORDER BY t) AS ps FROM smp)
+      SELECT doc_id,
+        CAST(max(rate) AS BIGINT) AS rate,
+        CAST(max(n) AS BIGINT) AS n_samples,
+        CAST(max(abs(s)) AS BIGINT) AS peak,
+        CAST(sum(s * s) AS BIGINT) AS sumsq,
+        CAST(count(*) FILTER (WHERE ps IS NOT NULL
+          AND ((ps < 0 AND s >= 0) OR (ps >= 0 AND s < 0))) AS BIGINT) AS zc
+      FROM w GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

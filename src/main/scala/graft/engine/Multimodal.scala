@@ -47,6 +47,66 @@ object Multimodal {
     MediaFeatures(r.doc_id, r.media_ref, r.kind, r.payload.length, w, hgt, bins)
   }
 
+  case class AudioStats(sampleRate: Int, channels: Int, nSamples: Int,
+                        peak: Int, sumSq: Long, zeroCross: Int)
+
+  /** Canonical 16-bit PCM WAV encode: the fixed 44-byte RIFF/WAVE/fmt/data
+    * header + little-endian samples — the audio twin of [[grayPng]] for
+    * exercising opaque-binary plumbing with a REAL container format. */
+  def pcmWav(samples: Array[Short], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Parse a 16-bit PCM WAV payload and compute per-clip statistics in one
+    * pass: peak |s|, exact Σs² (the integer RMS base), and zero crossings
+    * (sign change with sign(0) treated as non-negative). Malformed headers
+    * refuse loudly — an opaque payload that LOOKS like audio but is not
+    * must never silently produce stats. */
+  def wavStats(bytes: Array[Byte]): AudioStats = {
+    require(bytes.length >= 44, s"WAV too short: ${bytes.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int, want: String): Unit = {
+      val got = new String(bytes, off, 4, "US-ASCII")
+      require(got == want, s"bad WAV tag at $off: '$got' (want '$want')")
+    }
+    tag(0, "RIFF"); tag(8, "WAVE"); tag(12, "fmt "); tag(36, "data")
+    val fmt = bb.getShort(20)
+    require(fmt == 1, s"not PCM: format $fmt")
+    val channels = bb.getShort(22).toInt
+    val sampleRate = bb.getInt(24)
+    val bps = bb.getShort(34)
+    require(bps == 16, s"only 16-bit PCM supported: $bps")
+    val dataLen = bb.getInt(40)
+    require(44 + dataLen <= bytes.length, "truncated data chunk")
+    val n = dataLen / 2
+    var peak = 0; var sumSq = 0L; var zc = 0
+    var prev = 0; var i = 0
+    while (i < n) {
+      val s = bb.getShort(44 + 2 * i).toInt
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumSq += s.toLong * s.toLong
+      if (i > 0 && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) zc += 1
+      prev = s
+      i += 1
+    }
+    AudioStats(sampleRate, channels, n, peak, sumSq, zc)
+  }
+
   /** Real image decode: JDK ImageIO for PNG/BMP/GIF/JPEG; anything it
     * cannot read falls back to [[decodeStub]]. Features = 16-bin luminance
     * histogram normalized by pixel count; width/height are the decoded
