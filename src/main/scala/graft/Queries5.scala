@@ -1121,6 +1121,49 @@ object Queries5 {
         CAST(sum(s * s) AS BIGINT) AS sumsq,
         CAST(count(*) FILTER (WHERE ps IS NOT NULL
           AND ((ps < 0 AND s >= 0) OR (ps >= 0 AND s < 0))) AS BIGINT) AS zc
-      FROM w GROUP BY doc_id ORDER BY doc_id"""))
+      FROM w GROUP BY doc_id ORDER BY doc_id""")),
+
+    // -- Multimodal video frame sampling (m09): frames packed in an
+    // indexed container, every 2nd frame reached by OFFSET ARITHMETIC
+    // (unsampled frames never copied or decoded), sampled frames decoded
+    // through the real ImageIO path — image (m03) / audio (m08) / video
+    // (m09) complete the opaque-payload trio. Twin: closed-form luminance
+    // histogram per sampled frame.
+    ("m09_video_sample", (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).where(col("doc_id") < 120)
+        .as[Long].flatMap { id =>
+          val nf = 4 + (id % 5).toInt
+          val w = 16 + (id % 4).toInt; val h = 16
+          val frames = (0 until nf).map { fi =>
+            engine.Multimodal.grayPng(w, h) { (x, y) =>
+              ((id * 31 + fi * 17 + x * 7 + y * 13) % 256).toInt
+            }
+          }
+          val video = engine.Multimodal.packFrames(frames)
+          engine.Multimodal.sampleFrames(video, 2).flatMap { case (fi, png) =>
+            val feat = engine.Multimodal.decode(
+              engine.Multimodal.MediaRow(id, s"v/$id#$fi", "video", png))
+            feat.features.iterator.zipWithIndex.map { case (v, b) =>
+              (id, fi.toLong, b.toLong,
+                math.floor(v * feat.width * feat.height + 0.5).toLong)
+            }.filter(_._4 > 0L)
+          }
+        }.toDF("doc_id", "frame", "bin", "cnt")
+        .orderBy("doc_id", "frame", "bin")
+    }, Some("""
+      WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS nf, 16 + doc_id % 4 AS w
+                 FROM documents WHERE doc_id < 120),
+      fr AS (SELECT d.doc_id, d.w, f.f FROM d
+             JOIN (SELECT unnest(generate_series(0, 8)) AS f) f
+               ON f.f < d.nf AND f.f % 2 = 0),
+      g AS (SELECT fr.doc_id, fr.f,
+              ((fr.doc_id * 31 + fr.f * 17 + xs.x * 7 + ys.y * 13) % 256) // 16 AS bin
+            FROM fr
+            JOIN (SELECT unnest(generate_series(0, 19)) AS x) xs ON xs.x < fr.w
+            CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys)
+      SELECT doc_id, CAST(f AS BIGINT) AS frame, CAST(bin AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM g GROUP BY doc_id, f, bin ORDER BY doc_id, frame, bin"""))
   )
 }

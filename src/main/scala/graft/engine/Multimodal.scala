@@ -107,6 +107,41 @@ object Multimodal {
     AudioStats(sampleRate, channels, n, peak, sumSq, zc)
   }
 
+  /** Pack image frames into one opaque video-like payload: a minimal
+    * indexed container (magic, frame count, per-frame offsets, blobs) —
+    * the moral equivalent of an MJPEG/fragmented-MP4 sample table, enough
+    * to exercise REAL video plumbing: an index parse that reaches the
+    * k-th frame without touching the others. */
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val headerLen = 8 + 8 * frames.length
+    val total = headerLen + frames.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GFV1".getBytes("US-ASCII")).putInt(frames.length)
+    var off = headerLen
+    for (f <- frames) { bb.putLong(off.toLong); off += f.length }
+    frames.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Frame-sample a packed payload: parse the index, slice out every
+    * `step`-th frame (offset arithmetic only — unsampled frames are never
+    * copied or decoded). Refuses loudly on a bad container. */
+  def sampleFrames(bytes: Array[Byte], step: Int): Seq[(Int, Array[Byte])] = {
+    require(step >= 1, s"step $step")
+    require(bytes.length >= 8 &&
+      new String(bytes, 0, 4, "US-ASCII") == "GFV1", "not a GFV1 container")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(4)
+    require(n >= 0 && 8 + 8L * n <= bytes.length, s"bad frame count $n")
+    def offAt(i: Int): Long =
+      if (i == n) bytes.length.toLong else bb.getLong(8 + 8 * i)
+    (0 until n by step).map { i =>
+      val a = offAt(i); val b = offAt(i + 1)
+      require(a >= 8 + 8L * n && b <= bytes.length && a <= b, s"bad offsets for frame $i")
+      (i, java.util.Arrays.copyOfRange(bytes, a.toInt, b.toInt))
+    }
+  }
+
   /** Real image decode: JDK ImageIO for PNG/BMP/GIF/JPEG; anything it
     * cannot read falls back to [[decodeStub]]. Features = 16-bin luminance
     * histogram normalized by pixel count; width/height are the decoded
