@@ -1164,6 +1164,70 @@ object Queries5 {
             CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS y) ys)
       SELECT doc_id, CAST(f AS BIGINT) AS frame, CAST(bin AS BIGINT) AS bin,
              count(*) AS cnt
-      FROM g GROUP BY doc_id, f, bin ORDER BY doc_id, frame, bin"""))
+      FROM g GROUP BY doc_id, f, bin ORDER BY doc_id, frame, bin""")),
+
+    // -- GDALTransformGeolocations (r62): bulk point-transform of X/Y(/Z)
+    // geolocation bands (alg/gdaltransformgeolocs.cpp:50-131). Synthetic
+    // geocentric-meter bands (integer closed forms, exact in IEEE) pushed
+    // through a 7-parameter Helmert (EPSG 9606 position-vector, the
+    // TOWGS84 path of geom/Datum.scala) — pure +,×, so the DuckDB twin
+    // evaluating the same left-associated expressions is bit-identical.
+    // Two modes per the reference's Z-band branch: "xyz" transforms and
+    // writes back all three bands; "xy" feeds z = 0 (line 109 memset) and
+    // writes back only X and Y (line 121 guard). Checksum per band tile.
+    ("r62_transform_geolocs", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def fx(gx: Long, gy: Long) = (3000000 + (gx * 37 + gy * 11) % 20000).toDouble
+      def fy(gx: Long, gy: Long) = (4000000 + (gx * 13 + gy * 29) % 20000).toDouble
+      def fz(gx: Long, gy: Long) = (3500000 + (gx * 7 + gy * 41) % 20000).toDouble
+      val xb = engine.Raster.syntheticTiles(s, 2, tileSize = 64)(fx)
+      val yb = engine.Raster.syntheticTiles(s, 2, tileSize = 64)(fy)
+      val zb = engine.Raster.syntheticTiles(s, 2, tileSize = 64)(fz)
+      val hp = (x: Double, y: Double, z: Double) =>
+        geom.Datum.helmert(x, y, z, 89.5, 93.8, 123.1, 0.03, -0.07, 0.156, -1.2)
+      val runs = Seq(
+        ("xyz", engine.TransformGeolocs(xb, yb, Some(zb), hp)),
+        ("xy", engine.TransformGeolocs(xb, yb, None, hp)))
+      runs.map { case (tag, ds) =>
+        ds.map(t => (t.band.toLong, t.x.toLong, t.y.toLong,
+            engine.Raster.checksum(t.pixels, t.w, t.h).toLong))
+          .toDF("band", "x", "y", "cks").withColumn("mode", lit(tag))
+      }.reduce(_ unionAll _)
+        .select("mode", "band", "x", "y", "cks")
+        .orderBy("mode", "band", "x", "y")
+    }, Some {
+      val cks64 = "CAST(((sum(iv % ([7,11,13,17,19,23,29,31,37,41,43])" +
+        "[CAST((cy * 64 + cx) % 11 AS INT) + 1]) % 65536) + 65536) % 65536 AS BIGINT)"
+      """
+      WITH px AS (SELECT xs.gx AS gx, ys.gy AS gy
+            FROM (SELECT unnest(generate_series(0, 255)) AS gx) xs
+            CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS gy) ys),
+      v AS (SELECT gx, gy,
+            CAST(3000000 + (gx * 37 + gy * 11) % 20000 AS DOUBLE) AS x,
+            CAST(4000000 + (gx * 13 + gy * 29) % 20000 AS DOUBLE) AS y,
+            CAST(3500000 + (gx * 7 + gy * 41) % 20000 AS DOUBLE) AS z
+            FROM px),
+      prm AS (SELECT *, 1.0 + (-1.2) * 1e-6 AS m,
+            0.03 * (pi() / 648000.0) AS rx,
+            (-0.07) * (pi() / 648000.0) AS ry,
+            0.156 * (pi() / 648000.0) AS rz FROM v),
+      o AS (
+        SELECT 'xyz' AS mode, 1 AS band, gx, gy,
+               89.5 + m * (x - rz * y + ry * z) AS ov FROM prm
+        UNION ALL
+        SELECT 'xyz', 2, gx, gy, 93.8 + m * (rz * x + y - rx * z) FROM prm
+        UNION ALL
+        SELECT 'xyz', 3, gx, gy, 123.1 + m * (-ry * x + rx * y + z) FROM prm
+        UNION ALL
+        SELECT 'xy', 1, gx, gy, 89.5 + m * (x - rz * y + ry * 0.0) FROM prm
+        UNION ALL
+        SELECT 'xy', 2, gx, gy, 93.8 + m * (rz * x + y - rx * 0.0) FROM prm),
+      cells AS (SELECT mode, band, gx // 64 AS tx, gy // 64 AS ty,
+            gx % 64 AS cx, gy % 64 AS cy,
+            CAST(floor(ov + 0.5) AS BIGINT) AS iv FROM o)
+      SELECT mode, CAST(band AS BIGINT) AS band, tx AS x, ty AS y,
+             """ + cks64 + """ AS cks
+      FROM cells GROUP BY 1, 2, 3, 4 ORDER BY mode, band, x, y"""})
   )
 }
