@@ -1228,6 +1228,79 @@ object Queries5 {
             CAST(floor(ov + 0.5) AS BIGINT) AS iv FROM o)
       SELECT mode, CAST(band AS BIGINT) AS band, tx AS x, ty AS y,
              """ + cks64 + """ AS cks
-      FROM cells GROUP BY 1, 2, 3, 4 ORDER BY mode, band, x, y"""})
+      FROM cells GROUP BY 1, 2, 3, 4 ORDER BY mode, band, x, y"""}),
+
+    // -- gdal mdim reproject (m10): GDALMDArray::GetResampled over the
+    // last two dims of a 3-D array (gdalmultidim_array_resampled.cpp:918;
+    // per-array wrapper apps/gdalalg_mdim_reproject.cpp). The "reprojection"
+    // is a projective (rational) dst→src map — pure +,×,/ so the DuckDB
+    // twin evaluating the same left-associated expressions is bit-exact —
+    // with the forward direction (used only for chunk routing) solved as a
+    // 2×2 linear system per point. near kernel; leading dim (t = 3) passes
+    // through; out-of-source dst cells are NULL; the two pixel-center
+    // regularly-spaced indexing variables (reference :747-757) are gated
+    // alongside the array at 2^20 fixed-point.
+    ("m10_mdim_reproject", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val src = engine.MdArray.create(s, Array(3L, 64L, 64L), Array(2, 32, 32)) {
+        c => ((c(0) * 101 + c(1) * 37 + c(2) * 17) % 251).toDouble
+      }
+      val inv = (x: Double, y: Double) => {
+        val den = 1.0 + 1.2e-4 * x - 0.8e-4 * y
+        ((1012.0 + 1.01 * x + 0.03 * y) / den,
+         (2944.0 + 0.02 * x + 1.42 * y) / den)
+      }
+      val fwd = (sx: Double, sy: Double) => {
+        // exact algebraic inverse of `inv`: 2×2 solve of the linearized
+        // projective equations (routing-only; precision uncritical)
+        val a11 = 1.01 - sx * 1.2e-4; val a12 = 0.03 + sx * 0.8e-4
+        val a21 = 0.02 - sy * 1.2e-4; val a22 = 1.42 + sy * 0.8e-4
+        val r1 = sx - 1012.0; val r2 = sy - 2944.0
+        val det = a11 * a22 - a12 * a21
+        ((a22 * r1 - a12 * r2) / det, (a11 * r2 - a21 * r1) / det)
+      }
+      val (arr, varX, varY) = src.resampled(72L, 80L,
+        (1000.0, 2.0, 3000.0, -2.0), (-10.0, 1.75, 40.0, -1.25),
+        fwd, inv, "near")
+      val a = arr.toTable.select(lit("arr").as("mode"),
+        $"d0".as("a"), $"d1".as("b"), $"d2".as("c"),
+        when(isnan($"v"), lit(null)).otherwise($"v").cast("long").as("v"))
+      val vx = varX.toTable.select(lit("varx").as("mode"), lit(0L).as("a"),
+        lit(0L).as("b"), $"d0".as("c"),
+        floor($"v" * 1048576.0 + 0.5).cast("long").as("v"))
+      val vy = varY.toTable.select(lit("vary").as("mode"), lit(0L).as("a"),
+        lit(0L).as("b"), $"d0".as("c"),
+        floor($"v" * 1048576.0 + 0.5).cast("long").as("v"))
+      a.unionAll(vx).unionAll(vy).orderBy("mode", "a", "b", "c")
+    }, Some("""
+      WITH cells AS (SELECT tt.t AS t, jj.j AS j, ii.i AS i
+            FROM range(3) tt(t), range(72) jj(j), range(80) ii(i)),
+      m AS (SELECT t, j, i,
+            -10.0 + (i + 0.5) * 1.75 AS dx,
+            40.0 + (j + 0.5) * (-1.25) AS dy FROM cells),
+      sp AS (SELECT t, j, i,
+            (1012.0 + 1.01 * dx + 0.03 * dy)
+              / (1.0 + 1.2e-4 * dx - 0.8e-4 * dy) AS sx,
+            (2944.0 + 0.02 * dx + 1.42 * dy)
+              / (1.0 + 1.2e-4 * dx - 0.8e-4 * dy) AS sy FROM m),
+      p AS (SELECT t, j, i,
+            CAST(floor(((sx - 1000.0) / 2.0 - 0.5) + 0.5) AS BIGINT) AS ix,
+            CAST(floor(((sy - 3000.0) / (-2.0) - 0.5) + 0.5) AS BIGINT) AS iy
+            FROM sp),
+      arr AS (SELECT 'arr' AS mode, t AS a, j AS b, i AS c,
+            CASE WHEN ix >= 0 AND ix < 64 AND iy >= 0 AND iy < 64
+                 THEN (t * 101 + iy * 37 + ix * 17) % 251
+                 ELSE NULL END AS v FROM p),
+      vx AS (SELECT 'varx' AS mode, CAST(0 AS BIGINT) AS a,
+            CAST(0 AS BIGINT) AS b, ii.i AS c,
+            CAST(floor(((-10.0 + 1.75 / 2) + ii.i * 1.75) * 1048576.0 + 0.5)
+              AS BIGINT) AS v FROM range(80) ii(i)),
+      vy AS (SELECT 'vary' AS mode, CAST(0 AS BIGINT) AS a,
+            CAST(0 AS BIGINT) AS b, jj.j AS c,
+            CAST(floor(((40.0 + (-1.25) / 2) + jj.j * (-1.25)) * 1048576.0 + 0.5)
+              AS BIGINT) AS v FROM range(72) jj(j))
+      SELECT * FROM arr UNION ALL SELECT * FROM vx UNION ALL SELECT * FROM vy
+      ORDER BY mode, a, b, c"""))
   )
 }

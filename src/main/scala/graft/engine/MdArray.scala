@@ -700,4 +700,217 @@ final class MdArray private (
       .agg(count(lit(1)).as("n"), min("v").as("min"), max("v").as("max"),
         avg("v").as("mean"), stddev_pop("v").as("stddev"))
   }
+
+  /** GDALMDArray::GetResampled — the engine behind `gdal mdim reproject`
+    * (gcore/multidim/gdalmultidim_array_resampled.cpp:918, wrapped per
+    * array by apps/gdalalg_mdim_reproject.cpp): resample/reproject the
+    * LAST TWO dimensions (y = rank-2, x = rank-1) while every leading
+    * dimension passes through unchanged. The reference wraps the 2-D tail
+    * as a dataset and runs GDALWarp per leading index; here all leading
+    * slices warp in ONE chunk-granular shuffle.
+    *
+    * Reference semantics kept: < 2 dims refuses (":414"), gauss refuses
+    * (":391-392 unsupported"), leading block sizes are inherited
+    * (":467 anBlockSize from parent"), and the two new spatial dimensions
+    * carry regularly-spaced pixel-CENTER indexing variables
+    * start = origin + scale/2, value(i) = start + i·scale (":747-757").
+    * Cells whose kernel window finds no valid source are NaN (the mdim
+    * fill convention used by mosaic/views).
+    *
+    * `fwd` maps src-CRS → dst-CRS and is used ONLY for chunk routing
+    * (boundary-sample bbox, padded — approximate is fine); `inv` maps
+    * dst-CRS → src-CRS and defines the per-pixel semantics exactly:
+    *   dstX = x0d + (i+0.5)·dxd, dstY = y0d + (j+0.5)·dyd
+    *   (sx, sy) = inv(dstX, dstY)
+    *   px = (sx − x0s)/dxs − 0.5, py = (sy − y0s)/dys − 0.5
+    * Kernels: "near" (floor(p+0.5), the GetResampled default) and
+    * "bilinear" (edge-renormalized over the in-bounds 2×2 window).
+    *
+    * Scale shape: each source chunk forward-maps its boundary to the
+    * output chunks it can influence and is shipped ONCE per covering
+    * output chunk (one groupByKey); uncovered output chunks materialize
+    * as NaN fill via an anti-join, never touching source data. The plan
+    * is the mosaic/warp plan — no driver state, no per-slice jobs.
+    *
+    * @return (resampled array, varX, varY) — the new array plus the two
+    *         pixel-center indexing variables for dimX/dimY. */
+  def resampled(dstH: Long, dstW: Long,
+                srcGt: (Double, Double, Double, Double),
+                dstGt: (Double, Double, Double, Double),
+                fwd: (Double, Double) => (Double, Double),
+                inv: (Double, Double) => (Double, Double),
+                kernel: String = "near"): (MdArray, MdArray, MdArray) = {
+    require(dims >= 2, "GetResampled() only supports 2 dimensions or more")
+    require(kernel == "near" || kernel == "bilinear",
+      "Unsupported resample method for GetResampled()")
+    import spark.implicits._
+    val m = materialized
+    val rank = m.baseShape.length
+    val bShape = m.baseShape; val bChunk = m.chunk
+    val bGrid = gridDims(bShape, bChunk)
+    val srcH = bShape(rank - 2); val srcW = bShape(rank - 1)
+    val oShape = bShape.clone(); oShape(rank - 2) = dstH; oShape(rank - 1) = dstW
+    val oChunk = bChunk.clone()
+    oChunk(rank - 2) = math.min(oChunk(rank - 2).toLong, dstH).toInt
+    oChunk(rank - 1) = math.min(oChunk(rank - 1).toLong, dstW).toInt
+    val oGrid = gridDims(oShape, oChunk)
+    val (x0s, dxs, y0s, dys) = srcGt
+    val (x0d, dxd, y0d, dyd) = dstGt
+    val rad = if (kernel == "bilinear") 1 else 0
+    val bilinear = kernel == "bilinear"
+
+    val pieces = m.chunks.as[(Long, Array[Double])].flatMap { case (cid, data) =>
+      val idx = delinearize(cid, bGrid)
+      val ext = extents(idx, bShape, bChunk)
+      // src pixel bbox of this chunk + kernel halo + 1px rounding slack
+      val py0 = idx(rank - 2) * bChunk(rank - 2) - (rad + 1)
+      val py1 = idx(rank - 2) * bChunk(rank - 2) + ext(rank - 2) + rad
+      val px0 = idx(rank - 1) * bChunk(rank - 1) - (rad + 1)
+      val px1 = idx(rank - 1) * bChunk(rank - 1) + ext(rank - 1) + rad
+      // boundary-sample the bbox in src CRS, forward-map to dst CRS
+      var xmin = Double.PositiveInfinity; var xmax = Double.NegativeInfinity
+      var ymin = Double.PositiveInfinity; var ymax = Double.NegativeInfinity
+      val k = 8
+      var si = 0
+      while (si <= k) {
+        val fx = px0 + (px1 - px0) * si.toDouble / k
+        val fy = py0 + (py1 - py0) * si.toDouble / k
+        var e = 0
+        while (e < 4) {
+          val (ppx, ppy) = e match {
+            case 0 => (fx, py0.toDouble)
+            case 1 => (fx, py1.toDouble)
+            case 2 => (px0.toDouble, fy)
+            case _ => (px1.toDouble, fy)
+          }
+          val (dX, dY) = fwd(x0s + (ppx + 0.5) * dxs, y0s + (ppy + 0.5) * dys)
+          if (java.lang.Double.isFinite(dX) && java.lang.Double.isFinite(dY)) {
+            if (dX < xmin) xmin = dX
+            if (dX > xmax) xmax = dX
+            if (dY < ymin) ymin = dY
+            if (dY > ymax) ymax = dY
+          }
+          e += 1
+        }
+        si += 1
+      }
+      if (!java.lang.Double.isFinite(xmin)) Iterator.empty
+      else {
+        // dst CRS bbox → dst pixel bbox (±2 px boundary-sampling slack)
+        val cs = Seq((xmin, ymin), (xmin, ymax), (xmax, ymin), (xmax, ymax))
+          .map { case (cx, cy) => ((cx - x0d) / dxd - 0.5, (cy - y0d) / dyd - 0.5) }
+        val dpx0 = math.max(0L, math.floor(cs.map(_._1).min).toLong - 2)
+        val dpx1 = math.min(dstW - 1, math.ceil(cs.map(_._1).max).toLong + 2)
+        val dpy0 = math.max(0L, math.floor(cs.map(_._2).min).toLong - 2)
+        val dpy1 = math.min(dstH - 1, math.ceil(cs.map(_._2).max).toLong + 2)
+        if (dpx1 < dpx0 || dpy1 < dpy0) Iterator.empty
+        else {
+          val oy0 = dpy0 / oChunk(rank - 2); val oy1 = dpy1 / oChunk(rank - 2)
+          val ox0 = dpx0 / oChunk(rank - 1); val ox1 = dpx1 / oChunk(rank - 1)
+          (for {
+            oy <- oy0 to oy1
+            ox <- ox0 to ox1
+          } yield {
+            val oIdx = idx.clone()
+            oIdx(rank - 2) = oy; oIdx(rank - 1) = ox
+            (linearize(oIdx, oGrid), cid, data)
+          }).iterator
+        }
+      }
+    }
+
+    val (shC, chC, grC) = (oShape, oChunk, oGrid)
+    val (bShC, bChC, bGrC) = (bShape, bChunk, bGrid)
+    val outChunks = pieces.groupByKey(_._1).mapGroups { (ocid, it) =>
+      val have = scala.collection.mutable.LongMap
+        .empty[(Array[Long], Array[Int], Array[Double])]
+      it.foreach { case (_, scid, data) =>
+        if (!have.contains(scid)) {
+          val sIdx = delinearize(scid, bGrC)
+          val sBase = Array.tabulate(bShC.length)(d => sIdx(d) * bChC(d))
+          have(scid) = (sBase, extents(sIdx, bShC, bChC), data)
+        }
+      }
+      val g = new Array[Long](bShC.length)
+      def srcVal(): Double = {
+        // g holds full-rank global source coords; spatial already bounds-checked
+        var scid = 0L; var d = 0
+        while (d < bShC.length) { scid = scid * bGrC(d) + g(d) / bChC(d); d += 1 }
+        have.get(scid) match {
+          case None => Double.NaN
+          case Some((sBase, sExt, data)) =>
+            var pos = 0L; var dd = 0
+            while (dd < bShC.length) { pos = pos * sExt(dd) + (g(dd) - sBase(dd)); dd += 1 }
+            data(pos.toInt)
+        }
+      }
+      val oIdx = delinearize(ocid, grC)
+      val oExt = extents(oIdx, shC, chC)
+      val oBase = Array.tabulate(shC.length)(d => oIdx(d) * chC(d))
+      val len = oExt.product
+      val out = new Array[Double](len)
+      val rk = shC.length
+      var p = 0
+      while (p < len) {
+        var r = p; var d = rk - 1
+        while (d >= 0) { g(d) = oBase(d) + r % oExt(d); r /= oExt(d); d -= 1 }
+        val i = g(rk - 1); val j = g(rk - 2)
+        val dstX = x0d + (i + 0.5) * dxd
+        val dstY = y0d + (j + 0.5) * dyd
+        val (sx, sy) = inv(dstX, dstY)
+        val px = (sx - x0s) / dxs - 0.5
+        val py = (sy - y0s) / dys - 0.5
+        out(p) =
+          if (!java.lang.Double.isFinite(px) || !java.lang.Double.isFinite(py))
+            Double.NaN
+          else if (!bilinear) {
+            val ix = math.floor(px + 0.5).toLong
+            val iy = math.floor(py + 0.5).toLong
+            if (ix >= 0 && ix < srcW && iy >= 0 && iy < srcH) {
+              g(rk - 2) = iy; g(rk - 1) = ix
+              srcVal()
+            } else Double.NaN
+          } else {
+            val bx = math.floor(px); val by = math.floor(py)
+            val fx = px - bx; val fy = py - by
+            var acc = 0.0; var wsum = 0.0
+            var q = 0
+            while (q < 4) {
+              val ix = bx.toLong + q % 2; val iy = by.toLong + q / 2
+              if (ix >= 0 && ix < srcW && iy >= 0 && iy < srcH) {
+                g(rk - 2) = iy; g(rk - 1) = ix
+                val v = srcVal()
+                if (!java.lang.Double.isNaN(v)) {
+                  val w = (if (q % 2 == 0) 1.0 - fx else fx) *
+                    (if (q / 2 == 0) 1.0 - fy else fy)
+                  acc += w * v; wsum += w
+                }
+              }
+              q += 1
+            }
+            if (wsum > 0.0) acc / wsum else Double.NaN
+          }
+        p += 1
+      }
+      (ocid, out)
+    }.toDF("cid", "data")
+    // output chunks no source chunk routes to exist as NaN fill
+    val fillChunks = spark.range(oGrid.product)
+      .join(outChunks, col("id") === col("cid"), "left_anti")
+      .select(col("id").as("cid")).as[Long]
+      .map { ocid =>
+        val oIdx = delinearize(ocid, grC)
+        (ocid, Array.fill(extents(oIdx, shC, chC).product)(Double.NaN))
+      }.toDF("cid", "data")
+    val outArr = new MdArray(spark, oShape, oChunk,
+      outChunks.unionByName(fillChunks), identityView(oShape))
+    // pixel-center regularly-spaced indexing variables (reference :747-757)
+    val xStart = x0d + dxd / 2
+    val yStart = y0d + dyd / 2
+    val varX = MdArray.create(spark, Array(dstW),
+      Array(math.min(dstW, 65536L).toInt))(c => xStart + c(0) * dxd)
+    val varY = MdArray.create(spark, Array(dstH),
+      Array(math.min(dstH, 65536L).toInt))(c => yStart + c(0) * dyd)
+    (outArr, varX, varY)
+  }
 }
