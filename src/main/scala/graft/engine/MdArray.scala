@@ -159,13 +159,17 @@ object MdArray {
       }
     }.reduce(_ union _)
     val (shC, chC, grC, fillC) = (oShape, oChunk, oGrid, fill)
-    val chunks = pieces.groupByKey(_._1).mapGroups { (ocid, it) =>
+    // marker row per output chunk so uncovered chunks materialize as fill
+    // in the SAME reduce pass (no anti-join recomputing the piece pipeline)
+    val markers = spark.range(oGrid.product).map(ocid =>
+      (ocid.toLong, -1, Array.empty[Long], Array.empty[Int], Array.emptyDoubleArray))
+    val chunks = pieces.union(markers).groupByKey(_._1).mapGroups { (ocid, it) =>
       val oIdx = delinearize(ocid, grC)
       val oExt = extents(oIdx, shC, chC)
       val oBase = Array.tabulate(shC.length)(d => oIdx(d) * chC(d))
       val len = oExt.product
       val out = Array.fill(len)(fillC)
-      for ((_, _, glo, ext, data) <- it.toArray.sortBy(_._2)) {
+      for ((_, _, glo, ext, data) <- it.toArray.filter(_._2 >= 0).sortBy(_._2)) {
         val a = new Array[Long](shC.length); val b = new Array[Long](shC.length)
         var ok = true
         var d = 0
@@ -198,16 +202,7 @@ object MdArray {
       }
       (ocid, out)
     }.toDF("cid", "data")
-    // output chunks no input touches still exist — as all-fill chunks
-    val fillChunks = spark.range(oGrid.product)
-      .join(chunks, col("id") === col("cid"), "left_anti")
-      .select(col("id").as("cid")).as[Long]
-      .map { ocid =>
-        val oIdx = delinearize(ocid, grC)
-        (ocid, Array.fill(extents(oIdx, shC, chC).product)(fillC))
-      }.toDF("cid", "data")
-    new MdArray(spark, oShape, oChunk, chunks.unionByName(fillChunks),
-      identityView(oShape))
+    new MdArray(spark, oShape, oChunk, chunks, identityView(oShape))
   }
 
   /** Mesh-grid views (GDALMDArray::GetMeshGrid,
@@ -821,11 +816,16 @@ final class MdArray private (
 
     val (shC, chC, grC) = (oShape, oChunk, oGrid)
     val (bShC, bChC, bGrC) = (bShape, bChunk, bGrid)
-    val outChunks = pieces.groupByKey(_._1).mapGroups { (ocid, it) =>
+    // marker row per output chunk (the warpAffineMulti idiom): every ocid
+    // reaches the reducer, so out-of-source chunks materialize as NaN fill
+    // in the SAME pass — no anti-join recomputing the upstream pipeline
+    val markers = spark.range(oGrid.product)
+      .map(ocid => (ocid.toLong, -1L, Array.emptyDoubleArray))
+    val outChunks = pieces.union(markers).groupByKey(_._1).mapGroups { (ocid, it) =>
       val have = scala.collection.mutable.LongMap
         .empty[(Array[Long], Array[Int], Array[Double])]
       it.foreach { case (_, scid, data) =>
-        if (!have.contains(scid)) {
+        if (scid >= 0L && !have.contains(scid)) {
           val sIdx = delinearize(scid, bGrC)
           val sBase = Array.tabulate(bShC.length)(d => sIdx(d) * bChC(d))
           have(scid) = (sBase, extents(sIdx, bShC, bChC), data)
@@ -848,6 +848,8 @@ final class MdArray private (
       val oExt = extents(oIdx, shC, chC)
       val oBase = Array.tabulate(shC.length)(d => oIdx(d) * chC(d))
       val len = oExt.product
+      if (have.isEmpty) (ocid, Array.fill(len)(Double.NaN))
+      else {
       val out = new Array[Double](len)
       val rk = shC.length
       var p = 0
@@ -893,17 +895,10 @@ final class MdArray private (
         p += 1
       }
       (ocid, out)
+      }
     }.toDF("cid", "data")
-    // output chunks no source chunk routes to exist as NaN fill
-    val fillChunks = spark.range(oGrid.product)
-      .join(outChunks, col("id") === col("cid"), "left_anti")
-      .select(col("id").as("cid")).as[Long]
-      .map { ocid =>
-        val oIdx = delinearize(ocid, grC)
-        (ocid, Array.fill(extents(oIdx, shC, chC).product)(Double.NaN))
-      }.toDF("cid", "data")
-    val outArr = new MdArray(spark, oShape, oChunk,
-      outChunks.unionByName(fillChunks), identityView(oShape))
+    val outArr = new MdArray(spark, oShape, oChunk, outChunks,
+      identityView(oShape))
     // pixel-center regularly-spaced indexing variables (reference :747-757)
     val xStart = x0d + dxd / 2
     val yStart = y0d + dyd / 2
