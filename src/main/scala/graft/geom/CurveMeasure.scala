@@ -280,7 +280,7 @@ object CurveMeasure {
       if (pos == st) fail(s"expected word at $st")
       s.substring(st, pos).toUpperCase
     }
-    private def peek(): Char = { skipWs(); if (pos < s.length) s.charAt(pos) else ' ' }
+    private def peek(): Char = { skipWs(); if (pos < s.length) s.charAt(pos) else '\u0000' }
     private def expect(c: Char): Unit = {
       skipWs()
       if (pos >= s.length || s.charAt(pos) != c) fail(s"expected '$c' at $pos")
