@@ -1301,6 +1301,69 @@ object Queries5 {
             CAST(floor(((40.0 + (-1.25) / 2) + jj.j * (-1.25)) * 1048576.0 + 0.5)
               AS BIGINT) AS v FROM range(72) jj(j))
       SELECT * FROM arr UNION ALL SELECT * FROM vx UNION ALL SELECT * FROM vy
-      ORDER BY mode, a, b, c"""))
+      ORDER BY mode, a, b, c""")),
+
+    // -- GeoJSON round-trip (g59): RFC 7946 codec (reference driver
+    // ogr/ogrsf_frmts/geojson/ — OGRGeoJSONWriteGeometry /
+    // OGRGeoJSONReadGeometry). The writer prints shortest-round-trip
+    // doubles, so wkb → st_asgeojson → st_geomfromgeojson is LOSSLESS and
+    // every post-round-trip measure equals the direct g07-style closed
+    // form: any encode or decode defect breaks the numbers. jtype comes
+    // from stock get_json_object over the emitted string (the Spark-side
+    // GeoJSON-lines reader story: spark.read.json for properties +
+    // st_geomfromgeojson for the geometry member).
+    ("g59_geojson_roundtrip", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("x0", expr(lonOf("doc_id")))
+        .withColumn("latc", expr(s"greatest(-84.9, least(84.9, ${latOf("doc_id")}))"))
+        .withColumn("y0", expr("latc - 0.05")).withColumn("y1", expr("latc + 0.05"))
+        .withColumn("x1", expr("x0 + 0.1"))
+        .withColumn("xm", expr("x0 + 0.05")).withColumn("ya", expr("y0 + 0.08"))
+      def pt(x: String, y: String) = s"CAST($x AS STRING), ' ', CAST($y AS STRING)"
+      val rectWkt = s"concat('POLYGON ((', ${pt("x0", "y0")}, ',', ${pt("x1", "y0")}, ',', " +
+        s"${pt("x1", "y1")}, ',', ${pt("x0", "y1")}, ',', ${pt("x0", "y0")}, '))')"
+      val triWkt = s"concat('POLYGON ((', ${pt("x0", "y0")}, ',', ${pt("x1", "y0")}, ',', " +
+        s"${pt("xm", "ya")}, ',', ${pt("x0", "y0")}, '))')"
+      val polySrc = base.withColumn("wkb0",
+        gf.st_geomfromtext(expr(s"CASE WHEN doc_id % 2 = 1 THEN $triWkt ELSE $rectWkt END")))
+        .withColumn("kind", lit("poly"))
+      val ptSrc = base.withColumn("wkb0", gf.st_point(col("x0"), col("y0")))
+        .withColumn("kind", lit("point"))
+      def rt(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("json", gf.st_asgeojson(col("wkb0"), lit(-1)))
+        .withColumn("wkb", gf.st_geomfromgeojson(col("json")))
+        .select(col("kind"), col("doc_id"),
+          gf.st_geometrytype(col("wkb")).as("gtype"),
+          get_json_object(col("json"), "$.type").as("jtype"),
+          gf.st_npoints(col("wkb")).cast("long").as("npts"),
+          gf.st_area(col("wkb")).as("area"),
+          gf.st_x(gf.st_centroid(col("wkb"))).as("cx"),
+          gf.st_y(gf.st_centroid(col("wkb"))).as("cy"),
+          expr("CAST(floor(st_length(wkb) * 1000000.0 + 0.5) AS BIGINT)").as("perim_u"))
+      rt(polySrc).unionAll(rt(ptSrc)).orderBy("kind", "doc_id")
+    }, Some {
+      val rect = Seq(("x0", "y0"), ("x1", "y0"), ("x1", "y1"), ("x0", "y1"), ("x0", "y0"))
+      val tri = Seq(("x0", "y0"), ("x1", "y0"), ("xm", "ya"), ("x0", "y0"))
+      val (rcx, rcy) = centroidSql(rect, signedAreaSql(rect))
+      val (tcx, tcy) = centroidSql(tri, signedAreaSql(tri))
+      s"""WITH c1 AS (SELECT doc_id, ${lonOf("doc_id")} AS x0,
+            greatest(-84.9, least(84.9, ${latOf("doc_id")})) AS latc FROM documents),
+          c2 AS (SELECT doc_id, x0, latc - 0.05 AS y0, latc + 0.05 AS y1,
+            x0 + 0.1 AS x1, x0 + 0.05 AS xm, latc - 0.05 + 0.08 AS ya FROM c1)
+          SELECT 'poly' AS kind, doc_id, 'POLYGON' AS gtype, 'Polygon' AS jtype,
+            CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 5 END AS BIGINT) AS npts,
+            CASE WHEN doc_id % 2 = 1 THEN abs(${signedAreaSql(tri)})
+                 ELSE abs(${signedAreaSql(rect)}) END AS area,
+            CASE WHEN doc_id % 2 = 1 THEN $tcx ELSE $rcx END AS cx,
+            CASE WHEN doc_id % 2 = 1 THEN $tcy ELSE $rcy END AS cy,
+            CAST(floor((CASE WHEN doc_id % 2 = 1 THEN ${perimeterSql(tri)}
+                 ELSE ${perimeterSql(rect)} END) * 1000000.0 + 0.5) AS BIGINT) AS perim_u
+          FROM c2
+          UNION ALL
+          SELECT 'point', doc_id, 'POINT', 'Point', CAST(1 AS BIGINT), 0.0,
+            x0, y0, CAST(0 AS BIGINT) FROM c2
+          ORDER BY kind, doc_id"""})
   )
 }

@@ -48,6 +48,16 @@ object GeoKernel {
 
   def asText(wkb: Array[Byte]): String = Wkt.write(decode(wkb))
 
+  /** RFC 7946 codecs (geom/GeoJson.scala; reference driver
+    * ogr/ogrsf_frmts/geojson/). precision < 0 = lossless shortest repr. */
+  def asGeoJson(wkb: Array[Byte], precision: Int): String =
+    GeoJson.write(decode(wkb), precision)
+
+  def geomFromGeoJson(s: String): Array[Byte] = {
+    val g = GeoJson.parse(s)
+    if (g == null) null else Wkb.write(g)
+  }
+
   // ---- curve-exact measures on raw curve WKT (no linearization);
   // null when the input is not a parseable 2-D curve type
   def curveLength(wkt: String): java.lang.Double =

@@ -55,6 +55,47 @@ case class StAsText(child: Expression)
     copy(child = newChild)
 }
 
+/** st_asgeojson(wkb, precision) → RFC 7946 geometry JSON (reference
+  * writer: ogr/ogrsf_frmts/geojson/ogrgeojsonwriter.cpp
+  * OGRGeoJSONWriteGeometry; precision = the XY_COORD_PRECISION /
+  * RFC7946-mode decimals option, < 0 = lossless shortest repr). */
+case class StAsGeoJson(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_asgeojson"
+  protected override def nullSafeEval(wkb: Any, p: Any): Any =
+    UTF8String.fromString(
+      GeoKernel.asGeoJson(wkb.asInstanceOf[Array[Byte]], p.asInstanceOf[Int]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, p) =>
+      s"UTF8String.fromString(${K.N}.asGeoJson($w, $p))")
+  protected override def withNewChildrenInternal(l: Expression, r: Expression): StAsGeoJson =
+    copy(left = l, right = r)
+}
+
+/** st_geomfromgeojson(json) → WKB (null on malformed input; Feature
+  * objects unwrap to their geometry). Ref:
+  * ogr/ogrsf_frmts/geojson/ogrgeojsonreader.cpp OGRGeoJSONReadGeometry. */
+case class StGeomFromGeoJson(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geomfromgeojson"
+  protected override def nullSafeEval(s: Any): Any =
+    GeoKernel.geomFromGeoJson(s.asInstanceOf[UTF8String].toString)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = ${K.N}.geomFromGeoJson($c.toString());
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  protected override def withNewChildInternal(newChild: Expression): StGeomFromGeoJson =
+    copy(child = newChild)
+}
+
 /** st_point(x, y) → WKB point. Ref: ST_MakePoint (ogrsqlitesqlfunctions.cpp:1014);
   * the make-point pipeline step (/root/reference/apps/gdalalg_vector_make_point.cpp:32). */
 case class StPoint(left: Expression, right: Expression)

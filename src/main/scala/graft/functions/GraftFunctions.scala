@@ -25,6 +25,8 @@ object GraftFunctions {
   val builders: Seq[(String, Builder)] = Seq(
     arity("st_geomfromtext", 1)(a => StGeomFromText(a(0))),
     arity("st_astext", 1)(a => StAsText(a(0))),
+    arity("st_asgeojson", 2)(a => StAsGeoJson(a(0), a(1))),
+    arity("st_geomfromgeojson", 1)(a => StGeomFromGeoJson(a(0))),
     arity("st_point", 2)(a => StPoint(a(0), a(1))),
     arity("st_isempty", 1)(a => StIsEmpty(a(0))),
     arity("st_isvalid", 1)(a => StIsValid(a(0))),
@@ -182,6 +184,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object gf {
   def st_geomfromtext(wkt: Column): Column = call_function("st_geomfromtext", wkt)
   def st_astext(wkb: Column): Column = call_function("st_astext", wkb)
+  def st_asgeojson(wkb: Column, precision: Column): Column =
+    call_function("st_asgeojson", wkb, precision)
+  def st_geomfromgeojson(json: Column): Column = call_function("st_geomfromgeojson", json)
   def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
   def st_isempty(wkb: Column): Column = call_function("st_isempty", wkb)
   def st_isvalid(wkb: Column): Column = call_function("st_isvalid", wkb)
