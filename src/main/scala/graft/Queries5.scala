@@ -1364,6 +1364,70 @@ object Queries5 {
           UNION ALL
           SELECT 'point', doc_id, 'POINT', 'Point', CAST(1 AS BIGINT), 0.0,
             x0, y0, CAST(0 AS BIGINT) FROM c2
-          ORDER BY kind, doc_id"""})
+          ORDER BY kind, doc_id"""}),
+
+    // -- KML + GML round-trip (g60): the two XML geometry fragment codecs
+    // (reference ogr2kmlgeometry.cpp / ogr2gmlgeometry.cpp writers;
+    // kmlnode.cpp / gml2ogrgeometry.cpp readers). Same lossless-round-trip
+    // gate shape as g59: every post-round-trip measure equals the direct
+    // closed form, for both formats, polygons and points.
+    ("g60_kml_gml_roundtrip", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("x0", expr(lonOf("doc_id")))
+        .withColumn("latc", expr(s"greatest(-84.9, least(84.9, ${latOf("doc_id")}))"))
+        .withColumn("y0", expr("latc - 0.05")).withColumn("y1", expr("latc + 0.05"))
+        .withColumn("x1", expr("x0 + 0.1"))
+        .withColumn("xm", expr("x0 + 0.05")).withColumn("ya", expr("y0 + 0.08"))
+      def pt(x: String, y: String) = s"CAST($x AS STRING), ' ', CAST($y AS STRING)"
+      val rectWkt = s"concat('POLYGON ((', ${pt("x0", "y0")}, ',', ${pt("x1", "y0")}, ',', " +
+        s"${pt("x1", "y1")}, ',', ${pt("x0", "y1")}, ',', ${pt("x0", "y0")}, '))')"
+      val triWkt = s"concat('POLYGON ((', ${pt("x0", "y0")}, ',', ${pt("x1", "y0")}, ',', " +
+        s"${pt("xm", "ya")}, ',', ${pt("x0", "y0")}, '))')"
+      val polySrc = base.withColumn("wkb0",
+        gf.st_geomfromtext(expr(s"CASE WHEN doc_id % 2 = 1 THEN $triWkt ELSE $rectWkt END")))
+        .withColumn("kind", lit("poly"))
+      val ptSrc = base.withColumn("wkb0", gf.st_point(col("x0"), col("y0")))
+        .withColumn("kind", lit("point"))
+      def rt(df: org.apache.spark.sql.DataFrame, fmt: String) = {
+        val wkb =
+          if (fmt == "kml") gf.st_geomfromkml(gf.st_askml(col("wkb0")))
+          else gf.st_geomfromgml(gf.st_asgml(col("wkb0")))
+        df.withColumn("wkb", wkb)
+          .select(lit(fmt).as("fmt"), col("kind"), col("doc_id"),
+            gf.st_geometrytype(col("wkb")).as("gtype"),
+            gf.st_npoints(col("wkb")).cast("long").as("npts"),
+            gf.st_area(col("wkb")).as("area"),
+            gf.st_x(gf.st_centroid(col("wkb"))).as("cx"),
+            gf.st_y(gf.st_centroid(col("wkb"))).as("cy"),
+            expr("CAST(floor(st_length(wkb) * 1000000.0 + 0.5) AS BIGINT)").as("perim_u"))
+      }
+      rt(polySrc, "kml").unionAll(rt(ptSrc, "kml"))
+        .unionAll(rt(polySrc, "gml")).unionAll(rt(ptSrc, "gml"))
+        .orderBy("fmt", "kind", "doc_id")
+    }, Some {
+      val rect = Seq(("x0", "y0"), ("x1", "y0"), ("x1", "y1"), ("x0", "y1"), ("x0", "y0"))
+      val tri = Seq(("x0", "y0"), ("x1", "y0"), ("xm", "ya"), ("x0", "y0"))
+      val (rcx, rcy) = centroidSql(rect, signedAreaSql(rect))
+      val (tcx, tcy) = centroidSql(tri, signedAreaSql(tri))
+      s"""WITH c1 AS (SELECT doc_id, ${lonOf("doc_id")} AS x0,
+            greatest(-84.9, least(84.9, ${latOf("doc_id")})) AS latc FROM documents),
+          c2 AS (SELECT doc_id, x0, latc - 0.05 AS y0, latc + 0.05 AS y1,
+            x0 + 0.1 AS x1, x0 + 0.05 AS xm, latc - 0.05 + 0.08 AS ya FROM c1),
+          fmts AS (SELECT unnest(['kml', 'gml']) AS fmt)
+          SELECT fmt, 'poly' AS kind, doc_id, 'POLYGON' AS gtype,
+            CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 5 END AS BIGINT) AS npts,
+            CASE WHEN doc_id % 2 = 1 THEN abs(${signedAreaSql(tri)})
+                 ELSE abs(${signedAreaSql(rect)}) END AS area,
+            CASE WHEN doc_id % 2 = 1 THEN $tcx ELSE $rcx END AS cx,
+            CASE WHEN doc_id % 2 = 1 THEN $tcy ELSE $rcy END AS cy,
+            CAST(floor((CASE WHEN doc_id % 2 = 1 THEN ${perimeterSql(tri)}
+                 ELSE ${perimeterSql(rect)} END) * 1000000.0 + 0.5) AS BIGINT) AS perim_u
+          FROM c2 CROSS JOIN fmts
+          UNION ALL
+          SELECT fmt, 'point', doc_id, 'POINT', CAST(1 AS BIGINT), 0.0,
+            x0, y0, CAST(0 AS BIGINT) FROM c2 CROSS JOIN fmts
+          ORDER BY fmt, kind, doc_id"""})
   )
 }

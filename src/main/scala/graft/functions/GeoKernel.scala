@@ -58,6 +58,23 @@ object GeoKernel {
     if (g == null) null else Wkb.write(g)
   }
 
+  /** KML / GML fragment codecs (geom/KmlGeom.scala, geom/GmlGeom.scala;
+    * reference ogr2kmlgeometry.cpp / ogr2gmlgeometry.cpp +
+    * gml2ogrgeometry.cpp). */
+  def asKml(wkb: Array[Byte]): String = KmlGeom.write(decode(wkb))
+
+  def geomFromKml(s: String): Array[Byte] = {
+    val g = KmlGeom.parse(s)
+    if (g == null) null else Wkb.write(g)
+  }
+
+  def asGml(wkb: Array[Byte]): String = GmlGeom.write(decode(wkb))
+
+  def geomFromGml(s: String): Array[Byte] = {
+    val g = GmlGeom.parse(s)
+    if (g == null) null else Wkb.write(g)
+  }
+
   // ---- curve-exact measures on raw curve WKT (no linearization);
   // null when the input is not a parseable 2-D curve type
   def curveLength(wkt: String): java.lang.Double =

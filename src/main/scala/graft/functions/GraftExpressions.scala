@@ -74,6 +74,77 @@ case class StAsGeoJson(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_askml(wkb) / st_asgml(wkb) → KML / GML2 geometry fragment (refs:
+  * ogr2kmlgeometry.cpp OGR2KMLGeometryAppend, ogr2gmlgeometry.cpp
+  * OGR2GMLGeometryAppend — the SQLite dialect exposes the same pair as
+  * AsKML/AsGML). */
+case class StAsKml(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_askml"
+  protected override def nullSafeEval(wkb: Any): Any =
+    UTF8String.fromString(GeoKernel.asKml(wkb.asInstanceOf[Array[Byte]]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"UTF8String.fromString(${K.N}.asKml($c))")
+  protected override def withNewChildInternal(newChild: Expression): StAsKml =
+    copy(child = newChild)
+}
+
+case class StAsGml(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "st_asgml"
+  protected override def nullSafeEval(wkb: Any): Any =
+    UTF8String.fromString(GeoKernel.asGml(wkb.asInstanceOf[Array[Byte]]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"UTF8String.fromString(${K.N}.asGml($c))")
+  protected override def withNewChildInternal(newChild: Expression): StAsGml =
+    copy(child = newChild)
+}
+
+/** st_geomfromkml(xml) / st_geomfromgml(xml) → WKB (null on malformed
+  * input). Refs: kmlnode.cpp geometry elements; gml2ogrgeometry.cpp
+  * GML2OGRGeometry_XMLNode (GML2 + GML3 pos/posList/exterior). */
+case class StGeomFromKml(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geomfromkml"
+  protected override def nullSafeEval(s: Any): Any =
+    GeoKernel.geomFromKml(s.asInstanceOf[UTF8String].toString)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = ${K.N}.geomFromKml($c.toString());
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  protected override def withNewChildInternal(newChild: Expression): StGeomFromKml =
+    copy(child = newChild)
+}
+
+case class StGeomFromGml(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geomfromgml"
+  protected override def nullSafeEval(s: Any): Any =
+    GeoKernel.geomFromGml(s.asInstanceOf[UTF8String].toString)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = ${K.N}.geomFromGml($c.toString());
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  protected override def withNewChildInternal(newChild: Expression): StGeomFromGml =
+    copy(child = newChild)
+}
+
 /** st_geomfromgeojson(json) → WKB (null on malformed input; Feature
   * objects unwrap to their geometry). Ref:
   * ogr/ogrsf_frmts/geojson/ogrgeojsonreader.cpp OGRGeoJSONReadGeometry. */

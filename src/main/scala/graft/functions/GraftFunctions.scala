@@ -27,6 +27,10 @@ object GraftFunctions {
     arity("st_astext", 1)(a => StAsText(a(0))),
     arity("st_asgeojson", 2)(a => StAsGeoJson(a(0), a(1))),
     arity("st_geomfromgeojson", 1)(a => StGeomFromGeoJson(a(0))),
+    arity("st_askml", 1)(a => StAsKml(a(0))),
+    arity("st_geomfromkml", 1)(a => StGeomFromKml(a(0))),
+    arity("st_asgml", 1)(a => StAsGml(a(0))),
+    arity("st_geomfromgml", 1)(a => StGeomFromGml(a(0))),
     arity("st_point", 2)(a => StPoint(a(0), a(1))),
     arity("st_isempty", 1)(a => StIsEmpty(a(0))),
     arity("st_isvalid", 1)(a => StIsValid(a(0))),
@@ -187,6 +191,10 @@ object gf {
   def st_asgeojson(wkb: Column, precision: Column): Column =
     call_function("st_asgeojson", wkb, precision)
   def st_geomfromgeojson(json: Column): Column = call_function("st_geomfromgeojson", json)
+  def st_askml(wkb: Column): Column = call_function("st_askml", wkb)
+  def st_geomfromkml(xml: Column): Column = call_function("st_geomfromkml", xml)
+  def st_asgml(wkb: Column): Column = call_function("st_asgml", wkb)
+  def st_geomfromgml(xml: Column): Column = call_function("st_geomfromgml", xml)
   def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
   def st_isempty(wkb: Column): Column = call_function("st_isempty", wkb)
   def st_isvalid(wkb: Column): Column = call_function("st_isvalid", wkb)
