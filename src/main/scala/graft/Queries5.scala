@@ -1428,6 +1428,76 @@ object Queries5 {
           UNION ALL
           SELECT fmt, 'point', doc_id, 'POINT', CAST(1 AS BIGINT), 0.0,
             x0, y0, CAST(0 AS BIGINT) FROM c2 CROSS JOIN fmts
-          ORDER BY fmt, kind, doc_id"""})
+          ORDER BY fmt, kind, doc_id"""}),
+
+    // -- GPX five-layer reader (g61): waypoints / routes / route_points /
+    // tracks / track_points with the reference's lineage id fields
+    // (ogrgpxlayer.cpp; ogr_gpx.h:93-97). Each document synthesizes a
+    // deterministic GPX (2 wpt, 1 rte × 3 rtept, 1 trk × 2 trkseg ×
+    // 2 trkpt, quarter-degree closed-form coords — exact in IEEE), the
+    // engine parses it, and the twin regenerates the layer rows
+    // relationally. lat/lon live in XML ATTRIBUTES (opposite of KML) —
+    // the gate covers that path of the XML mini-parser.
+    ("g61_gpx_layers", (s, dir) => {
+      prep(s)
+      val sp = s
+      import sp.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .where("doc_id < 200").as[Long]
+      ids.flatMap { d =>
+        val L = (d % 300) - 150.0; val T = (d % 160) - 80.0
+        def pt(tag: String, lon: Double, lat: Double) =
+          s"""<$tag lat="$lat" lon="$lon"/>"""
+        val sb = new StringBuilder("""<gpx version="1.1">""")
+        for (k <- 0 until 2) sb.append(pt("wpt", L + k * 0.25, T - k * 0.25))
+        sb.append("<rte>")
+        for (i <- 0 until 3) sb.append(pt("rtept", L + 1 + i * 0.25, T + i * 0.25))
+        sb.append("</rte><trk>")
+        for (sg <- 0 until 2) {
+          sb.append("<trkseg>")
+          for (p <- 0 until 2)
+            sb.append(pt("trkpt", L + 2 + sg + p * 0.25, T - 1 + sg * 0.25 + p * 0.25))
+          sb.append("</trkseg>")
+        }
+        sb.append("</trk></gpx>")
+        geom.GpxGeom.parse(sb.toString).iterator.map { f =>
+          val (x, y, n) = f.geom match {
+            case p: geom.Point => (p.x, p.y, 1)
+            case l: geom.LineString => (l.x(0), l.y(0), l.numPoints)
+            case m: geom.MultiLineString =>
+              (m.lines(0).x(0), m.lines(0).y(0), m.lines.map(_.numPoints).sum)
+            case _ => (Double.NaN, Double.NaN, 0)
+          }
+          (d, f.layer, f.fid.toLong, f.id1.toLong, f.id2.toLong, f.id3.toLong,
+            n.toLong, math.floor(x * 4 + 0.5).toLong, math.floor(y * 4 + 0.5).toLong)
+        }
+      }.toDF("doc_id", "layer", "fid", "id1", "id2", "id3", "npts", "x_u", "y_u")
+        .orderBy("doc_id", "layer", "fid")
+    }, Some("""
+      WITH d AS (SELECT doc_id, CAST((doc_id % 300) - 150 AS DOUBLE) AS L,
+             CAST((doc_id % 160) - 80 AS DOUBLE) AS T
+             FROM documents WHERE doc_id < 200),
+      u AS (
+        SELECT doc_id, 'waypoints' AS layer, k.k AS fid,
+               -1 AS id1, -1 AS id2, -1 AS id3, 1 AS npts,
+               L + k.k * 0.25 AS x, T - k.k * 0.25 AS y
+        FROM d, range(2) k(k)
+        UNION ALL
+        SELECT doc_id, 'routes', 0, -1, -1, -1, 3, L + 1, T FROM d
+        UNION ALL
+        SELECT doc_id, 'route_points', i.i, 0, -1, i.i, 1,
+               L + 1 + i.i * 0.25, T + i.i * 0.25 FROM d, range(3) i(i)
+        UNION ALL
+        SELECT doc_id, 'tracks', 0, -1, -1, -1, 4, L + 2, T - 1 FROM d
+        UNION ALL
+        SELECT doc_id, 'track_points', s.s * 2 + p.p, 0, s.s, p.p, 1,
+               L + 2 + s.s + p.p * 0.25, T - 1 + s.s * 0.25 + p.p * 0.25
+        FROM d, range(2) s(s), range(2) p(p))
+      SELECT doc_id, layer, CAST(fid AS BIGINT) AS fid,
+             CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+             CAST(id3 AS BIGINT) AS id3, CAST(npts AS BIGINT) AS npts,
+             CAST(floor(x * 4 + 0.5) AS BIGINT) AS x_u,
+             CAST(floor(y * 4 + 0.5) AS BIGINT) AS y_u
+      FROM u ORDER BY doc_id, layer, fid"""))
   )
 }
