@@ -1498,6 +1498,114 @@ object Queries5 {
              CAST(id3 AS BIGINT) AS id3, CAST(npts AS BIGINT) AS npts,
              CAST(floor(x * 4 + 0.5) AS BIGINT) AS x_u,
              CAST(floor(y * 4 + 0.5) AS BIGINT) AS y_u
-      FROM u ORDER BY doc_id, layer, fid"""))
+      FROM u ORDER BY doc_id, layer, fid""")),
+
+    // -- OGR CSV AUTODETECT_TYPE (q32): the field-type sniffing algorithm
+    // (ogrcsvlayer.cpp:881-1215 + CPLGetValueType) run distributed as
+    // per-partition transition tables composed in range order. 13 columns
+    // exercise the whole lattice: int/int64/real promotion, Date+DateTime,
+    // Time+Date → String, boolean-word fields, BOTH order-dependent
+    // boolean corners, never-set (all-empty), the leading-zero rule, and
+    // the giant-exponent-evaluates-to-infinity rule. The DuckDB twin
+    // replays the SAME 32-state machine as a recursive CTE over the
+    // constructed class sequence.
+    ("q32_csv_autodetect", (s, dir) => {
+      prep(s)
+      val base = t(s, dir, "documents").select(col("doc_id")).where("doc_id < 400")
+      val dt = "concat('2023-01-', lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0'))"
+      val tm = "concat('12:', lpad(CAST(doc_id % 60 AS STRING), 2, '0'))"
+      val df = base
+        .withColumn("c_int", expr("CAST(doc_id AS STRING)"))
+        .withColumn("c_int64", expr(
+          "CASE WHEN doc_id = 7 THEN '4000000000' ELSE CAST(doc_id AS STRING) END"))
+        .withColumn("c_real", expr(
+          "CASE WHEN doc_id % 2 = 0 THEN '1.5' ELSE CAST(doc_id AS STRING) END"))
+        .withColumn("c_date", expr(dt))
+        .withColumn("c_dt", expr(
+          s"CASE WHEN doc_id = 5 THEN '2023-01-02 03:04:05' ELSE $dt END"))
+        .withColumn("c_time", expr(tm))
+        .withColumn("c_mix", expr(s"CASE WHEN doc_id = 9 THEN '2023-01-02' ELSE $tm END"))
+        .withColumn("c_bool", expr(
+          "element_at(array('t','false','YES','no','on'), CAST(doc_id % 5 AS INT) + 1)"))
+        .withColumn("c_bool_int", expr(
+          "CASE WHEN doc_id = 0 THEN 't' ELSE CAST(doc_id AS STRING) END"))
+        .withColumn("c_int_bool", expr(
+          "CASE WHEN doc_id = 1 THEN 't' ELSE CAST(doc_id AS STRING) END"))
+        .withColumn("c_empty", lit(""))
+        .withColumn("c_lead0", lit("0123"))
+        .withColumn("c_bigexp", lit("1e4000"))
+      val colsL = Seq("c_int", "c_int64", "c_real", "c_date", "c_dt", "c_time",
+        "c_mix", "c_bool", "c_bool_int", "c_int_bool", "c_empty", "c_lead0",
+        "c_bigexp")
+      val res = sql.CsvSniff.sniff(df, "doc_id", colsL)
+      import s.implicits.{localSeqToDatasetHolder, newStringEncoder, newProductEncoder}
+      res.toDF("col", "typ").orderBy("col")
+    }, Some {
+      // the engine's step() as a SQL CASE over state s (= t*4 + b*2 + f)
+      // and class c (0 empty, 1 int, 2 int64, 3 real, 4 date, 5 datetime,
+      // 6 time, 7 boolword, 8 string)
+      val step = """
+        CASE
+          WHEN c.cls = 0 THEN f.state
+          WHEN f.state % 2 = 1 THEN f.state
+          WHEN f.state // 4 = 0 THEN
+            CASE c.cls WHEN 1 THEN 4 WHEN 2 THEN 8 WHEN 3 THEN 12
+                       WHEN 4 THEN 16 WHEN 5 THEN 20 WHEN 6 THEN 24
+                       WHEN 7 THEN 30 ELSE 29 END
+          WHEN f.state // 4 = 7 THEN
+            CASE WHEN c.cls IN (1, 2, 3) THEN f.state
+                 ELSE 28 + (CASE WHEN (f.state // 2) % 2 = 1 AND c.cls = 7
+                                 THEN 2 ELSE 0 END) + 1 END
+          ELSE
+            CASE WHEN (CASE c.cls WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 3
+                       WHEN 4 THEN 4 WHEN 5 THEN 5 WHEN 6 THEN 6 ELSE 7 END)
+                      = f.state // 4 THEN f.state
+            ELSE
+              CASE
+                WHEN f.state // 4 = 1 AND c.cls = 2 THEN 8
+                WHEN f.state // 4 = 1 AND c.cls = 3 THEN 12
+                WHEN f.state // 4 = 2 AND c.cls = 1 THEN 8
+                WHEN f.state // 4 = 2 AND c.cls = 3 THEN 12
+                WHEN f.state // 4 = 3 AND c.cls IN (1, 2) THEN 12
+                WHEN f.state // 4 = 4 AND c.cls = 5 THEN 20
+                WHEN f.state // 4 = 5 AND c.cls = 4 THEN 20
+                ELSE 28 + ((f.state // 2) % 2) * 2 + 1
+              END
+            END
+        END"""
+      s"""
+      WITH RECURSIVE
+      d AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+            FROM documents WHERE doc_id < 400),
+      cls AS (
+        SELECT 'c_int' AS col, rn, 1 AS cls FROM d
+        UNION ALL SELECT 'c_int64', rn, CASE WHEN doc_id = 7 THEN 2 ELSE 1 END FROM d
+        UNION ALL SELECT 'c_real', rn, CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END FROM d
+        UNION ALL SELECT 'c_date', rn, 4 FROM d
+        UNION ALL SELECT 'c_dt', rn, CASE WHEN doc_id = 5 THEN 5 ELSE 4 END FROM d
+        UNION ALL SELECT 'c_time', rn, 6 FROM d
+        UNION ALL SELECT 'c_mix', rn, CASE WHEN doc_id = 9 THEN 4 ELSE 6 END FROM d
+        UNION ALL SELECT 'c_bool', rn, 7 FROM d
+        UNION ALL SELECT 'c_bool_int', rn, CASE WHEN doc_id = 0 THEN 7 ELSE 1 END FROM d
+        UNION ALL SELECT 'c_int_bool', rn, CASE WHEN doc_id = 1 THEN 7 ELSE 1 END FROM d
+        UNION ALL SELECT 'c_empty', rn, 0 FROM d
+        UNION ALL SELECT 'c_lead0', rn, 8 FROM d
+        UNION ALL SELECT 'c_bigexp', rn, 8 FROM d),
+      fsm AS (
+        SELECT col, CAST(0 AS BIGINT) AS i, 0 AS state
+        FROM (SELECT DISTINCT col FROM cls)
+        UNION ALL
+        SELECT f.col, f.i + 1, $step
+        FROM fsm f JOIN cls c ON c.col = f.col AND c.rn = f.i + 1),
+      fin AS (SELECT col, state,
+              row_number() OVER (PARTITION BY col ORDER BY i DESC) AS rk
+              FROM fsm)
+      SELECT col,
+        CASE state // 4 WHEN 1 THEN 'Integer' WHEN 2 THEN 'Integer64'
+          WHEN 3 THEN 'Real' WHEN 5 THEN 'DateTime' WHEN 4 THEN 'Date'
+          WHEN 6 THEN 'Time'
+          ELSE CASE WHEN (state // 2) % 2 = 1 THEN 'Integer(Boolean)'
+                    ELSE 'String' END END AS typ
+      FROM fin WHERE rk = 1 ORDER BY col"""})
   )
 }
