@@ -1606,6 +1606,63 @@ object Queries5 {
           WHEN 6 THEN 'Time'
           ELSE CASE WHEN (state // 2) % 2 = 1 THEN 'Integer(Boolean)'
                     ELSE 'String' END END AS typ
-      FROM fin WHERE rk = 1 ORDER BY col"""})
+      FROM fin WHERE rk = 1 ORDER BY col"""}),
+
+    // -- MVT vector tile sink (g62): the reference's vector tile format
+    // (ogr/ogrsf_frmts/mvt/, public vector_tile.proto 2.1 spec). The
+    // distributed plan IS the raster tile sink's: assign features to
+    // tiles, ONE groupByKey encodes each tile locally. The gate runs the
+    // full byte path — quantize → encode protobuf wire → DECODE the bytes
+    // back (command/zigzag/cursor, key/value tables) → rows; the twin
+    // computes the quantized integers closed-form, so any wire defect in
+    // either direction breaks the compare. Pure-arithmetic synthetic
+    // world (4×4 tiles of span 256, extent 4096) keeps quantization
+    // bit-exact on both sides.
+    ("g62_mvt_tiles", (s, dir) => {
+      prep(s)
+      val sp = s
+      import sp.implicits._
+      val pts = t(s, dir, "documents").select(col("doc_id"))
+        .where("doc_id < 600").as[Long]
+        .map { d =>
+          val mx = (d * 97 % 1024) + 0.25
+          val my = (d * 131 % 1024) + 0.5
+          val tx = (mx / 256).toInt; val ty = (my / 256).toInt
+          val px = math.floor((mx - tx * 256.0) / 256.0 * 4096.0 + 0.5).toInt
+          val py = math.floor((my - ty * 256.0) / 256.0 * 4096.0 + 0.5).toInt
+          (tx, ty, d, px, py)
+        }
+      val tiles = pts.groupByKey(r => (r._1, r._2)).mapGroups { (k, it) =>
+        val fs = it.toArray.sortBy(_._3).map { case (_, _, d, px, py) =>
+          engine.Mvt.Feature(d, engine.Mvt.TPoints(Array((px, py))),
+            Seq("doc" -> engine.Mvt.VLong(d)))
+        }
+        (k._1, k._2, engine.Mvt.encodeTile(Seq(engine.Mvt.Layer("docs", 4096, fs.toSeq))))
+      }
+      tiles.flatMap { case (tx, ty, bytes) =>
+        engine.Mvt.decodeTile(bytes).iterator.flatMap { l =>
+          l.features.iterator.map { f =>
+            val (px, py) = f.parts.head.head
+            val tag = f.tags.collectFirst { case ("doc", engine.Mvt.VLong(v)) => v }
+              .getOrElse(-1L)
+            (tx.toLong, ty.toLong, f.id, px.toLong, py.toLong, tag)
+          }
+        }
+      }.toDF("tx", "ty", "fid", "px", "py", "tag")
+        .orderBy("fid")
+    }, Some("""
+      WITH m AS (SELECT doc_id,
+            (doc_id * 97 % 1024) + 0.25 AS mx,
+            (doc_id * 131 % 1024) + 0.5 AS my
+            FROM documents WHERE doc_id < 600)
+      SELECT CAST(floor(mx / 256) AS BIGINT) AS tx,
+             CAST(floor(my / 256) AS BIGINT) AS ty,
+             doc_id AS fid,
+             CAST(floor((mx - floor(mx / 256) * 256.0) / 256.0 * 4096.0 + 0.5)
+               AS BIGINT) AS px,
+             CAST(floor((my - floor(my / 256) * 256.0) / 256.0 * 4096.0 + 0.5)
+               AS BIGINT) AS py,
+             doc_id AS tag
+      FROM m ORDER BY fid"""))
   )
 }
