@@ -1437,6 +1437,7 @@ object Queries {
     // the nprobe nearest centroids then rank exact cosine inside — the
     // bounded-candidate scale path for 100 TB similarity search
     ("e03_ivf_topk", (s, dir) => {
+      prep(s) // sparkNorm uses vec_norm — don't depend on an earlier gate registering
       val e = t(s, dir, "embeddings")
         .withColumn("norm", expr(sparkNorm("embedding")))
       val cents = broadcast(e.where(col("vec_id") < 16)

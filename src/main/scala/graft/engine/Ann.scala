@@ -36,29 +36,37 @@ object Ann {
   private def vecNormSql(embCol: String): String =
     s"sqrt(aggregate(transform(CAST($embCol AS array<double>), y -> y * y), 0D, (acc, v) -> acc + v))"
 
-  /** score(v, c) = c·c − 2·(v·c): monotone in squared L2 distance to the
-    * centroid (the ‖v‖² term is constant per row and cannot change an
-    * argmin). Both dots are sequential folds (native VecKernel), matching
-    * the oracle's list_sum(list_transform(...)) fold order exactly. */
-  private def scoreCol(emb: Column, c: Array[Double]): Column = {
-    val cc = c.foldLeft(0.0)((a, x) => a + x * x)
-    lit(cc) - lit(2.0) * gf.vec_dot(emb, typedLit(c.toSeq))
-  }
+  // score(v, c) = c·c − 2·(v·c): monotone in squared L2 distance to the
+  // centroid (the ‖v‖² term is constant per row and cannot change an
+  // argmin); dots are sequential folds matching the oracle's
+  // list_sum(list_transform(...)) order exactly. Evaluated inside the
+  // fused VecNearestCid/VecProbeCids kernels below.
 
-  /** cid of the nearest centroid (ties → lowest cid). Map-only. */
+  /** cid of the nearest centroid (ties → lowest cid). Map-only. Fused
+    * into one native expression (functions.VecNearestCid): the previous
+    * k-wide array_min(array(struct(vec_dot(...)))) tree generated Java
+    * beyond Janino's method limits at realistic k×dim and silently fell
+    * back to interpreted evaluation on the assignment map stage. */
   def nearestCid(emb: Column, cents: Seq[(Int, Array[Double])]): Column = {
-    val entries = cents.map { case (cid, c) =>
-      struct(scoreCol(emb, c).as("s"), lit(cid).as("cid"))
-    }
-    array_min(array(entries: _*)).getField("cid")
+    val cids = cents.map(_._1).toArray
+    val cs = cents.map(_._2).toArray
+    val ccs = cs.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.VecNearestCid(
+        org.apache.spark.sql.graft.ColumnBridge.expression(emb),
+        cids, cs, ccs))
   }
 
-  /** The `nprobe` nearest centroid ids, nearest first. Map-only. */
+  /** The `nprobe` nearest centroid ids, nearest first. Map-only; same
+    * fused-expression rationale as [[nearestCid]]. */
   def probeCids(emb: Column, cents: Seq[(Int, Array[Double])], nprobe: Int): Column = {
-    val entries = cents.map { case (cid, c) =>
-      struct(scoreCol(emb, c).as("s"), lit(cid).as("cid"))
-    }
-    slice(array_sort(array(entries: _*)), 1, nprobe).getField("cid")
+    val cids = cents.map(_._1).toArray
+    val cs = cents.map(_._2).toArray
+    val ccs = cs.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.VecProbeCids(
+        org.apache.spark.sql.graft.ColumnBridge.expression(emb),
+        cids, cs, ccs, nprobe))
   }
 
   /** Deterministic Lloyd's k-means: init = the first k vectors whose id is

@@ -18,6 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private object K { final val N = "graft.functions.GeoKernel" }
 
+/** Column ↔ Expression bridge for engine code that constructs
+  * data-parameterized expressions (VecNearestCid/VecProbeCids) directly —
+  * the classic ExpressionUtils is private[sql] and this package sits
+  * inside org.apache.spark.sql, so the access is legal here. */
+object ColumnBridge {
+  def column(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
+
 // ------------------------------------------------------------------ codecs
 
 /** st_geomfromtext(wkt) → WKB (null on unparseable WKT).
@@ -1323,6 +1334,58 @@ case class VecDot(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernel.dot($a, $b)")
   protected override def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
+}
+
+/** vec_nearest_cid(emb) → int: fused IVF coarse assignment against a
+  * centroid table held as a codegen REFERENCE OBJECT. Replaces the
+  * k-wide array_min(array(struct(vec_dot(...)))) tree whose generated
+  * doConsume exceeded Janino's method limits at realistic k×dim
+  * (interpreted fallback on the ANN assignment map stage) — the
+  * generated code is now ONE kernel call. Semantics bit-identical:
+  * same sequential-fold dot order, same cc − 2·dot score, same
+  * (s, cid) lexicographic tie rule and NaN-greatest total ordering. */
+case class VecNearestCid(child: Expression, cids: Array[Int],
+    cents: Array[Array[Double]], ccs: Array[Double])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_nearest_cid"
+  protected override def nullSafeEval(a: Any): Any =
+    graft.functions.VecKernel.nearestCid(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cids, cents, ccs)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val ccsRef = ctx.addReferenceObj("ccs", ccs, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecKernel.nearestCid($a, $cidsRef, $centsRef, $ccsRef)")
+  }
+  protected override def withNewChildInternal(n: Expression): VecNearestCid =
+    copy(child = n)
+}
+
+/** vec_probe_cids(emb) → array<int>: the nprobe nearest centroid ids,
+  * nearest first — the fused twin of slice(array_sort(array(struct(s,
+  * cid))), 1, nprobe).cid with the same total ordering. */
+case class VecProbeCids(child: Expression, cids: Array[Int],
+    cents: Array[Array[Double]], ccs: Array[Double], nprobe: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vec_probe_cids"
+  protected override def nullSafeEval(a: Any): Any =
+    graft.functions.VecKernel.probeCids(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cids, cents, ccs, nprobe)
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("cids", cids, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val ccsRef = ctx.addReferenceObj("ccs", ccs, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecKernel.probeCids($a, $cidsRef, $centsRef, $ccsRef, $nprobe)")
+  }
+  protected override def withNewChildInternal(n: Expression): VecProbeCids =
+    copy(child = n)
 }
 
 /** vec_norm(a) → double: sequential-fold L2 norm. */

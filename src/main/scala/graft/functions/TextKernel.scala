@@ -183,4 +183,56 @@ object VecKernel {
     while (i < n) { val v = a.getDouble(i); s += v * v; i += 1 }
     math.sqrt(s)
   }
+
+  /** Fused IVF coarse assignment: argmin over score(v,c) = c·c − 2·(v·c)
+    * with the (s, cid) lexicographic tie rule and NaN-greatest total
+    * ordering — bit-identical to array_min(array(struct(s, cid))) over
+    * per-centroid vec_dot columns, in ONE tight loop. */
+  def nearestCid(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 cids: Array[Int], cents: Array[Array[Double]],
+                 ccs: Array[Double]): Int = {
+    var bestS = 0.0; var bestCid = 0; var first = true
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val n = math.min(a.numElements(), c.length)
+      var d = 0.0; var j = 0
+      while (j < n) { d += a.getDouble(j) * c(j); j += 1 }
+      val s = ccs(i) - 2.0 * d
+      val cmp = if (first) -1 else java.lang.Double.compare(s, bestS)
+      if (cmp < 0 || (cmp == 0 && cids(i) < bestCid)) {
+        bestS = s; bestCid = cids(i); first = false
+      }
+      i += 1
+    }
+    bestCid
+  }
+
+  /** Fused nprobe-nearest centroid ids, nearest first — bit-identical to
+    * slice(array_sort(array(struct(s, cid))), 1, nprobe).cid. */
+  def probeCids(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                cids: Array[Int], cents: Array[Array[Double]],
+                ccs: Array[Double], nprobe: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = cents.length
+    val ss = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val c = cents(i)
+      val n = math.min(a.numElements(), c.length)
+      var d = 0.0; var j = 0
+      while (j < n) { d += a.getDouble(j) * c(j); j += 1 }
+      ss(i) = ccs(i) - 2.0 * d
+      i += 1
+    }
+    val order = Array.range(0, k).sortWith { (x, y) =>
+      val c = java.lang.Double.compare(ss(x), ss(y))
+      c < 0 || (c == 0 && cids(x) < cids(y))
+    }
+    val m = math.min(nprobe, k)
+    val out = new Array[Int](m)
+    var p = 0
+    while (p < m) { out(p) = cids(order(p)); p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
