@@ -172,4 +172,56 @@ class AnnSpec extends AnyFunSuite {
     assert(resid >= plain - 0.05, s"residual $resid should not trail plain $plain")
     assert(resid >= 0.7, s"residual recall too low: $resid")
   }
+
+  test("fused VecNearestCid/VecProbeCids match the unfused Catalyst formulation") {
+    // the fused kernels replaced array_min(array(struct(vec_dot...))) /
+    // slice(array_sort(...)) — assert bit-identical choices on inputs that
+    // stress the tie rule ((s, cid) lexicographic) and NaN ordering
+    import org.apache.spark.sql.functions._
+    import graft.functions.gf
+    val spark2 = spark
+    import spark2.implicits._
+    val cents: Seq[(Int, Array[Double])] = Seq(
+      3 -> Array(1.0, 0.0, 0.0),
+      1 -> Array(1.0, 0.0, 0.0), // duplicate centroid → score tie, cid 1 must win
+      2 -> Array(0.0, 1.0, 0.0),
+      5 -> Array(0.0, 0.0, 1.0))
+    val rows = (0 until 64).map { i =>
+      (i.toLong, Array((i % 5).toDouble / 4, ((i * 3) % 7).toDouble / 6,
+        ((i * 11) % 13).toDouble / 12))
+    } :+ (999L, Array(Double.NaN, 0.0, 0.0)) // NaN scores everywhere
+    val df = rows.toDF("id", "e").withColumn("e", col("e").cast("array<double>"))
+    def unfusedNearest(emb: org.apache.spark.sql.Column) = {
+      val entries = cents.map { case (cid, c) =>
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        struct((lit(cc) - lit(2.0) * gf.vec_dot(emb, typedLit(c.toSeq))).as("s"),
+          lit(cid).as("cid"))
+      }
+      array_min(array(entries: _*)).getField("cid")
+    }
+    def unfusedProbe(emb: org.apache.spark.sql.Column, np: Int) = {
+      val entries = cents.map { case (cid, c) =>
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        struct((lit(cc) - lit(2.0) * gf.vec_dot(emb, typedLit(c.toSeq))).as("s"),
+          lit(cid).as("cid"))
+      }
+      slice(array_sort(array(entries: _*)), 1, np).getField("cid")
+    }
+    graft.functions.GraftFunctions.register(spark)
+    val cmp = df.select(col("id"),
+        Ann.nearestCid(col("e"), cents).as("fused"),
+        unfusedNearest(col("e")).as("plain"),
+        Ann.probeCids(col("e"), cents, 3).as("fusedP"),
+        unfusedProbe(col("e"), 3).as("plainP"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2), s"nearest mismatch id=${r.getLong(0)}")
+      assert(r.getSeq[Int](3) === r.getSeq[Int](4), s"probe mismatch id=${r.getLong(0)}")
+    }
+    // the duplicate-centroid tie resolves to the LOWER cid on both paths
+    val t0 = cmp.find(_.getLong(0) == 0L).get
+    assert(Set(1, 2, 5, 3).contains(t0.getInt(1)))
+    assert(!cmp.exists(r => r.getInt(1) == 3 &&
+      r.getSeq[Int](3).contains(1) && r.getSeq[Int](3).indexOf(3) < r.getSeq[Int](3).indexOf(1)))
+  }
 }
