@@ -1663,6 +1663,58 @@ object Queries5 {
              CAST(floor((my - floor(my / 256) * 256.0) / 256.0 * 4096.0 + 0.5)
                AS BIGINT) AS py,
              doc_id AS tag
-      FROM m ORDER BY fid"""))
+      FROM m ORDER BY fid""")),
+
+    // -- SQ8 scalar-quantized ANN (e08): the uniform 8-bit quantization
+    // tier next to PQ (faiss ScalarQuantizer QT_8bit form, public
+    // method). Per-dim [min,max] trained in one aggregation; codes are
+    // dim bytes (8× bandwidth cut); approx = squared-L2 between
+    // reconstructed unit vectors rounded to 1e-6 → candC → exact-cosine
+    // refine. The twin replays train/encode/reconstruct/score with the
+    // same left-to-right folds — any quantization defect flips a
+    // candidate set and fails the compare.
+    ("e08_sq8_topk", (s, dir) => {
+      prep(s)
+      engine.Ann.sq8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          isQuery = id => id < 20, candC = 48, topK = 3)
+        .orderBy("qid", "rank")
+    }, Some("""
+      WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+            sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x))) AS nm FROM embeddings),
+      e AS (SELECT vec_id, emb, nm,
+            list_transform(emb, x -> x / nm) AS un FROM e0),
+      dimc AS (SELECT max(len(emb)) AS dim FROM e0),
+      st AS (SELECT ii.i AS i, min(un[ii.i]) AS mn, max(un[ii.i]) AS mx
+             FROM e, (SELECT unnest(generate_series(1,
+               (SELECT dim FROM dimc))) AS i) ii
+             GROUP BY ii.i),
+      ls AS (SELECT list(mn ORDER BY i) AS mns,
+                    list(mx - mn ORDER BY i) AS sps FROM st),
+      rec AS (SELECT vec_id,
+          list_transform(generate_series(1, (SELECT dim FROM dimc)), i ->
+            mns[i] + (CASE WHEN sps[i] = 0 THEN 0
+              ELSE least(255, greatest(0,
+                floor((un[i] - mns[i]) / sps[i] * 255.0 + 0.5))) END)
+              * sps[i] / 255.0) AS r
+          FROM e CROSS JOIN ls),
+      ad AS (SELECT q.vec_id AS qid, p.vec_id AS pid,
+          CAST(floor(list_sum(list_transform(
+            generate_series(1, (SELECT dim FROM dimc)),
+            i -> (q.r[i] - p.r[i]) * (q.r[i] - p.r[i]))) * 1000000.0 + 0.5)
+            AS BIGINT) AS ad_u
+          FROM rec q CROSS JOIN rec p
+          WHERE q.vec_id < 20 AND q.vec_id <> p.vec_id),
+      cand AS (SELECT qid, pid FROM (SELECT qid, pid,
+          row_number() OVER (PARTITION BY qid ORDER BY ad_u, pid) AS crk
+          FROM ad) WHERE crk <= 48),
+      ref AS (SELECT c.qid, c.pid,
+          list_sum(list_transform(generate_series(1, len(q.emb)),
+            i -> q.emb[i] * p.emb[i])) / (q.nm * p.nm) AS cos
+          FROM cand c JOIN e q ON c.qid = q.vec_id JOIN e p ON c.pid = p.vec_id),
+      rk AS (SELECT qid, pid, cos, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, pid) AS BIGINT) AS rank FROM ref)
+      SELECT qid, pid, rank, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+      FROM rk WHERE rank <= 3 ORDER BY qid, rank"""))
   )
 }

@@ -108,6 +108,67 @@ object Ann {
     cents
   }
 
+  /** SQ8 scalar-quantized top-k — the uniform 8-bit scalar-quantization
+    * tier of the ANN compression ladder (the public faiss
+    * ScalarQuantizer QT_8bit form), completing brute → IVF → PQ → IVF-PQ
+    * → residual with the simplest compressed representation:
+    *
+    *  1. TRAIN: per-dimension [min, max] over the unit-sphere corpus —
+    *     ONE aggregation, 2×dim doubles of driver state;
+    *  2. ENCODE: code_j = clamp(round((u_j − mn_j)/span_j · 255)) —
+    *     map-only against the min/max literals; the stored form is dim
+    *     BYTES per vector (8× cut vs float64);
+    *  3. approximate score = squared L2 between RECONSTRUCTED unit
+    *     vectors (mn_j + code_j·span_j/255) — a compressed-domain linear
+    *     scan, the SQ analog of e05's ADC scan (labeled baseline; the
+    *     IVF composition bounds it exactly as for PQ);
+    *  4. candC best rounded-approx candidates re-ranked by exact cosine
+    *     on the raw vectors (same refine as [[pqTopK]]).
+    *
+    * Approx distances round to 1e-6 before ranking (ties → pid) so an
+    * independent engine reproduces the candidate sets bit-for-bit. */
+  def sq8TopK(vecs: DataFrame, idCol: String, embCol: String,
+              isQuery: Column => Column, candC: Int, topK: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    GraftFunctions.register(spark)
+    val rawEmb = col(embCol).cast("array<double>")
+    val unit = vecs.select(col(idCol),
+      expr(s"transform(CAST($embCol AS array<double>), x -> x / ${vecNormSql(embCol)})").as("u"))
+    val stats = unit.select(posexplode(col("u")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+      .orderBy("pos").collect()
+    val mns = stats.map(_.getDouble(1)).toSeq
+    val spans = stats.map(r => r.getDouble(2) - r.getDouble(1)).toSeq
+    val withCodes = unit
+      .withColumn("mns", typedLit(mns)).withColumn("sps", typedLit(spans))
+      .withColumn("codes", expr(
+        "zip_with(zip_with(u, mns, (x, a) -> x - a), sps, (d, sp) -> " +
+          "IF(sp = 0D, 0L, least(255L, greatest(0L, floor(d / sp * 255.0 + 0.5)))))"))
+      .withColumn("r", expr(
+        "zip_with(zip_with(codes, sps, (c, sp) -> c * sp / 255.0), mns, (t, a) -> a + t)"))
+      .select(col(idCol), col("r"))
+    val rawBase = vecs.select(col(idCol), rawEmb.as("e"), gf.vec_norm(rawEmb).as("nm"))
+    val q = rawBase.where(isQuery(col(idCol))).join(withCodes, idCol)
+      .select(col(idCol).as("qid"), col("e").as("qe"), col("nm").as("qn"),
+        col("r").as("rq"))
+    val p = withCodes.select(col(idCol).as("pid"), col("r").as("rp"))
+    val approx = q.crossJoin(p).where(col("qid") =!= col("pid"))
+      .select(col("qid"), col("pid"), expr(
+        "CAST(floor(aggregate(zip_with(rq, rp, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, v) -> acc + v) * 1000000.0 + 0.5) AS BIGINT)").as("ad_u"))
+    val wCand = Window.partitionBy("qid").orderBy(col("ad_u").asc, col("pid").asc)
+    val cands = approx.withColumn("crk", row_number().over(wCand))
+      .where(col("crk") <= candC).select("qid", "pid")
+    val base = rawBase.select(col(idCol).as("pid"), col("e").as("pe"), col("nm").as("pn"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
+    cands.join(base, "pid").join(q, "qid")
+      .withColumn("cos", gf.vec_dot(col("qe"), col("pe")) / (col("qn") * col("pn")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("pid"), col("rank"),
+        expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").as("cos_u"))
+  }
+
   /** Product-quantization top-k (the PQ half of the IVF-PQ shape used for
     * web-scale ANN; Jégou et al., "Product Quantization for Nearest
     * Neighbor Search", TPAMI 2011 — public method):

@@ -173,6 +173,27 @@ class AnnSpec extends AnyFunSuite {
     assert(resid >= 0.7, s"residual recall too low: $resid")
   }
 
+  test("SQ8 top-k recall vs exact brute force is high (8-bit reconstruction)") {
+    val got = Ann.sq8TopK(vecs, "vec_id", "embedding",
+        isQuery = id => id < 20, candC = 48, topK = 3)
+      .select("qid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = col("embedding").cast("array<double>")
+    val base = vecs.select(col("vec_id"), emb.as("e"), gf.vec_norm(emb).as("nm"))
+    val q = base.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = q.crossJoin(base)
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("cos", gf.vec_dot(col("qe"), col("e")) / (col("qn") * col("nm")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(f"SQ8 recall@3: $recall%.3f")
+    // 8-bit per-dim reconstruction is near-lossless for ranking purposes
+    assert(recall >= 0.9, s"SQ8 recall too low: $recall")
+  }
+
   test("fused VecNearestCid/VecProbeCids match the unfused Catalyst formulation") {
     // the fused kernels replaced array_min(array(struct(vec_dot...))) /
     // slice(array_sort(...)) — assert bit-identical choices on inputs that
