@@ -1715,6 +1715,65 @@ object Queries5 {
       rk AS (SELECT qid, pid, cos, CAST(row_number() OVER (PARTITION BY qid
             ORDER BY cos DESC, pid) AS BIGINT) AS rank FROM ref)
       SELECT qid, pid, rank, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_u
-      FROM rk WHERE rank <= 3 ORDER BY qid, rank"""))
+      FROM rk WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // -- Gopher repetition quality stats (d11): the Rae et al. 2021 §A1.1
+    // repetition filters — fraction of characters in the most frequent
+    // word 2/3/4-gram, fraction of characters covered by duplicated word
+    // 5/6/7-grams — as ONE single-pass codegen kernel per document
+    // (text_rep_stats), map-only at any scale. All counts are exact
+    // integers; ppm fractions use integer division so both engines agree
+    // bit-for-bit. The DuckDB twin replays the n-gram counting and the
+    // position-union coverage relationally.
+    ("d11_rep_stats", (s, dir) => {
+      prep(s)
+      t(s, dir, "documents")
+        .withColumn("rs", expr("text_rep_stats(text)"))
+        .select(col("doc_id"),
+          expr("element_at(rs, 1)").as("n_words"),
+          expr("element_at(rs, 2)").as("tot_wchars"),
+          expr("(element_at(rs, 3) * 1000000L) div greatest(element_at(rs, 2), 1L)").as("top2_ppm"),
+          expr("(element_at(rs, 4) * 1000000L) div greatest(element_at(rs, 2), 1L)").as("top3_ppm"),
+          expr("(element_at(rs, 5) * 1000000L) div greatest(element_at(rs, 2), 1L)").as("top4_ppm"),
+          expr("(element_at(rs, 6) * 1000000L) div greatest(element_at(rs, 2), 1L)").as("dup5_ppm"),
+          expr("(element_at(rs, 7) * 1000000L) div greatest(element_at(rs, 2), 1L)").as("dup6_ppm"),
+          expr("(element_at(rs, 8) * 1000000L) div greatest(element_at(rs, 2), 1L)").as("dup7_ppm"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      b AS (SELECT doc_id, len(ws) AS m, ws,
+              CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS tot
+            FROM w),
+      nn AS (SELECT * FROM (VALUES (2),(3),(4),(5),(6),(7)) t(n)),
+      gi AS (SELECT doc_id, n, unnest(generate_series(1, m - n + 1)) AS i, ws
+             FROM b JOIN nn ON m - n + 1 >= 1),
+      g AS (SELECT doc_id, n, i,
+              array_to_string(list_slice(ws, i, i + n - 1), ' ') AS gram
+            FROM gi),
+      c AS (SELECT doc_id, n, i, gram,
+              count(*) OVER (PARTITION BY doc_id, n, gram) AS cnt FROM g),
+      tops AS (SELECT doc_id, n,
+              max(cnt * (length(gram) - (n - 1))) AS cov
+            FROM (SELECT DISTINCT doc_id, n, gram, cnt FROM c) GROUP BY 1, 2),
+      dpos AS (SELECT DISTINCT doc_id, n, j FROM
+              (SELECT doc_id, n, unnest(generate_series(i, i + n - 1)) AS j
+               FROM c WHERE cnt >= 2 AND n >= 5)),
+      dcov AS (SELECT d.doc_id, d.n, CAST(sum(length(b.ws[d.j])) AS BIGINT) AS cov
+               FROM dpos d JOIN b ON b.doc_id = d.doc_id GROUP BY 1, 2)
+      SELECT b.doc_id, CAST(b.m AS BIGINT) AS n_words, b.tot AS tot_wchars,
+        CAST(coalesce(t2.cov, 0) * 1000000 // greatest(b.tot, 1) AS BIGINT) AS top2_ppm,
+        CAST(coalesce(t3.cov, 0) * 1000000 // greatest(b.tot, 1) AS BIGINT) AS top3_ppm,
+        CAST(coalesce(t4.cov, 0) * 1000000 // greatest(b.tot, 1) AS BIGINT) AS top4_ppm,
+        CAST(coalesce(d5.cov, 0) * 1000000 // greatest(b.tot, 1) AS BIGINT) AS dup5_ppm,
+        CAST(coalesce(d6.cov, 0) * 1000000 // greatest(b.tot, 1) AS BIGINT) AS dup6_ppm,
+        CAST(coalesce(d7.cov, 0) * 1000000 // greatest(b.tot, 1) AS BIGINT) AS dup7_ppm
+      FROM b
+      LEFT JOIN tops t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+      LEFT JOIN tops t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+      LEFT JOIN tops t4 ON t4.doc_id = b.doc_id AND t4.n = 4
+      LEFT JOIN dcov d5 ON d5.doc_id = b.doc_id AND d5.n = 5
+      LEFT JOIN dcov d6 ON d6.doc_id = b.doc_id AND d6.n = 6
+      LEFT JOIN dcov d7 ON d7.doc_id = b.doc_id AND d7.n = 7
+      ORDER BY b.doc_id"""))
   )
 }

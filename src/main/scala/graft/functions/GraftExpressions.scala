@@ -1306,6 +1306,23 @@ case class TextWinnow(first: Expression, second: Expression, third: Expression)
     copy(first = a, second = b, third = c)
 }
 
+/** text_rep_stats(s) → array<long>[8] of Gopher-style repetition quality
+  * stats over the single-space word split: [n_words, word_chars,
+  * top2_cov, top3_cov, top4_cov, dup5_cov, dup6_cov, dup7_cov] (see
+  * TextKernel.repStats; Rae et al. 2021 §A1.1 repetition filters). */
+case class TextRepStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "text_rep_stats"
+  protected override def nullSafeEval(s: Any): Any =
+    new GenericArrayData(graft.functions.TextKernel.repStats(s.asInstanceOf[UTF8String]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextKernel.repStats($s))")
+  protected override def withNewChildInternal(n: Expression): TextRepStats = copy(child = n)
+}
+
 /** text_simhash16(s) → 16-bit SimHash fingerprint as long, one pass. */
 case class TextSimHash16(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {

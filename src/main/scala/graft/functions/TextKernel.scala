@@ -128,6 +128,93 @@ object TextKernel {
     }
     out.toArray
   }
+
+  /** Gopher-style repetition quality stats (Rae et al. 2021 "Scaling
+    * Language Models: ... Gopher" §A1.1 repetition filters; the same
+    * signals the reference-scale corpus pipelines compute per document).
+    * Words are the single-space split of the text (empty words kept —
+    * `split(text, ' ', -1)` semantics). Returns 8 longs:
+    *   [0] n_words, [1] total word chars (spaces excluded),
+    *   [2..4] top-n-gram coverage for n=2,3,4: max over distinct word
+    *          n-grams of count(gram) × wordChars(gram) — the characters
+    *          attributable to the most repetitive n-gram,
+    *   [5..7] duplicate-n-gram coverage for n=5,6,7: word chars in the
+    *          union of word positions covered by any n-gram occurring
+    *          ≥ 2 times in the document.
+    * All values are exact integers, so downstream ppm fractions
+    * (cov·10⁶ div chars) are integer-reproducible in any engine. One
+    * pass per n over the words — map-only at any scale; the d11 oracle
+    * replays the counting relationally. */
+  def repStats(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    var st = 0
+    var i = 0
+    while (i <= str.length) {
+      if (i == str.length || str.charAt(i) == ' ') {
+        words += str.substring(st, i); st = i + 1
+      }
+      i += 1
+    }
+    val m = words.length
+    val wl = new Array[Long](m)
+    var tot = 0L
+    i = 0
+    while (i < m) { wl(i) = words(i).length.toLong; tot += wl(i); i += 1 }
+    val out = new Array[Long](8)
+    out(0) = m.toLong
+    out(1) = tot
+    var n = 2
+    while (n <= 7) {
+      val ng = m - n + 1
+      if (ng > 0) {
+        val cnt = new java.util.HashMap[String, Integer]()
+        val grams = new Array[String](ng)
+        var j = 0
+        while (j < ng) {
+          val sb = new java.lang.StringBuilder()
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(words(j + k))
+            k += 1
+          }
+          val g = sb.toString
+          grams(j) = g
+          val prev = cnt.get(g)
+          cnt.put(g, if (prev == null) 1 else prev + 1)
+          j += 1
+        }
+        if (n <= 4) {
+          var best = 0L
+          val it = cnt.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            // word chars of the gram = joined length minus the n-1 spaces
+            val cov = e.getValue.toLong * (e.getKey.length.toLong - (n - 1))
+            if (cov > best) best = cov
+          }
+          out(n) = best
+        } else {
+          val covered = new Array[Boolean](m)
+          var j2 = 0
+          while (j2 < ng) {
+            if (cnt.get(grams(j2)) >= 2) {
+              var k2 = 0
+              while (k2 < n) { covered(j2 + k2) = true; k2 += 1 }
+            }
+            j2 += 1
+          }
+          var cov = 0L
+          var j3 = 0
+          while (j3 < m) { if (covered(j3)) cov += wl(j3); j3 += 1 }
+          out(n) = cov
+        }
+      }
+      n += 1
+    }
+    out
+  }
 }
 
 /** Sequential-fold vector kernels for the embedding similarity family —
