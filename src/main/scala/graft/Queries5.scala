@@ -1774,6 +1774,114 @@ object Queries5 {
       LEFT JOIN dcov d5 ON d5.doc_id = b.doc_id AND d5.n = 5
       LEFT JOIN dcov d6 ON d6.doc_id = b.doc_id AND d6.n = 6
       LEFT JOIN dcov d7 ON d7.doc_id = b.doc_id AND d7.n = 7
-      ORDER BY b.doc_id"""))
+      ORDER BY b.doc_id""")),
+
+    // -- Exact-substring duplicate spans (d12): the Lee et al. 2022
+    // ("Deduplicating Training Data Makes Language Models Better")
+    // cross-document exact-duplicate criterion at fixed k=20 chars — every
+    // position whose 20-gram also appears in ANOTHER document, with the
+    // hit intervals [pos, pos+20) merged per document into maximal islands
+    // (gaps-and-islands over a running-max window). The dedup decision
+    // surface is (covered_chars, covered_ppm). Plan: one k-gram explode,
+    // ONE bounded groupBy(gram) to find cross-doc grams (map-side combine;
+    // an existence semi-join back, never pairwise), one window pass —
+    // no stage is doc-pair-quadratic. At 100 TB the gram explode anchors
+    // on winnow fingerprints (d10) first; the gate runs the exact stride-1
+    // semantics so the oracle is closed-form.
+    ("d12_dup_spans", (s, dir) => {
+      prep(s)
+      import org.apache.spark.sql.expressions.Window
+      val k = 20
+      val docs = t(s, dir, "documents")
+      val grams = docs.where(length(col("text")) >= k)
+        .select(col("doc_id"),
+          expr(s"explode(sequence(0, length(text) - $k))").as("pos"), col("text"))
+        .withColumn("g", expr(s"substring(text, pos + 1, $k)"))
+        .select("doc_id", "pos", "g")
+      val shared = grams.groupBy("g")
+        .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2).select("g")
+      val hits = grams.join(shared, "g").select("doc_id", "pos")
+      val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      val islands = hits
+        .withColumn("pend", max(col("pos") + k).over(
+          byPos.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("newisl",
+          when(col("pend").isNull || col("pos") > col("pend"), 1).otherwise(0))
+        .withColumn("isl", sum("newisl").over(
+          byPos.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "isl")
+        .agg(min("pos").as("s0"), (max(col("pos")) + k).as("e0"))
+        .groupBy("doc_id")
+        .agg(count("*").as("n_islands"), sum(col("e0") - col("s0")).as("covered"))
+      val perDoc = hits.groupBy("doc_id").agg(count("*").as("n_dup_kgrams"))
+      docs.select("doc_id", "text")
+        .join(perDoc, Seq("doc_id"), "left")
+        .join(islands, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_kgrams"), lit(0L)).as("n_dup_kgrams"),
+          coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+          coalesce(col("covered"), lit(0L)).as("covered_chars"),
+          expr("(coalesce(covered, 0L) * 1000000L) div length(text)").as("covered_ppm"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH g0 AS (SELECT doc_id, unnest(generate_series(0, length(text) - 20)) AS pos,
+                    text FROM documents WHERE length(text) >= 20),
+      gg AS (SELECT doc_id, pos, substr(text, pos + 1, 20) AS g FROM g0),
+      sh AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM gg GROUP BY g) t
+             WHERE nd >= 2),
+      h AS (SELECT doc_id, pos FROM gg JOIN sh USING (g)),
+      w AS (SELECT doc_id, pos, max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pend FROM h),
+      i AS (SELECT doc_id, pos, sum(CASE WHEN pend IS NULL OR pos > pend THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM w),
+      isl AS (SELECT doc_id, isl, min(pos) AS s0, max(pos) + 20 AS e0 FROM i GROUP BY 1, 2),
+      agg AS (SELECT doc_id, count(*) AS n_islands, sum(e0 - s0) AS covered FROM isl GROUP BY 1),
+      hc AS (SELECT doc_id, count(*) AS n_dup FROM h GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(coalesce(hc.n_dup, 0) AS BIGINT) AS n_dup_kgrams,
+        CAST(coalesce(agg.n_islands, 0) AS BIGINT) AS n_islands,
+        CAST(coalesce(agg.covered, 0) AS BIGINT) AS covered_chars,
+        CAST(coalesce(agg.covered, 0) * 1000000 // length(d.text) AS BIGINT) AS covered_ppm
+      FROM documents d
+      LEFT JOIN agg ON agg.doc_id = d.doc_id
+      LEFT JOIN hc ON hc.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
+    // -- Benchmark decontamination (d13): the GPT-3/PaLM-style 13-word-gram
+    // collision scan (Brown et al. 2020 appendix C decontamination). The
+    // "benchmark" is synthesized deterministically from the corpus itself
+    // (docs with doc_id % 97 = 0 contribute words 4..16 as one benchmark
+    // item), so planted contamination exists by construction (self-hits +
+    // near-duplicate docs). Plan: the small benchmark set is BROADCAST;
+    // the corpus side explodes word 13-grams map-side and hash-joins —
+    // zero corpus shuffle, the scale shape for contamination sweeps.
+    ("d13_decontam", (s, dir) => {
+      prep(s)
+      val k = 13
+      val docsW = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " ", -1))
+      val bench = docsW.where(col("doc_id") % 97 === 0)
+        .where(size(col("ws")) >= 16)
+        .select(col("doc_id").as("bench_id"),
+          expr("array_join(slice(ws, 4, 13), ' ')").as("bg"))
+      val grams = docsW.where(size(col("ws")) >= k)
+        .select(col("doc_id"),
+          expr(s"explode(sequence(1, size(ws) - $k + 1))").as("i"), col("ws"))
+        .withColumn("g", expr(s"array_join(slice(ws, i, $k), ' ')"))
+      grams.join(broadcast(bench), col("g") === col("bg"))
+        .groupBy("doc_id", "bench_id").agg(count("*").as("n_hits"))
+        .orderBy("doc_id", "bench_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      bench AS (SELECT doc_id AS bench_id,
+                  array_to_string(list_slice(ws, 4, 16), ' ') AS bg
+                FROM w WHERE doc_id % 97 = 0 AND len(ws) >= 16),
+      dg AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 12)) AS i, ws
+             FROM w WHERE len(ws) >= 13),
+      gg AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 12), ' ') AS g FROM dg)
+      SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM gg JOIN bench ON g = bg
+      GROUP BY 1, 2 ORDER BY doc_id, bench_id"""))
   )
 }
