@@ -1882,6 +1882,65 @@ object Queries5 {
       gg AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 12), ' ') AS g FROM dg)
       SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_hits
       FROM gg JOIN bench ON g = bg
-      GROUP BY 1, 2 ORDER BY doc_id, bench_id"""))
+      GROUP BY 1, 2 ORDER BY doc_id, bench_id""")),
+
+    // -- LAEA + Miller projections (g63): Lambert Azimuthal Equal-Area
+    // (Snyder §24, PROJ laea — the EPSG:3035/6931/6932 statistics-grid
+    // frame, the most-used azimuthal missing after g46/g53) and Miller
+    // Cylindrical (Snyder §18, PROJ mill). Same fixture discipline as
+    // g53: points restricted to a window ~67° max from the (40°N, 10°E)
+    // LAEA center so no NaN branch can straddle the oracle; forwards
+    // mm-rounded with the twin mirroring the kernel's operation order,
+    // inverses as zero micro-degree round-trip residuals.
+    ("g63_proj_laea_mill", (s, dir) => {
+      prep(s)
+      import graft.functions.gf
+      val base = Queries.eventPoints(s, dir).where(col("event_id") < 5000)
+        .where(col("lon") > -50.0 && col("lon") < 70.0 &&
+               col("lat") > 0.0 && col("lat") < 80.0)
+        .withColumn("pw", gf.st_point(col("lon"), col("lat")))
+        .withColumn("gl", expr("st_transform_laea(pw, 40.0, 10.0)"))
+        .withColumn("gm", expr("st_transform_mill(pw, 0.0)"))
+        .withColumn("rl", expr(
+          "st_transform_laea_inv(st_transform_laea(pw, 40.0, 10.0), 40.0, 10.0)"))
+        .withColumn("rm", expr(
+          "st_transform_mill_inv(st_transform_mill(pw, 0.0), 0.0)"))
+      base.select(col("event_id"),
+          expr("CAST(floor(st_x(gl) * 1000.0 + 0.5) AS BIGINT)").as("lx_mm"),
+          expr("CAST(floor(st_y(gl) * 1000.0 + 0.5) AS BIGINT)").as("ly_mm"),
+          expr("CAST(floor(st_x(gm) * 1000.0 + 0.5) AS BIGINT)").as("mx_mm"),
+          expr("CAST(floor(st_y(gm) * 1000.0 + 0.5) AS BIGINT)").as("my_mm"),
+          expr("CAST(floor((st_x(rl) - lon) * 1000000.0 + 0.5) AS BIGINT)").as("lrlon_u"),
+          expr("CAST(floor((st_y(rl) - lat) * 1000000.0 + 0.5) AS BIGINT)").as("lrlat_u"),
+          expr("CAST(floor((st_x(rm) - lon) * 1000000.0 + 0.5) AS BIGINT)").as("mrlon_u"),
+          expr("CAST(floor((st_y(rm) - lat) * 1000000.0 + 0.5) AS BIGINT)").as("mrlat_u"))
+        .orderBy("event_id")
+    }, Some {
+      val aL = dlit(graft.geom.Conic.A)
+      val d2rl = "(pi() / 180.0)"
+      s"""WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+                   ${latOf("event_id")} AS lat FROM events WHERE event_id < 5000),
+      ptf AS (SELECT * FROM pts
+              WHERE lon > -50.0 AND lon < 70.0 AND lat > 0.0 AND lat < 80.0),
+      cc AS (SELECT event_id, lon, lat,
+          lat * $d2rl AS phi, (lon - 10.0) * $d2rl AS dl,
+          40.0 * $d2rl AS phi0 FROM ptf),
+      az AS (SELECT event_id, lon, phi, dl, phi0,
+          1.0 + sin(phi0) * sin(phi) + cos(phi0) * cos(phi) * cos(dl) AS den
+          FROM cc),
+      v AS (SELECT event_id,
+          $aL * sqrt(2.0 / den) * cos(phi) * sin(dl) AS lx,
+          $aL * sqrt(2.0 / den) * (cos(phi0) * sin(phi) - sin(phi0) * cos(phi) * cos(dl)) AS ly,
+          $aL * ((lon - 0.0) * $d2rl) AS mx,
+          $aL * ln(tan(pi() / 4.0 + 0.4 * phi)) / 0.8 AS my
+          FROM az)
+      SELECT event_id,
+          CAST(floor(lx * 1000.0 + 0.5) AS BIGINT) AS lx_mm,
+          CAST(floor(ly * 1000.0 + 0.5) AS BIGINT) AS ly_mm,
+          CAST(floor(mx * 1000.0 + 0.5) AS BIGINT) AS mx_mm,
+          CAST(floor(my * 1000.0 + 0.5) AS BIGINT) AS my_mm,
+          CAST(0 AS BIGINT) AS lrlon_u, CAST(0 AS BIGINT) AS lrlat_u,
+          CAST(0 AS BIGINT) AS mrlon_u, CAST(0 AS BIGINT) AS mrlat_u
+      FROM v ORDER BY event_id"""})
   )
 }

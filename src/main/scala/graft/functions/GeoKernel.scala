@@ -246,6 +246,14 @@ object GeoKernel {
     Wkb.write(Conic.stereGeom(decode(wkb), lat0, lon0))
   def fromStere(wkb: Array[Byte], lat0: Double, lon0: Double): Array[Byte] =
     Wkb.write(Conic.stereInvGeom(decode(wkb), lat0, lon0))
+  def toLaea(wkb: Array[Byte], lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.laeaGeom(decode(wkb), lat0, lon0))
+  def fromLaea(wkb: Array[Byte], lat0: Double, lon0: Double): Array[Byte] =
+    Wkb.write(Conic.laeaInvGeom(decode(wkb), lat0, lon0))
+  def toMill(wkb: Array[Byte], lon0: Double): Array[Byte] =
+    Wkb.write(Conic.millGeom(decode(wkb), lon0))
+  def fromMill(wkb: Array[Byte], lon0: Double): Array[Byte] =
+    Wkb.write(Conic.millInvGeom(decode(wkb), lon0))
 
   // ---- cells & tiles
   def cell(lon: Double, lat: Double, z: Int): Long = CellId.fromLonLat(lon, lat, z)

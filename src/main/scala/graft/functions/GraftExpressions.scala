@@ -1143,10 +1143,14 @@ case class StDatumShift(children: Seq[Expression], inverse: Boolean)
   * 9=moll inv, plus the perspective azimuthals (Snyder §20-§22; PROJ
   * ortho/gnom/stere spherical oblique forms): 10=ortho fwd, 11=ortho inv,
   * 12=gnom fwd, 13=gnom inv, 14=stere fwd, 15=stere inv — all
-  * (wkb, lat0, lon0). Batch reprojection, not row-hot → CodegenFallback. */
+  * (wkb, lat0, lon0) — plus 16=laea fwd, 17=laea inv (Snyder §24; PROJ
+  * laea, the EPSG:3035 frame) and 18=mill fwd, 19=mill inv (Snyder §18;
+  * PROJ mill, (wkb, lon0)). Batch reprojection, not row-hot →
+  * CodegenFallback. */
 case class StTransformProj(children: Seq[Expression], which: Int)
     extends Expression with ImplicitCastInputTypes with CodegenFallback {
-  private val nParams = if (which < 2 || which == 4 || which == 5 || which >= 10) 2 else 1
+  private val nParams =
+    if (which < 2 || which == 4 || which == 5 || (which >= 10 && which <= 17)) 2 else 1
   require(children.length == nParams + 1,
     "st_transform_ps(wkb, lat_ts, lon0) / st_transform_sinu(wkb, lon0)")
   override def inputTypes: Seq[AbstractDataType] =
@@ -1169,7 +1173,11 @@ case class StTransformProj(children: Seq[Expression], which: Int)
     case 12 => "st_transform_gnom"
     case 13 => "st_transform_gnom_inv"
     case 14 => "st_transform_stere"
-    case _ => "st_transform_stere_inv"
+    case 15 => "st_transform_stere_inv"
+    case 16 => "st_transform_laea"
+    case 17 => "st_transform_laea_inv"
+    case 18 => "st_transform_mill"
+    case _ => "st_transform_mill_inv"
   }
   override def eval(input: InternalRow): Any = {
     val w = children(0).eval(input)
@@ -1199,7 +1207,11 @@ case class StTransformProj(children: Seq[Expression], which: Int)
       case 12 => GeoKernel.toGnom(wkb, ps(0), ps(1))
       case 13 => GeoKernel.fromGnom(wkb, ps(0), ps(1))
       case 14 => GeoKernel.toStere(wkb, ps(0), ps(1))
-      case _ => GeoKernel.fromStere(wkb, ps(0), ps(1))
+      case 15 => GeoKernel.fromStere(wkb, ps(0), ps(1))
+      case 16 => GeoKernel.toLaea(wkb, ps(0), ps(1))
+      case 17 => GeoKernel.fromLaea(wkb, ps(0), ps(1))
+      case 18 => GeoKernel.toMill(wkb, ps(0))
+      case _ => GeoKernel.fromMill(wkb, ps(0))
     }
   }
   protected override def withNewChildrenInternal(ns: IndexedSeq[Expression]): StTransformProj =

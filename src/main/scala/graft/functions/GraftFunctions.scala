@@ -102,6 +102,10 @@ object GraftFunctions {
     arity("st_transform_gnom_inv", 3)(a => StTransformProj(a, 13)),
     arity("st_transform_stere", 3)(a => StTransformProj(a, 14)),
     arity("st_transform_stere_inv", 3)(a => StTransformProj(a, 15)),
+    arity("st_transform_laea", 3)(a => StTransformProj(a, 16)),
+    arity("st_transform_laea_inv", 3)(a => StTransformProj(a, 17)),
+    arity("st_transform_mill", 2)(a => StTransformProj(a, 18)),
+    arity("st_transform_mill_inv", 2)(a => StTransformProj(a, 19)),
     arity("st_towgs84", 10)(a => StDatumShift(a, inverse = false)),
     arity("st_fromwgs84", 10)(a => StDatumShift(a, inverse = true)),
     arity("st_style_part_count", 1)(a => StStyle(a, 0)),

@@ -392,6 +392,57 @@ object Conic {
     azInverse(x, y, rho, math.sin(c), math.cos(c), phi0, lam0)
   }
 
+  /** Lambert Azimuthal Equal-Area forward, spherical oblique (Snyder §24
+    * 24-2..24-4; PROJ laea +R=a — THE equal-area azimuthal, the
+    * statistics-grid frame of EPSG:3035/6931/6932). k' = √(2/(1+cos c));
+    * the antipode (1+cos c → 0) is a projection error → NaN. */
+  def laeaForward(lonDeg: Double, latDeg: Double, lat0Deg: Double,
+                  lon0Deg: Double): (Double, Double) = {
+    val phi = latDeg * d2r; val dl = (lonDeg - lon0Deg) * d2r
+    val phi0 = lat0Deg * d2r
+    val den = 1.0 + math.sin(phi0) * math.sin(phi) +
+      math.cos(phi0) * math.cos(phi) * math.cos(dl)
+    if (den < 1e-10) return (Double.NaN, Double.NaN)
+    val kp = math.sqrt(2.0 / den)
+    val x = A * kp * math.cos(phi) * math.sin(dl)
+    val y = A * kp * (math.cos(phi0) * math.sin(phi) -
+      math.sin(phi0) * math.cos(phi) * math.cos(dl))
+    (x, y)
+  }
+
+  /** LAEA inverse (Snyder 24-16: c = 2 asin(ρ/2R), then the shared
+    * azimuthal core); ρ > 2R is off the disc → NaN. */
+  def laeaInverse(x: Double, y: Double, lat0Deg: Double,
+                  lon0Deg: Double): (Double, Double) = {
+    val phi0 = lat0Deg * d2r; val lam0 = lon0Deg * d2r
+    val rho = math.sqrt(x * x + y * y)
+    if (rho == 0.0) return (lon0Deg, lat0Deg)
+    if (rho > 2.0 * A) return (Double.NaN, Double.NaN)
+    val c = 2.0 * math.asin(math.min(1.0, rho / (2.0 * A)))
+    azInverse(x, y, rho, math.sin(c), math.cos(c), phi0, lam0)
+  }
+
+  // ---- Miller Cylindrical (Snyder §18 18-1..18-4; PROJ mill, +R=a) —
+  // the compromise world-map cylindrical: the Mercator ordinate computed
+  // at 0.8·φ and stretched back by 1/0.8, so the poles stay finite.
+
+  def millForward(lonDeg: Double, latDeg: Double, lon0Deg: Double): (Double, Double) = {
+    val phi = latDeg * d2r
+    val x = A * ((lonDeg - lon0Deg) * d2r)
+    val y = A * math.log(math.tan(math.Pi / 4.0 + 0.4 * phi)) / 0.8
+    (x, y)
+  }
+
+  /** Miller inverse (Snyder 18-4: φ = 2.5 atan(e^(0.8y/R)) − 5π/8). */
+  def millInverse(x: Double, y: Double, lon0Deg: Double): (Double, Double) = {
+    val lam = x / A + lon0Deg * d2r
+    val phi = 2.5 * math.atan(math.exp(0.8 * y / A)) - 5.0 * math.Pi / 8.0
+    val lonDeg = lam / d2r
+    val wrapped = if (lonDeg > 180.0) lonDeg - 360.0
+      else if (lonDeg <= -180.0) lonDeg + 360.0 else lonDeg
+    (wrapped, phi / d2r)
+  }
+
   /** Shared azimuthal inverse core (Snyder 20-14/20-15 form, valid for
     * every azimuthal once (sin c, cos c) is known), with the PROJ adjlon
     * wrap to (−180, 180] that aeqdInverse uses. */
@@ -430,6 +481,15 @@ object Conic {
     GeoOps.mapCoords(g, (x, y) => eqcForward(x, y, lat1))
   def eqcInvGeom(g: Geom, lat1: Double): Geom =
     GeoOps.mapCoords(g, (x, y) => eqcInverse(x, y, lat1))
+  def laeaGeom(g: Geom, lat0: Double, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => laeaForward(x, y, lat0, lon0))
+  def laeaInvGeom(g: Geom, lat0: Double, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => laeaInverse(x, y, lat0, lon0))
+  def millGeom(g: Geom, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => millForward(x, y, lon0))
+  def millInvGeom(g: Geom, lon0: Double): Geom =
+    GeoOps.mapCoords(g, (x, y) => millInverse(x, y, lon0))
+
   def mollGeom(g: Geom, lon0: Double): Geom =
     GeoOps.mapCoords(g, (x, y) => mollForward(x, y, lon0))
   def mollInvGeom(g: Geom, lon0: Double): Geom =

@@ -66,4 +66,45 @@ class ConicSpec extends AnyFunSuite {
     val ell = Conic.A * Conic.A / 2.0 * (d * d2r) * (qOf(lat + d) - qOf(lat))
     assert(math.abs(planar / ell - 1.0) < 1e-6, s"planar $planar vs ellipsoidal $ell")
   }
+
+  test("LAEA roundtrip, center identity, antipode NaN") {
+    for ((lon, lat) <- Seq((10.0, 40.0), (-30.0, 5.0), (65.0, 75.0), (0.0, -20.0))) {
+      val (x, y) = Conic.laeaForward(lon, lat, 40.0, 10.0)
+      val (lo, la) = Conic.laeaInverse(x, y, 40.0, 10.0)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"($lon,$lat)")
+    }
+    assert(Conic.laeaForward(10.0, 40.0, 40.0, 10.0) == (0.0, 0.0))
+    val (nx, _) = Conic.laeaForward(-170.0, -40.0, 40.0, 10.0)
+    assert(nx.isNaN, "antipode must be a projection error")
+  }
+
+  test("LAEA is equal-area: small quad area matches spherical patch") {
+    // 1°×1° quad at (20E, 50N): spherical area R²·Δλ·(sinφ2−sinφ1)
+    val d2r = math.Pi / 180.0
+    val corners = Seq((20.0, 50.0), (21.0, 50.0), (21.0, 51.0), (20.0, 51.0))
+    val proj = corners.map { case (lo, la) => Conic.laeaForward(lo, la, 40.0, 10.0) }
+    val planar = math.abs(proj.indices.map { i =>
+      val (x0, y0) = proj(i); val (x1, y1) = proj((i + 1) % 4)
+      x0 * y1 - x1 * y0
+    }.sum / 2.0)
+    val sph = Conic.A * Conic.A * (1.0 * d2r) *
+      (math.sin(51.0 * d2r) - math.sin(50.0 * d2r))
+    // planar quad with straight edges under-covers the patch slightly
+    assert(math.abs(planar / sph - 1.0) < 2e-4, s"planar $planar vs spherical $sph")
+  }
+
+  test("Miller: known ordinate ratio vs Mercator, roundtrip, finite poles") {
+    // Snyder §18: Miller y = Mercator-y(0.8φ)/0.8; at the pole it is finite
+    val (x, y) = Conic.millForward(-75.0, 50.0, 0.0)
+    assert(math.abs(x - Conic.A * (-75.0 * math.Pi / 180.0)) < 1e-6)
+    val mercAt40 = Conic.A * math.log(math.tan(math.Pi / 4.0 + 0.5 * 40.0 * math.Pi / 180.0))
+    assert(math.abs(y - mercAt40 / 0.8) < 1e-6)
+    val (_, yp) = Conic.millForward(0.0, 90.0, 0.0)
+    assert(!yp.isNaN && !yp.isInfinite && yp > 0)
+    for ((lon, lat) <- Seq((-75.0, 50.0), (120.0, -66.0), (0.0, 0.0), (179.5, 89.0))) {
+      val (fx, fy) = Conic.millForward(lon, lat, 0.0)
+      val (lo, la) = Conic.millInverse(fx, fy, 0.0)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"($lon,$lat)")
+    }
+  }
 }
