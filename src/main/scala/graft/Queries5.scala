@@ -1941,6 +1941,129 @@ object Queries5 {
           CAST(floor(my * 1000.0 + 0.5) AS BIGINT) AS my_mm,
           CAST(0 AS BIGINT) AS lrlon_u, CAST(0 AS BIGINT) AS lrlat_u,
           CAST(0 AS BIGINT) AS mrlon_u, CAST(0 AS BIGINT) AS mrlat_u
-      FROM v ORDER BY event_id"""})
+      FROM v ORDER BY event_id"""}),
+
+    // -- Corpus bigram-LM document scoring (d14): the perplexity-filter
+    // shape (CCNet, Wenzek et al. 2020 — score every document under a
+    // count-based LM and filter/bucket by average log-likelihood). The LM
+    // is the corpus itself: bigram MLE p(w2|w1) = cb/cu. Plan: ONE explode
+    // → two bounded count aggregations (the LM tables) → hash joins back
+    // on the gram keys → per-doc sum. At 100 TB the LM tables are the
+    // small side (vocab-bounded) and broadcast; nothing is doc-pair
+    // quadratic. Scores are per-position floor(ln(p)·10⁴) so the per-doc
+    // sum is order-independent and integer-exact.
+    ("d14_bigram_lm", (s, dir) => {
+      prep(s)
+      val docsW = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " ", -1))
+      val big = docsW.where(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          expr("explode(sequence(1, size(ws) - 1))").as("i"), col("ws"))
+        .withColumn("w1", expr("element_at(ws, i)"))
+        .withColumn("w2", expr("element_at(ws, i + 1)"))
+        .select("doc_id", "w1", "w2")
+      val bc = big.groupBy("w1", "w2").agg(count("*").as("cb"))
+      val uc = big.groupBy("w1").agg(count("*").as("cu"))
+      big.join(broadcast(bc), Seq("w1", "w2")).join(broadcast(uc), Seq("w1"))
+        .withColumn("nll", expr(
+          "CAST(floor(ln(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) * 10000.0) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count("*").as("n_bigrams"), sum("nll").as("ll_sum_e4"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      b AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 1)) AS i, ws
+            FROM w WHERE len(ws) >= 2),
+      big AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM b),
+      bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+      uc AS (SELECT w1, count(*) AS cu FROM big GROUP BY 1),
+      sc AS (SELECT doc_id,
+               CAST(floor(ln(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) * 10000.0) AS BIGINT) AS nll
+             FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(nll) AS BIGINT) AS ll_sum_e4
+      FROM sc GROUP BY 1 ORDER BY doc_id""")),
+
+    // -- BPE-ish pre-tokenizer segmentation (d15): character-class runs
+    // (letters / digits / spaces / other — the GPT-2 pre-tokenizer's
+    // coarse split) as one single-pass codegen kernel. The input string
+    // is the doc text enriched with a deterministic id/punct suffix so
+    // digit and punctuation segments exist in this corpus. The twin
+    // replays the class transitions with a lag window + gaps-and-islands.
+    ("d15_char_segs", (s, dir) => {
+      prep(s)
+      t(s, dir, "documents")
+        .withColumn("t", expr(
+          "concat(text, ' id:', CAST(doc_id AS STRING), '#', CAST(doc_id % 100 AS STRING), '!')"))
+        .withColumn("cs", expr("text_char_segs(t)"))
+        .select(col("doc_id"),
+          expr("element_at(cs, 1)").as("n_segs"),
+          expr("element_at(cs, 2)").as("n_letter"),
+          expr("element_at(cs, 3)").as("n_digit"),
+          expr("element_at(cs, 4)").as("n_other"),
+          expr("element_at(cs, 5)").as("n_space"),
+          expr("element_at(cs, 6)").as("max_run"),
+          expr("element_at(cs, 7)").as("n_long16"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH e AS (SELECT doc_id,
+              text || ' id:' || CAST(doc_id AS VARCHAR) || '#' ||
+              CAST(doc_id % 100 AS VARCHAR) || '!' AS t FROM documents),
+      p AS (SELECT doc_id, unnest(generate_series(1, length(t))) AS i, t FROM e),
+      c AS (SELECT doc_id, i,
+              CASE WHEN substr(t, i, 1) = ' ' THEN 0
+                   WHEN (substr(t, i, 1) BETWEEN 'a' AND 'z')
+                     OR (substr(t, i, 1) BETWEEN 'A' AND 'Z') THEN 1
+                   WHEN substr(t, i, 1) BETWEEN '0' AND '9' THEN 2
+                   ELSE 3 END AS cls FROM p),
+      st AS (SELECT doc_id, i, cls,
+              CASE WHEN lag(cls) OVER (PARTITION BY doc_id ORDER BY i)
+                   IS DISTINCT FROM cls THEN 1 ELSE 0 END AS brk FROM c),
+      sid AS (SELECT doc_id, i, cls, sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM st),
+      segs AS (SELECT doc_id, seg, min(cls) AS cls, count(*) AS len
+               FROM sid GROUP BY 1, 2)
+      SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_segs,
+        CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_letter,
+        CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
+        CAST(sum(CASE WHEN cls = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+        CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_space,
+        CAST(max(len) AS BIGINT) AS max_run,
+        CAST(sum(CASE WHEN len > 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_long16
+      FROM segs GROUP BY 1 ORDER BY doc_id""")),
+
+    // -- Deterministic temperature-mixture sampling (d16): the multilingual
+    // rebalancing rule (sample lang ℓ at rate ∝ n_ℓ^α; α=0.5 geometric-mean
+    // targets, the mT5/XLM-R mixing family) made fully deterministic and
+    // engine-replayable: target_ℓ = floor(√(n_ℓ·min_n)), and a doc is kept
+    // iff its Knuth multiplicative hash h(doc_id) satisfies the exact
+    // integer cross-multiplication h·n_ℓ < target_ℓ·2²⁰ — rate sampling
+    // with NO global rank, NO window, no skew: one count aggregation, one
+    // broadcast join, map-only keep decision at any scale. All arithmetic
+    // stays below 2⁵³ by reducing doc_id mod 1048573 before the multiply.
+    ("d16_temp_mix", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy("lang").agg(count("*").as("n"))
+      val minN = counts.agg(min("n").as("mn"))
+      val tgt = counts.crossJoin(broadcast(minN))
+        .withColumn("tgt", expr("CAST(floor(sqrt(CAST(n * mn AS DOUBLE))) AS BIGINT)"))
+        .select("lang", "n", "tgt")
+      docs.join(broadcast(tgt), "lang")
+        .withColumn("h", expr("((doc_id % 1048573) * 2654435761L) % 1048576"))
+        .where(expr("h * n < tgt * 1048576"))
+        .select(col("doc_id"), col("lang"), col("h"), col("n"), col("tgt"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      mn AS (SELECT min(n) AS mn FROM c),
+      t AS (SELECT lang, n,
+              CAST(floor(sqrt(CAST(n * mn AS DOUBLE))) AS BIGINT) AS tgt
+            FROM c, mn),
+      k AS (SELECT d.doc_id, d.lang,
+              ((d.doc_id % 1048573) * 2654435761) % 1048576 AS h, t.n, t.tgt
+            FROM documents d JOIN t USING (lang))
+      SELECT doc_id, lang, CAST(h AS BIGINT) AS h, CAST(n AS BIGINT) AS n, tgt
+      FROM k WHERE h * n < tgt * 1048576 ORDER BY doc_id"""))
   )
 }

@@ -1335,6 +1335,22 @@ case class TextRepStats(child: Expression)
   protected override def withNewChildInternal(n: Expression): TextRepStats = copy(child = n)
 }
 
+/** text_char_segs(s) → array<long>[7] of character-class segmentation
+  * stats (the BPE-ish pre-tokenizer shape; see TextKernel.charClassSegs):
+  * [n_segs, n_letter, n_digit, n_other, n_space, max_run, n_long16]. */
+case class TextCharSegs(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "text_char_segs"
+  protected override def nullSafeEval(s: Any): Any =
+    new GenericArrayData(graft.functions.TextKernel.charClassSegs(s.asInstanceOf[UTF8String]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.TextKernel.charClassSegs($s))")
+  protected override def withNewChildInternal(n: Expression): TextCharSegs = copy(child = n)
+}
+
 /** text_simhash16(s) → 16-bit SimHash fingerprint as long, one pass. */
 case class TextSimHash16(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {

@@ -143,6 +143,7 @@ object GraftFunctions {
     arity("text_simhash16", 1)(a => TextSimHash16(a(0))),
     arity("text_winnow", 3)(a => TextWinnow(a(0), a(1), a(2))),
     arity("text_rep_stats", 1)(a => TextRepStats(a(0))),
+    arity("text_char_segs", 1)(a => TextCharSegs(a(0))),
     arity("vec_dot", 2)(a => VecDot(a(0), a(1))),
     arity("vec_norm", 1)(a => VecNorm(a(0))),
   )

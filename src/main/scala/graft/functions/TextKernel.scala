@@ -215,6 +215,53 @@ object TextKernel {
     }
     out
   }
+
+  /** BPE-ish pre-tokenizer segmentation by character class (the GPT-2
+    * pre-tokenizer's coarse structure: runs of letters / digits / spaces /
+    * other split at class boundaries — the "BPE-ish regex" token-count
+    * companion to the whitespace count in d02). Classes: 0=space,
+    * 1=ASCII letter, 2=ASCII digit, 3=other. Returns 7 longs:
+    * [n_segs, n_letter_segs, n_digit_segs, n_other_segs, n_space_segs,
+    * max_run_len, n_long_segs(>16 chars — the "needs subword splitting"
+    * count)]. Single pass, map-only; the d15 oracle replays the class
+    * transitions with a lag window. */
+  def charClassSegs(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val out = new Array[Long](7)
+    if (str.isEmpty) return out
+    def cls(c: Char): Int =
+      if (c == ' ') 0
+      else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) 1
+      else if (c >= '0' && c <= '9') 2
+      else 3
+    var prev = -1
+    var run = 0L
+    var maxRun = 0L
+    def close(k: Int, len: Long): Unit = {
+      out(0) += 1
+      k match {
+        case 1 => out(1) += 1
+        case 2 => out(2) += 1
+        case 3 => out(3) += 1
+        case _ => out(4) += 1
+      }
+      if (len > maxRun) maxRun = len
+      if (len > 16) out(6) += 1
+    }
+    var i = 0
+    while (i < str.length) {
+      val k = cls(str.charAt(i))
+      if (k == prev) run += 1
+      else {
+        if (prev >= 0) close(prev, run)
+        prev = k; run = 1
+      }
+      i += 1
+    }
+    close(prev, run)
+    out(5) = maxRun
+    out
+  }
 }
 
 /** Sequential-fold vector kernels for the embedding similarity family —

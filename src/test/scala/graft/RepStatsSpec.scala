@@ -79,4 +79,28 @@ class RepStatsSpec extends AnyFunSuite {
     assert(r(0) == 3 && r(1) == 2) // "a", "", "b"
     assert(r.sameElements(naive("a  b")))
   }
+
+  // ---- charClassSegs (d15 kernel) ----
+
+  private def segs(s: String): Array[Long] =
+    TextKernel.charClassSegs(UTF8String.fromString(s))
+
+  test("char-class segmentation: mixed classes") {
+    // "ab12 -x" → [ab][12][ ][-][x]: 5 segs, 2 letter, 1 digit, 1 other, 1 space
+    val r = segs("ab12 -x")
+    assert(r.sameElements(Array(5L, 2L, 1L, 1L, 1L, 2L, 0L)))
+  }
+
+  test("char-class segmentation: long run counting and max") {
+    val r = segs("a" * 20 + " " + "b" * 17 + "7")
+    // [aaaa...20][ ][bbb...17][7] → 4 segs, 2 letter, 1 digit, 1 space
+    assert(r(0) == 4 && r(1) == 2 && r(2) == 1 && r(4) == 1)
+    assert(r(5) == 20 && r(6) == 2) // two segments longer than 16
+  }
+
+  test("char-class segmentation: empty and single-class strings") {
+    assert(segs("").sameElements(new Array[Long](7)))
+    val r = segs("abc")
+    assert(r.sameElements(Array(1L, 1L, 0L, 0L, 0L, 3L, 0L)))
+  }
 }
