@@ -89,4 +89,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("ad_u") || plan.contains("sum"), plan.take(500))
     assert(df.count() > 0)
   }
+
+  test("d11/d15 text kernels are map-only (zero Exchange)") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = docs.select(expr("text_rep_stats(text)").as("rs"),
+      expr("text_char_segs(text)").as("cs"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(exchanges(p) === 0, p)
+  }
+
+  test("d13 decontamination joins broadcast: the corpus side never sort-merges") {
+    val df = SparkEntry.queries("d13_decontam")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("d14 LM-table joins broadcast: scoring pass never sort-merges") {
+    val df = SparkEntry.queries("d14_bigram_lm")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("d16 mixture keep decision is broadcast + map-only on the corpus side") {
+    val df = SparkEntry.queries("d16_temp_mix")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
 }
