@@ -2064,6 +2064,42 @@ object Queries5 {
               ((d.doc_id % 1048573) * 2654435761) % 1048576 AS h, t.n, t.tgt
             FROM documents d JOIN t USING (lang))
       SELECT doc_id, lang, CAST(h AS BIGINT) AS h, CAST(n AS BIGINT) AS n, tgt
-      FROM k WHERE h * n < tgt * 1048576 ORDER BY doc_id"""))
+      FROM k WHERE h * n < tgt * 1048576 ORDER BY doc_id""")),
+
+    // -- Streaming near-duplicate suppression (s05): the streaming twin of
+    // the batch d05→d08 LSH pipeline — MinHash band buckets as
+    // flatMapGroupsWithState keys, bucket state = previously-arrived
+    // members, flag iff an earlier arrival passes the integer-exact
+    // trigram-Jaccard ≥ 0.6 refine. Three deterministic arrival batches
+    // (doc_id % 3), one checkpoint-restarted AvailableNow run each —
+    // state surviving the restarts is the thing under test (re-matching
+    // would flip is_dup rows). The twin replays "earlier" as (batch,
+    // doc_id) lexicographic order over the same band join + refine.
+    ("s05_stream_neardup", (s, dir) => {
+      streaming.StreamJobs.streamNearDup(s, s"$dir/documents.parquet",
+        "/tmp/graft_s05_work")
+    }, Some(s"""
+      WITH ${Queries.minhashCte},
+      bands AS (SELECT doc_id, 0 AS band, h0 AS x1, h1 AS x2, h2 AS x3, h3 AS x4 FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band, h4 AS x1, h5 AS x2, h6 AS x3, h7 AS x4 FROM sig),
+      cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.x1 = r.x1
+          AND l.x2 = r.x2 AND l.x3 = r.x3 AND l.x4 = r.x4
+        WHERE (l.doc_id % 3 < r.doc_id % 3)
+           OR (l.doc_id % 3 = r.doc_id % 3 AND l.doc_id < r.doc_id)),
+      sets AS (SELECT doc_id, list_distinct(${trigramCodes("text", duck = true)}) AS cd
+               FROM documents WHERE length(text) >= 3),
+      p AS (SELECT a, b,
+              len(list_filter(sa.cd, x -> list_contains(sb.cd, x))) AS inter,
+              len(sa.cd) + len(sb.cd) AS tot
+            FROM cand JOIN sets sa ON a = sa.doc_id JOIN sets sb ON b = sb.doc_id),
+      e AS (SELECT a, b FROM p WHERE inter * 1000 >= 600 * (tot - inter)),
+      m AS (SELECT b AS doc_id, min(a) AS mm FROM e GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(CASE WHEN m.mm IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+        CAST(coalesce(m.mm, -1) AS BIGINT) AS match_min
+      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+      WHERE length(d.text) >= 3 ORDER BY d.doc_id"""))
   )
 }

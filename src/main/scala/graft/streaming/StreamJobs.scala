@@ -198,6 +198,108 @@ object StreamJobs {
     spark.read.parquet(outDir).orderBy("event_id", "poly_id")
   }
 
+  /** One banded arrival for the streaming near-dup path. `codes` is the
+    * sorted-distinct trigram-code set (the Jaccard refine input). */
+  case class BandedDoc(doc_id: Long, batch: Int, codes: Array[Long],
+                       band: Int, bucket: String)
+  case class StateDoc(docId: Long, batch: Int, codes: Array[Long])
+  case class BucketState(docs: List[StateDoc])
+  case class DupRow(doc_id: Long, band: Int, isDup: Boolean, matchMin: Long)
+
+  /** Integer-exact Jaccard ≥ thr/1000 over sorted-distinct code arrays
+    * (same cross-multiplication rule as the d09 batch refine — no FP
+    * threshold ambiguity). */
+  private[streaming] def jaccardGe(a: Array[Long], b: Array[Long], thr: Int): Boolean = {
+    var i = 0; var j = 0; var inter = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter * 1000L >= thr.toLong * (a.length + b.length - inter)
+  }
+
+  /** Streaming near-duplicate suppression — the streaming twin of the
+    * batch d05→d08 LSH pipeline: MinHash signatures banded into bucket
+    * keys (2 bands × 4 hashes, as d05), `flatMapGroupsWithState` keyed on
+    * the bucket, state = the bucket's previously-arrived members, and a
+    * doc is flagged iff an EARLIER arrival in the same bucket passes the
+    * integer-exact trigram-Jaccard ≥ 0.6 refine. "Earlier" is (batch,
+    * doc_id) lexicographic — deterministic at any parallelism because the
+    * within-batch group iterator is sorted before matching. Docs arrive
+    * as `nBatches` deterministic slices (doc_id % nBatches), one
+    * checkpoint-restarted AvailableNow run each, so state provably
+    * survives restarts (re-matching after restart would flip is_dup rows
+    * and fail the exact compare). State is bucket-bounded exactly like
+    * the batch LSH path's hot-bucket guard; the production path adds an
+    * event-time timeout at the watermark horizon (as streamingDedup does)
+    * — at gate scale no bucket saturates and no state expires. Returns
+    * the per-doc rollup: is_dup = flagged in ANY band bucket, match_min =
+    * smallest matching earlier doc id. */
+  def streamNearDup(spark: SparkSession, docsParquet: String, work: String,
+                    nBatches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    rmr(spark, work)
+    graft.functions.GraftFunctions.register(spark)
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    val docs = spark.read.parquet(docsParquet)
+    def stage(k: Int): Unit =
+      docs.where(col("doc_id") % nBatches === k).withColumn("batch", lit(k))
+        .repartition(1).write.mode("append").parquet(inDir)
+    def run(): Unit = {
+      val in = spark.readStream
+        .schema(spark.read.parquet(inDir).schema).parquet(inDir)
+        .where(expr("length(text) >= 3"))
+        .withColumn("sig", expr("text_minhash(text)"))
+        .withColumn("codes", expr("array_sort(array_distinct(text_trigram_codes(text)))"))
+      val banded = in.select(col("doc_id"), col("batch"), col("codes"),
+          explode(expr(
+            """array(
+               named_struct('band', 0, 'key',
+                 array_join(transform(slice(sig, 1, 4), x -> CAST(x AS STRING)), ',')),
+               named_struct('band', 1, 'key',
+                 array_join(transform(slice(sig, 5, 4), x -> CAST(x AS STRING)), ',')))"""))
+            .as("bk"))
+        .select(col("doc_id"), col("batch").cast("int").as("batch"), col("codes"),
+          col("bk.band").as("band"),
+          concat(col("bk.band").cast("string"), lit(":"), col("bk.key")).as("bucket"))
+        .as[BandedDoc]
+      val out = banded.groupByKey(_.bucket)
+        .flatMapGroupsWithState[BucketState, DupRow](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (_, rows, state) =>
+            val prior = if (state.exists) state.get.docs else Nil
+            val arrivals = rows.toSeq.sortBy(d => (d.batch, d.doc_id))
+            val local = scala.collection.mutable.ListBuffer[StateDoc]()
+            val emitted = arrivals.map { d =>
+              val earlier = (prior.iterator ++ local.iterator).filter(p =>
+                p.batch < d.batch || (p.batch == d.batch && p.docId < d.doc_id))
+              val matches = earlier.filter(p => jaccardGe(p.codes, d.codes, 600))
+                .map(_.docId).toSeq
+              local += StateDoc(d.doc_id, d.batch, d.codes)
+              DupRow(d.doc_id, d.band, matches.nonEmpty,
+                if (matches.isEmpty) -1L else matches.min)
+            }
+            state.update(BucketState(prior ++ local.toList))
+            emitted.iterator
+        }
+      out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    for (k <- 0 until nBatches) { stage(k); run() }
+    spark.read.parquet(outDir)
+      .groupBy("doc_id")
+      .agg(max(col("isDup").cast("int")).as("dupi"),
+        min(when(col("matchMin") >= 0, col("matchMin"))).as("mm"))
+      .select(col("doc_id"), col("dupi").cast("long").as("is_dup"),
+        coalesce(col("mm"), lit(-1L)).as("match_min"))
+      .orderBy("doc_id")
+  }
+
   def resumeDemo(spark: SparkSession, eventsParquet: String, work: String): DataFrame = {
     import org.apache.spark.sql.functions._
     rmr(spark, work)
