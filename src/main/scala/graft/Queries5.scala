@@ -2100,6 +2100,72 @@ object Queries5 {
         CAST(CASE WHEN m.mm IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
         CAST(coalesce(m.mm, -1) AS BIGINT) AS match_min
       FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
-      WHERE length(d.text) >= 3 ORDER BY d.doc_id"""))
+      WHERE length(d.text) >= 3 ORDER BY d.doc_id""")),
+
+    // -- Decontamination span excision (d17): the transform companion to
+    // d13 — REMOVE every contaminated 13-word-gram span (union of covered
+    // word positions, the island count being the removed-span count) and
+    // emit the cleaned document digest. Same broadcast-bench plan as d13
+    // plus one per-doc position-set aggregation; the cleaned text is
+    // reconstructed order-preserving from the uncovered positions and
+    // compared by md5 so the oracle check is content-exact without
+    // shipping full texts through the compare.
+    ("d17_decontam_excise", (s, dir) => {
+      prep(s)
+      val k = 13
+      val docsW = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " ", -1))
+      val bench = docsW.where(col("doc_id") % 97 === 0)
+        .where(size(col("ws")) >= 16)
+        .select(col("doc_id").as("bench_id"),
+          expr("array_join(slice(ws, 4, 13), ' ')").as("bg"))
+      val hits = docsW.where(size(col("ws")) >= k)
+        .select(col("doc_id"),
+          expr(s"explode(sequence(1, size(ws) - $k + 1))").as("i"), col("ws"))
+        .withColumn("g", expr(s"array_join(slice(ws, i, $k), ' ')"))
+        .join(broadcast(bench), col("g") === col("bg"))
+        .select("doc_id", "i")
+      val cov = hits
+        .select(col("doc_id"), expr(s"explode(sequence(i, i + $k - 1))").as("j"))
+        .distinct()
+        .groupBy("doc_id").agg(collect_set("j").as("cj"))
+      docsW.join(cov, "doc_id")
+        .withColumn("kept", expr(
+          "transform(filter(sequence(1, size(ws)), p -> NOT array_contains(cj, p)), " +
+          "p -> element_at(ws, p))"))
+        .select(col("doc_id"),
+          expr("CAST(size(filter(cj, j -> NOT array_contains(cj, j - 1))) AS BIGINT)")
+            .as("n_spans"),
+          expr("CAST(size(cj) AS BIGINT)").as("n_removed_words"),
+          expr("md5(array_join(kept, ' '))").as("cleaned_md5"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      bench AS (SELECT doc_id AS bench_id,
+                  array_to_string(list_slice(ws, 4, 16), ' ') AS bg
+                FROM w WHERE doc_id % 97 = 0 AND len(ws) >= 16),
+      dg AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 12)) AS i, ws
+             FROM w WHERE len(ws) >= 13),
+      gg AS (SELECT doc_id, i, array_to_string(list_slice(ws, i, i + 12), ' ') AS g FROM dg),
+      hits AS (SELECT doc_id, i FROM gg JOIN bench ON g = bg),
+      cov AS (SELECT DISTINCT doc_id, j FROM
+              (SELECT doc_id, unnest(generate_series(i, i + 12)) AS j FROM hits)),
+      pos AS (SELECT w.doc_id, unnest(generate_series(1, len(ws))) AS p, ws
+              FROM w WHERE w.doc_id IN (SELECT doc_id FROM cov)),
+      kept AS (SELECT pos.doc_id, pos.p, pos.ws[pos.p] AS wd
+               FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.j = pos.p
+               WHERE cov.j IS NULL),
+      cleaned AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY p) AS ct
+                  FROM kept GROUP BY 1),
+      isl AS (SELECT c1.doc_id, count(*) AS ni FROM cov c1
+              LEFT JOIN cov c0 ON c0.doc_id = c1.doc_id AND c0.j = c1.j - 1
+              WHERE c0.j IS NULL GROUP BY 1),
+      rw AS (SELECT doc_id, count(*) AS nr FROM cov GROUP BY 1)
+      SELECT rw.doc_id, CAST(isl.ni AS BIGINT) AS n_spans,
+        CAST(rw.nr AS BIGINT) AS n_removed_words,
+        md5(coalesce(c.ct, '')) AS cleaned_md5
+      FROM rw JOIN isl ON isl.doc_id = rw.doc_id
+      LEFT JOIN cleaned c ON c.doc_id = rw.doc_id
+      ORDER BY rw.doc_id"""))
   )
 }
