@@ -2166,6 +2166,134 @@ object Queries5 {
         md5(coalesce(c.ct, '')) AS cleaned_md5
       FROM rw JOIN isl ON isl.doc_id = rw.doc_id
       LEFT JOIN cleaned c ON c.doc_id = rw.doc_id
-      ORDER BY rw.doc_id"""))
+      ORDER BY rw.doc_id""")),
+
+    // -- Image perceptual-hash near-dup (m11): 64-bit aHash through the
+    // REAL ImageIO decode path (the multimodal twin of SimHash d06), then
+    // near-dup pairs at hamming ≤ 2 via a 4×16-bit banded equi-join —
+    // LOSSLESS for this radius by pigeonhole (2 bit-errors corrupt ≤ 2 of
+    // 4 bands, so ≥1 band still matches exactly), which is the 100-TB
+    // plan: never all-pairs. The PNG fixtures form near-dup families
+    // (block pattern by doc_id%7, one flipped block by doc_id%3, per-pixel
+    // noise) so within-family hamming is 0 or 2 and cross-family is large.
+    // The twin recomputes the closed-form pixels, block sums, hash bits,
+    // and the NAIVE all-pairs hamming — equal results prove banding loses
+    // nothing.
+    ("m11_image_ahash", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val hashes = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 300).as[Long].map { id =>
+          val fam = (id % 7).toInt; val vr = (id % 3).toInt
+          val png = engine.Multimodal.grayPng(32, 32) { (x, y) =>
+            val bx = x / 4; val by = y / 4
+            val on = ((bx * 3 + by * 5 + fam * 7) % 16) < 8
+            val flip = bx == vr && by == vr
+            val base = if (on ^ flip) 200 else 40
+            base + ((id * 13 + x * 7 + y * 11) % 7).toInt
+          }
+          val p = engine.Multimodal.aHashParts(png)
+          (id, p(0), p(1))
+        }.toDF("doc_id", "h_lo", "h_hi")
+      val bands = hashes.select(col("doc_id"), col("h_lo"), col("h_hi"),
+          explode(expr("""array(
+            named_struct('bi', 0, 'bv', h_lo % 65536),
+            named_struct('bi', 1, 'bv', h_lo div 65536),
+            named_struct('bi', 2, 'bv', h_hi % 65536),
+            named_struct('bi', 3, 'bv', h_hi div 65536))""")).as("b"))
+        .select(col("doc_id"), col("h_lo"), col("h_hi"),
+          col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val cand = bands.as("l").join(bands.as("r"),
+          col("l.bi") === col("r.bi") && col("l.bv") === col("r.bv") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b2"),
+          col("l.h_lo").as("alo"), col("l.h_hi").as("ahi"),
+          col("r.h_lo").as("blo"), col("r.h_hi").as("bhi"))
+        .distinct()
+      val pairs = cand
+        .where(expr("bit_count(alo ^ blo) + bit_count(ahi ^ bhi) <= 2"))
+        .select(col("a"), col("b2"))
+      val und = pairs.select(col("a").as("doc_id"), col("b2").as("o"))
+        .unionByName(pairs.select(col("b2").as("doc_id"), col("a").as("o")))
+      val agg0 = und.groupBy("doc_id")
+        .agg(count("*").as("nn"), min("o").as("nm"))
+      hashes.join(agg0, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("h_lo"), col("h_hi"),
+          coalesce(col("nn"), lit(0L)).as("n_near"),
+          coalesce(col("nm"), lit(-1L)).as("near_min"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id % 7 AS fam, doc_id % 3 AS vr
+                 FROM documents WHERE doc_id < 300),
+      px AS (SELECT doc_id, fam, vr, xs.x AS x, ys.y AS y FROM d,
+              (SELECT unnest(generate_series(0, 31)) AS x) xs,
+              (SELECT unnest(generate_series(0, 31)) AS y) ys),
+      pv AS (SELECT doc_id, (y // 4) * 8 + (x // 4) AS b,
+              (CASE WHEN ((((x // 4) * 3 + (y // 4) * 5 + fam * 7) % 16 < 8)
+                          <> ((x // 4 = vr) AND (y // 4 = vr)))
+                    THEN 200 ELSE 40 END)
+              + (doc_id * 13 + x * 7 + y * 11) % 7 AS v
+             FROM px),
+      bsum AS (SELECT doc_id, b, sum(v) AS bs, count(*) AS bn FROM pv GROUP BY 1, 2),
+      tot AS (SELECT doc_id, sum(v) AS total FROM pv GROUP BY 1),
+      bits AS (SELECT bsum.doc_id, b,
+                 CASE WHEN bs * 1024 > total * bn THEN 1 ELSE 0 END AS bit
+               FROM bsum JOIN tot ON tot.doc_id = bsum.doc_id),
+      hx AS (SELECT doc_id,
+               CAST(sum(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS BIGINT) AS h_lo,
+               CAST(sum(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32))
+                        ELSE 0 END) AS BIGINT) AS h_hi
+             FROM bits GROUP BY 1),
+      pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
+               bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) AS hd
+             FROM hx a JOIN hx b ON a.doc_id < b.doc_id),
+      e AS (SELECT a, b FROM pr WHERE hd <= 2),
+      und AS (SELECT a AS doc_id, b AS o FROM e UNION ALL SELECT b AS doc_id, a AS o FROM e),
+      agg AS (SELECT doc_id, count(*) AS n_near, min(o) AS near_min FROM und GROUP BY 1)
+      SELECT hx.doc_id, hx.h_lo, hx.h_hi,
+        CAST(coalesce(agg.n_near, 0) AS BIGINT) AS n_near,
+        CAST(coalesce(agg.near_min, -1) AS BIGINT) AS near_min
+      FROM hx LEFT JOIN agg ON agg.doc_id = hx.doc_id ORDER BY hx.doc_id""")),
+
+    // -- Filtered ANN (e09): vector search under a metadata predicate —
+    // top-k cosine restricted to candidates with the QUERY'S label (the
+    // "filtered vector search" shape every retrieval pipeline needs).
+    // The predicate becomes the JOIN KEY: a broadcast hash join on label
+    // replaces e01's cross join, cutting candidates 10× before any
+    // scoring — the pre-filter plan, never post-filtering a top-k.
+    ("e09_filtered_ann", (s, dir) => {
+      prep(s)
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+        .withColumn("norm", expr("vec_norm(embedding)"))
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("ql"),
+          col("embedding").as("qe"), col("norm").as("qn"))
+      val p = e.select(col("vec_id").as("pid"), col("label").as("pl"),
+        col("embedding").as("pe"), col("norm").as("pn"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
+      broadcast(q).join(p, col("ql") === col("pl") && col("qid") =!= col("pid"))
+        .withColumn("cos", expr("vec_dot(qe, pe)") / (col("qn") * col("pn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("pid"), col("rank"),
+          expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").as("cos_u"))
+        .orderBy("qid", "rank")
+    }, Some("""
+      WITH e AS (SELECT vec_id, label, embedding,
+              sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+            FROM embeddings),
+      c AS (SELECT q.vec_id AS qid, p.vec_id AS pid,
+              list_sum(list_transform(generate_series(1, len(q.embedding)),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+              / (q.norm * p.norm) AS cos
+            FROM e q JOIN e p ON q.label = p.label AND q.vec_id <> p.vec_id
+            WHERE q.vec_id < 20),
+      r AS (SELECT qid, pid, cos, CAST(row_number() OVER
+              (PARTITION BY qid ORDER BY cos DESC, pid) AS BIGINT) AS rank FROM c)
+      SELECT qid, pid, rank, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_u
+      FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
   )
 }

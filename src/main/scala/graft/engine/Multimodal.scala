@@ -225,6 +225,57 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** 64-bit average-hash (aHash) of a decoded image — the classic
+    * perceptual fingerprint for image near-dup detection (the multimodal
+    * twin of SimHash): the image is reduced to an 8×8 block grid (pixel
+    * (x,y) belongs to block (x·8 div w, y·8 div h)), and bit (by·8+bx) is set iff
+    * the block's pixel sum exceeds the global mean on that block's pixel
+    * count (exact integer cross-multiplication bs·(w·h) > total·bn — no
+    * division, engine-replayable). Luminance sampling matches [[decode]]
+    * (raw gray samples for single-band images, integer BT.601 otherwise).
+    * Returns [lo, hi]: bits 0..31 and 32..63 as non-negative longs, so
+    * banding/hamming arithmetic never touches the sign bit. Throws on
+    * undecodable payloads (refuse-loudly, as grayEncode does). */
+  def aHashParts(payload: Array[Byte]): Array[Long] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "aHashParts: payload is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val gray = raster.getNumBands == 1
+    val bs = new Array[Long](64)
+    val bn = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val lum =
+          if (gray) raster.getSample(x, y, 0) & 0xff
+          else {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+          }
+        val b = by * 8 + bx
+        bs(b) += lum; bn(b) += 1; total += lum
+        x += 1
+      }
+      y += 1
+    }
+    val npix = w.toLong * h
+    var lo = 0L; var hi = 0L
+    var b = 0
+    while (b < 64) {
+      if (bs(b) * npix > total * bn(b)) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    Array(lo, hi)
+  }
+
   /** media table (doc_id, media_ref, kind, payload:binary) → features.
     * Runs as a typed map — one narrow stage, codegen-friendly schema on
     * both sides, no driver collect. Partitioning of the input is
