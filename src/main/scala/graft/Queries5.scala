@@ -2294,6 +2294,31 @@ object Queries5 {
       r AS (SELECT qid, pid, cos, CAST(row_number() OVER
               (PARTITION BY qid ORDER BY cos DESC, pid) AS BIGINT) AS rank FROM c)
       SELECT qid, pid, rank, CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_u
-      FROM r WHERE rank <= 3 ORDER BY qid, rank"""))
+      FROM r WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // -- Concat-and-chunk token indexing (d18): the GPT training-data
+    // packing step — concatenate docs in doc_id order with one EOS each,
+    // cut into 512-token sequences, and index every doc's global token
+    // offset and chunk range. The engine computes the global prefix sum
+    // with NO global window (the single-task trap): deterministic ordered
+    // buckets → one bounded per-bucket total aggregation → broadcast
+    // exclusive offsets → map-only local scans. The twin IS the global
+    // window — equality proves the two-pass distributed scan exact.
+    ("d18_token_chunks", (s, dir) => {
+      engine.TokenPack.chunkIndex(
+          t(s, dir, "documents").select("doc_id", "text"), budget = 512)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tk AS (SELECT doc_id,
+              CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nt
+            FROM documents),
+      pf AS (SELECT doc_id, nt,
+              coalesce(sum(nt + 1) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+             FROM tk)
+      SELECT doc_id, nt AS n_tokens, CAST(start AS BIGINT) AS start_tok,
+             CAST(start // 512 AS BIGINT) AS first_chunk,
+             CAST((start + greatest(nt - 1, 0)) // 512 AS BIGINT) AS last_chunk
+      FROM pf ORDER BY doc_id"""))
   )
 }
