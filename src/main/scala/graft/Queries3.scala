@@ -636,6 +636,23 @@ object Queries3 {
         .orderBy("qid", "rank")
     }, Some(ivfKmeansOracle)),
 
+    // -- IVF index PERSISTENCE (e10): build-once/query-many — the
+    // codebook and coarse assignments land as parquet TABLES with the
+    // postings hive-partitioned by cid (the on-disk inverted lists; an
+    // nprobe query's cid predicate prunes at the scan and never reads the
+    // unprobed corpus). Querying the RELOADED index must equal e04's
+    // in-session result bit-for-bit (parquet round-trips doubles
+    // losslessly) — same oracle.
+    ("e10_ivf_index_persist", (s, dir) => {
+      prep(s)
+      val idx = "/tmp/graft_e10_index"
+      engine.Ann.ivfBuildIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = IVF_K, iters = IVF_ITERS, dir = idx, trainCap = ANN_TRAIN_CAP)
+      engine.Ann.ivfQueryIndex(idx, t(s, dir, "embeddings"), "vec_id", "embedding",
+          isQuery = id => id >= 20 && id < 60, nprobe = IVF_NPROBE, topK = IVF_TOPK)
+        .orderBy("qid", "rank")
+    }, Some(ivfKmeansOracle)),
+
     // -- product-quantization ANN (Jégou et al. 2011; the PQ half of
     // IVF-PQ): per-sub-space deterministic codebooks, 8-bit codes, ADC
     // distance tables, rounded approx ranking, exact-cosine refine of the

@@ -2319,6 +2319,34 @@ object Queries5 {
       SELECT doc_id, nt AS n_tokens, CAST(start AS BIGINT) AS start_tok,
              CAST(start // 512 AS BIGINT) AS first_chunk,
              CAST((start + greatest(nt - 1, 0)) // 512 AS BIGINT) AS last_chunk
-      FROM pf ORDER BY doc_id"""))
+      FROM pf ORDER BY doc_id""")),
+
+    // -- Content-hash split assignment (d19): leakage-proof train/val/test
+    // partitioning — the split key is md5 of the CONTENT, not the id, so
+    // byte-identical duplicates land in the same split by construction
+    // (id-based splits leak dups across train/test). ~90/5/5 via hex-string
+    // thresholds on the first two nibbles ('e6' = 230/256, 'f3' = 243/256),
+    // compared as ASCII so any engine reproduces it; a seeded variant
+    // ('v1:' prefix) shows resplittability without touching the ids.
+    // Map-only at any scale.
+    ("d19_split_assign", (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("h2", expr("substring(md5(text), 1, 2)"))
+        .withColumn("s2", expr("substring(md5(concat('v1:', text)), 1, 2)"))
+        .select(col("doc_id"), col("h2"),
+          expr("CASE WHEN h2 < 'e6' THEN 'train' WHEN h2 < 'f3' THEN 'val' " +
+            "ELSE 'test' END").as("split"),
+          expr("CASE WHEN s2 < 'e6' THEN 'train' WHEN s2 < 'f3' THEN 'val' " +
+            "ELSE 'test' END").as("split_v1"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH h AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2,
+                   substr(md5('v1:' || text), 1, 2) AS s2 FROM documents)
+      SELECT doc_id, h2,
+        CASE WHEN h2 < 'e6' THEN 'train' WHEN h2 < 'f3' THEN 'val'
+             ELSE 'test' END AS split,
+        CASE WHEN s2 < 'e6' THEN 'train' WHEN s2 < 'f3' THEN 'val'
+             ELSE 'test' END AS split_v1
+      FROM h ORDER BY doc_id"""))
   )
 }

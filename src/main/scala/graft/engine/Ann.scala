@@ -404,6 +404,54 @@ object Ann {
     * each query probes the `nprobe` nearest lists and ranks candidates by
     * exact cosine (ties → lowest pid). Output: (qid, pid, rank, cos_u)
     * with cos_u = round(cos·1e6). Self-matches are excluded. */
+  /** Persist an IVF index as TABLES — the Spark-native take on "build the
+    * index once, query it many times": `centroids` (cid, ce) is the k×dim
+    * driver-state codebook, `postings` (pid, pe, pn, cid) is the corpus
+    * with its coarse assignment, written **hive-partitioned by cid** so
+    * the on-disk layout IS the inverted lists — an nprobe query reads
+    * only the probed lists' files (partition pruning at the scan), never
+    * the whole corpus. Build cost = one kmeans + one map-only assignment
+    * pass + one write. */
+  def ivfBuildIndex(vecs: DataFrame, idCol: String, embCol: String,
+                    k: Int, iters: Int, dir: String,
+                    trainCap: Long = Long.MaxValue): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = kmeans(vecs, idCol, embCol, k, iters, trainCap)
+    cents.map { case (cid, ce) => (cid, ce.toSeq) }.toDF("cid", "ce")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val emb = col(embCol).cast("array<double>")
+    vecs.select(col(idCol).as("pid"), emb.as("pe"),
+        gf.vec_norm(emb).as("pn"), nearestCid(emb, cents).as("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/postings")
+  }
+
+  /** Query a persisted IVF index WITHOUT retraining: reload the codebook
+    * (k×dim driver state), probe nprobe lists per query, join the
+    * cid-partitioned postings (the probed-cid predicate prunes at the
+    * scan) and refine by exact cosine — bit-identical to [[ivfTopK]] run
+    * in one session (parquet round-trips doubles losslessly). */
+  def ivfQueryIndex(dir: String, vecs: DataFrame, idCol: String, embCol: String,
+                    isQuery: Column => Column, nprobe: Int, topK: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toIndexedSeq
+    val postings = spark.read.parquet(s"$dir/postings")
+      .select(col("pid"), col("pe"), col("pn"), col("cid"))
+    val emb = col(embCol).cast("array<double>")
+    val probes = vecs.where(isQuery(col(idCol)))
+      .select(col(idCol).as("qid"), emb.as("qe"), gf.vec_norm(emb).as("qn"),
+        explode(probeCids(emb, cents, nprobe)).as("cid"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
+    probes.join(postings, "cid")
+      .where(col("qid") =!= col("pid"))
+      .withColumn("cos", gf.vec_dot(col("qe"), col("pe")) / (col("qn") * col("pn")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("pid"), col("rank"),
+        expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").as("cos_u"))
+  }
+
   def ivfTopK(vecs: DataFrame, idCol: String, embCol: String,
               isQuery: Column => Column, k: Int, iters: Int,
               nprobe: Int, topK: Int, trainCap: Long = Long.MaxValue): DataFrame = {
