@@ -2347,6 +2347,32 @@ object Queries5 {
              ELSE 'test' END AS split,
         CASE WHEN s2 < 'e6' THEN 'train' WHEN s2 < 'f3' THEN 'val'
              ELSE 'test' END AS split_v1
-      FROM h ORDER BY doc_id"""))
+      FROM h ORDER BY doc_id""")),
+
+    // -- Streaming sessionization (s06): Spark-native session_window +
+    // watermark (store-managed bounded session state — the streaming twin
+    // of the batch s02 window-chain), with sessions merging ACROSS
+    // checkpoint restarts as the four monotone time slices arrive. The
+    // twin replays session_window's strict-gap rule (new session iff the
+    // inter-event gap ≥ 1800 s, microsecond-exact).
+    ("s06_stream_sessions", (s, dir) => {
+      streaming.StreamJobs.streamSessionize(s, s"$dir/events.parquet",
+        "/tmp/graft_s06_work")
+    }, Some("""
+      WITH l AS (SELECT user_id, ts, value, event_id,
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+            FROM events),
+      f AS (SELECT *, CASE WHEN p IS NULL
+              OR epoch_us(ts) - epoch_us(p) >= 1800000000 THEN 1 ELSE 0 END AS ns
+            FROM l),
+      g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn FROM f)
+      SELECT user_id,
+        CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+        count(*) AS n_events,
+        CAST(CAST(floor(epoch(max(ts))) AS BIGINT)
+             - CAST(floor(epoch(min(ts))) AS BIGINT) AS BIGINT) AS dur_s,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM g GROUP BY user_id, sn ORDER BY user_id, start_s"""))
   )
 }

@@ -300,6 +300,49 @@ object StreamJobs {
       .orderBy("doc_id")
   }
 
+  /** Streaming sessionization — the streaming twin of the batch s02 gate,
+    * on Spark's NATIVE session windows: `session_window(ts, gap)` +
+    * watermark, so session state is store-managed and bounded (sessions
+    * close and leave state when the watermark passes their end+gap — the
+    * property that keeps a 10^9-user stream finite). Events arrive as the
+    * four monotone time slices of [[stageTimeSlices]] (one file, one
+    * checkpoint-restarted AvailableNow run each — sessions spanning slice
+    * boundaries must merge across restarts from the state store), then
+    * the +1 h sentinel advances the watermark past every real session and
+    * a final no-data run flushes them. The sentinel's own session can
+    * never flush (nothing follows it), so it self-excludes from output.
+    * Session semantics are session_window's: merge iff gap STRICTLY less
+    * than `gapSec` — the twin replays exactly that rule. */
+  def streamSessionize(spark: SparkSession, eventsParquet: String, work: String,
+                       gapSec: Int = 1800): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rmr(spark, work)
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    val writers = stageTimeSlices(spark, eventsParquet, inDir)
+    val schema = spark.read.parquet(eventsParquet).schema
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(inDir)
+        .withColumn("tst", col("ts").cast("timestamp"))
+        .withWatermark("tst", "0 seconds")
+      val agg = in
+        .groupBy(col("user_id"), session_window(col("tst"), s"$gapSec seconds"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(unix_timestamp(max(tst)) - unix_timestamp(min(tst)) AS BIGINT)")
+            .as("dur_s"),
+          sum(expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")).as("sum_cents"),
+          expr("CAST(unix_timestamp(min(tst)) AS BIGINT)").as("start_s"))
+        .select(col("user_id"), col("start_s"), col("n_events"),
+          col("dur_s"), col("sum_cents"))
+      agg.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    writers.foreach { w => w(); run() }
+    run() // no-data flush: the sentinel's watermark closed every session
+    spark.read.parquet(outDir).orderBy("user_id", "start_s")
+  }
+
   def resumeDemo(spark: SparkSession, eventsParquet: String, work: String): DataFrame = {
     import org.apache.spark.sql.functions._
     rmr(spark, work)
