@@ -119,4 +119,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
+
+  test("e10 persisted IVF postings prune unprobed lists at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("planshape_ivf").toString
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Ann.ivfBuildIndex(vecs, "vec_id", "embedding", k = 4, iters = 1,
+      dir = dir, trainCap = 100)
+    val scan = spark.read.parquet(s"$dir/postings").where(col("cid") === 2)
+    val p = scan.queryExecution.executedPlan.toString
+    // cid is a hive partition column: the probed-list predicate must land
+    // in PartitionFilters (list-pruned read), never in the data filters
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined, p.take(1200))
+    assert(scan.count() > 0)
+  }
 }
