@@ -452,6 +452,66 @@ object Ann {
         expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)").as("cos_u"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate removal over an embedding column. Cluster the corpus
+    * with the deterministic [[kmeans]] trainer, then WITHIN each cluster
+    * remove every vector that has a lower-id neighbor at cosine ≥ tau.
+    * The paper keeps one representative per within-cluster epsilon-ball;
+    * our deterministic tie rule keeps the lowest id (the same min-id
+    * canonical rule as the d09 near-dup clusters), so an independent
+    * engine replaying the recipe reproduces the kept set bit-for-bit —
+    * the threshold compares *integer* micro-cosines (floor(cos·1e6+0.5)),
+    * never raw doubles, so threshold-edge pairs cannot diverge.
+    *
+    * Scale shape (100 TB): the pairwise stage self-joins ON THE CLUSTER
+    * KEY — cluster-bounded, never corpus-quadratic — and SemDeDup's own
+    * scaling argument applies: k grows with corpus size (the paper uses
+    * ~100k clusters for LAION) so per-cluster candidate sets stay
+    * bounded. `maxCluster` makes that bound explicit: if any cluster
+    * exceeds it the job REFUSES loudly (report-and-refuse, same contract
+    * as the LSH hot-bucket guard and the sieve cluster cap) instead of
+    * silently going quadratic. Assignment is map-only against centroid
+    * literals; the only shuffles are the cid-keyed self-join and the
+    * k×dim-bounded training updates.
+    *
+    * Returns one row per input vector: (vec_id, cid, kept, n_dups,
+    * dup_lo) where n_dups counts lower-id cluster neighbors at ≥ tau and
+    * dup_lo is the lowest such id (= vec_id when kept). */
+  def semDedup(vecs: DataFrame, idCol: String, embCol: String,
+               k: Int, iters: Int, tauU: Long,
+               trainCap: Long = Long.MaxValue,
+               maxCluster: Long = Long.MaxValue): DataFrame = {
+    GraftFunctions.register(vecs.sparkSession)
+    val cents = kmeans(vecs, idCol, embCol, k, iters, trainCap)
+    val emb = col(embCol).cast("array<double>")
+    val assigned = vecs.select(col(idCol).cast("long").as("vec_id"),
+        emb.as("e"), gf.vec_norm(emb).as("nm"))
+      .withColumn("cid", nearestCid(col("e"), cents))
+    if (maxCluster != Long.MaxValue) {
+      val over = assigned.groupBy("cid").count()
+        .where(col("count") > maxCluster).count()
+      require(over == 0L, s"semDedup: $over cluster(s) exceed " +
+        s"maxCluster=$maxCluster — raise k (SemDeDup scales k with corpus " +
+        "size) or the cap; refusing a quadratic cluster scan")
+    }
+    val lo = assigned.select(col("cid"), col("vec_id").as("lo"),
+      col("e").as("le"), col("nm").as("ln"))
+    val hi = assigned.select(col("cid"), col("vec_id").as("hi"),
+      col("e").as("he"), col("nm").as("hn"))
+    val dups = lo.join(hi, "cid").where(col("lo") < col("hi"))
+      .withColumn("cos", gf.vec_dot(col("le"), col("he")) / (col("ln") * col("hn")))
+      .withColumn("cos_u", expr("CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)"))
+      .where(col("cos_u") >= tauU)
+      .groupBy("hi")
+      .agg(count(lit(1)).as("n_dups"), min("lo").as("dup_lo"))
+    assigned.select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .join(dups, col("vec_id") === col("hi"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("hi").isNull, 1L).otherwise(0L).as("kept"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("dup_lo"), col("vec_id")).as("dup_lo"))
+  }
+
   def ivfTopK(vecs: DataFrame, idCol: String, embCol: String,
               isQuery: Column => Column, k: Int, iters: Int,
               nprobe: Int, topK: Int, trainCap: Long = Long.MaxValue): DataFrame = {

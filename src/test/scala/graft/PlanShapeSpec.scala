@@ -120,6 +120,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("d20/d21 scrub+quality passes are map-only (orderBy is the only Exchange)") {
+    for (name <- Seq("d20_pii_redact", "d21_gopher_rules")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val p = df.queryExecution.executedPlan.toString
+      // one rangepartitioning Exchange from the gate's deterministic
+      // orderBy; the scrub/score body itself must not shuffle or join
+      assert(exchanges(p) <= 1, s"$name: $p")
+      assert(!p.contains("Join"), s"$name: ${p.take(800)}")
+    }
+  }
+
+  test("e11 SemDeDup pairwise stage joins on the cluster key, never cartesian") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = Ann.semDedup(vecs, "vec_id", "embedding", k = 4, iters = 1,
+      tauU = 950000L, trainCap = 100)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cid"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
   test("e10 persisted IVF postings prune unprobed lists at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("planshape_ivf").toString
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
