@@ -44,6 +44,10 @@ object Queries6 {
     base.unionByName(dups)
   }
 
+  private val DitherPal: Array[(Int, Int, Int)] = Array(
+    (0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0),
+    (0, 0, 255), (128, 128, 0), (0, 128, 128), (128, 0, 128))
+
   val defs8: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // -- SemDeDup semantic near-dup removal (Abbas et al. 2023): k-means
@@ -155,8 +159,206 @@ object Queries6 {
       SELECT doc_id, n_words, mwl_u, alpha_ppm, sym_ppm, n_stop,
         CAST(reasons AS BIGINT) AS reasons,
         CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
-      FROM r ORDER BY doc_id"""))
+      FROM r ORDER BY doc_id""")),
+
+    // -- gdal_rasterize line burning, oracle-gated (was spec-only): exact
+    // GDALdllImageLine integer Bresenham (llrasterize.cpp:236-390) —
+    // floor()ed endpoints, the intermediate-vertex endpoint-skip rule,
+    // the both-endpoints-out-of-range segment skip, per-pixel clipping,
+    // fid-order overwrite. The twin replays the walk with the CLOSED FORM
+    // of the Bresenham error recurrence (y at step i = y0 + ys·⌊(2·dy·i +
+    // dx − 1)/(2·dx)⌋, verified identical to the stepped loop), so a
+    // different evaluation shape reproduces every burned pixel exactly.
+    // 40 three-vertex polylines exercise both axis-major branches, both
+    // directions, and all four clip edges of the z=1 512px raster.
+    ("r63_line_burn", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      engine.Rasterize.burnLines(lineFeats(s), z = 1)
+        .flatMap { t =>
+          val ts = t.w
+          for {
+            cy <- (0 until t.h).iterator
+            cx <- (0 until ts).iterator
+            v = t.pixels(cy * ts + cx)
+            if v != 0.0
+          } yield (t.x.toLong * ts + cx, t.y.toLong * ts + cy, v.toLong)
+        }.toDF("gx", "gy", "v").orderBy("gx", "gy")
+    }, Some(lineBurnOracle)),
+
+    // -- tee / materialize pipeline step, oracle-gated (was spec-only):
+    // one persisted upstream feeding two sinks (`gdal ... tee`'s
+    // one-read/N-consumer contract; the no-recompute property itself is
+    // pinned by TeeMaterializeSpec's accumulator + InMemoryTableScan
+    // asserts — this gate pins that both branches see the identical
+    // materialized row set).
+    ("q33_tee_materialize", (s, dir) => {
+      val up = t(s, dir, "lineitem").where(col("l_quantity") > 25)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .persist()
+      val a = up.groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("long")).as("metric"))
+        .select(lit("sum").as("branch"), col("l_returnflag"), col("metric"))
+      val b = up.groupBy("l_returnflag").agg(count(lit(1)).as("metric"))
+        .select(lit("cnt").as("branch"), col("l_returnflag"), col("metric"))
+      a.unionByName(b).orderBy("branch", "l_returnflag")
+    }, Some("""
+      WITH up AS (SELECT l_orderkey, l_returnflag, l_quantity
+          FROM lineitem WHERE l_quantity > 25)
+      SELECT 'sum' AS branch, l_returnflag,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS metric
+        FROM up GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'cnt' AS branch, l_returnflag, count(*) AS metric
+        FROM up GROUP BY l_returnflag
+      ORDER BY branch, l_returnflag""")),
+
+    // -- Floyd–Steinberg dither, oracle-gated (was spec-only with a
+    // documented tile-local deviation): the error-diffusion scan is
+    // sequential by construction, but every diffused error is an exact
+    // dyadic rational (integer·k/16), so IEEE doubles carry it EXACTLY
+    // and an independent replay must agree bit-for-bit — the twin runs
+    // the scan as a 256-step recursive CTE carrying the three error
+    // buffers as list state (gdaldither.cpp semantics: clamp(v+0.5),
+    // first-min nearest color, 7/3/5/1 sixteenths to the four
+    // neighbors). One 16×16 tile; palette = 8 fixed colors; 5 of them
+    // actually win pixels, so the diffusion visibly reorders choices vs
+    // the undithered nearest-color raster.
+    ("r64_fs_dither", (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      def band(fa: Long, fb: Long) =
+        engine.Raster.syntheticTiles(s, 0, tileSize = 16)(
+          (gx, gy) => ((gx * fa + gy * fb) % 256).toDouble)
+      engine.Palette.dither(band(7, 3), band(11, 5), band(13, 2), DitherPal)
+        .flatMap { t =>
+          for {
+            cy <- (0 until t.h).iterator
+            cx <- (0 until t.w).iterator
+          } yield (cx.toLong, cy.toLong, t.pixels(cy * t.w + cx).toLong)
+        }.toDF("gx", "gy", "idx").orderBy("gy", "gx")
+    }, Some(fsDitherOracle))
   )
+
+  /** DuckDB replay of [[graft.engine.Palette.dither]] on the r64 fixture:
+    * the scan-order error diffusion as a recursive CTE whose state is the
+    * three per-channel error buffers (exact dyadic doubles) plus the
+    * emitted index list. clamp = min(255, max(0, trunc(v + 0.5))) and the
+    * nearest color is the FIRST squared-distance minimum, both exactly
+    * the engine's (and gdaldither.cpp's) rules. */
+  private def fsDitherOracle: String = {
+    val pr = "[" + DitherPal.map(_._1).mkString(",") + "]"
+    val pg = "[" + DitherPal.map(_._2).mkString(",") + "]"
+    val pb = "[" + DitherPal.map(_._3).mkString(",") + "]"
+    def upd(errName: String, eName: String) = s"""
+      list_transform(generate_series(1, 256), j ->
+        CASE WHEN j = i + 2 AND i % 16 + 1 < 16
+               THEN $errName[j] + CAST($eName AS DOUBLE) * 7.0 / 16.0
+             WHEN j = i + 16 AND i // 16 + 1 < 16 AND i % 16 > 0
+               THEN $errName[j] + CAST($eName AS DOUBLE) * 3.0 / 16.0
+             WHEN j = i + 17 AND i // 16 + 1 < 16
+               THEN $errName[j] + CAST($eName AS DOUBLE) * 5.0 / 16.0
+             WHEN j = i + 18 AND i // 16 + 1 < 16 AND i % 16 + 1 < 16
+               THEN $errName[j] + CAST($eName AS DOUBLE) * 1.0 / 16.0
+             ELSE $errName[j] END)"""
+    def chan(errName: String, fa: Int, fb: Int) =
+      s"greatest(0, least(255, CAST(trunc(CAST(((s.i % 16) * $fa + " +
+        s"(s.i // 16) * $fb) % 256 AS DOUBLE) + s.$errName[s.i + 1] + 0.5) AS BIGINT)))"
+    s"""
+    WITH RECURSIVE rec AS (
+      SELECT 0 AS i,
+        list_transform(generate_series(1, 256), j -> CAST(0.0 AS DOUBLE)) AS er,
+        list_transform(generate_series(1, 256), j -> CAST(0.0 AS DOUBLE)) AS eg,
+        list_transform(generate_series(1, 256), j -> CAST(0.0 AS DOUBLE)) AS eb,
+        CAST([] AS BIGINT[]) AS out
+      UNION ALL
+      SELECT i + 1,
+        ${upd("er", s"(rv - $pr[idx + 1])")},
+        ${upd("eg", s"(gv - $pg[idx + 1])")},
+        ${upd("eb", s"(bv - $pb[idx + 1])")},
+        list_append(out, idx)
+      FROM (
+        SELECT q1.*, CAST(list_position(dl, list_min(dl)) - 1 AS BIGINT) AS idx
+        FROM (
+          SELECT q0.*, list_transform(generate_series(1, 8), k ->
+              ($pr[k] - rv) * ($pr[k] - rv) + ($pg[k] - gv) * ($pg[k] - gv)
+              + ($pb[k] - bv) * ($pb[k] - bv)) AS dl
+          FROM (
+            SELECT s.i, s.er, s.eg, s.eb, s.out,
+              ${chan("er", 7, 3)} AS rv,
+              ${chan("eg", 11, 5)} AS gv,
+              ${chan("eb", 13, 2)} AS bv
+            FROM rec s WHERE s.i < 256) q0) q1) q2)
+    SELECT CAST((j - 1) % 16 AS BIGINT) AS gx, CAST((j - 1) // 16 AS BIGINT) AS gy,
+      v AS idx
+    FROM (SELECT generate_subscripts(out, 1) AS j, unnest(out) AS v
+          FROM rec WHERE i = 256)
+    ORDER BY gy, gx"""
+  }
+
+  /** r63 fixture: 40 three-vertex polylines whose coordinates are exact
+    * double expressions both engines compute identically; several run off
+    * every edge of the 512px raster to exercise segment-skip + clipping. */
+  private def lineFeats(s: SparkSession): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    (0L until 40L).map { f =>
+      val x0 = -20.0 + (f % 11).toDouble * 53.7
+      val y0 = -15.0 + (f % 7).toDouble * 81.3
+      val x1 = x0 + (if (f % 3 == 0) 197.4 else -83.2)
+      val y1 = y0 + (f % 5).toDouble * 37.9 - 60.0
+      val x2 = x1 + 45.9
+      val y2 = y1 + (if (f % 2 == 0) 177.5 else -99.1)
+      val wkt = s"LINESTRING ($x0 $y0, $x1 $y1, $x2 $y2)"
+      (f, graft.geom.Wkb.write(graft.geom.Wkt.parse(wkt)), 10.0 + f.toDouble)
+    }.toDF("fid", "wkb", "burn")
+  }
+
+  /** DuckDB replay of [[graft.engine.Rasterize.burnLines]] over
+    * [[lineFeats]] at z=1 (512×512): per segment, the floored endpoints
+    * and axis-major branch, pixel i enumerated via the closed form of the
+    * integer Bresenham error recurrence; intermediate-vertex skip = one
+    * fewer step on non-final segments; add=false overwrite in ascending
+    * fid order = max(burn) per pixel (burn is monotone in fid). */
+  private def lineBurnOracle: String = """
+    WITH f0 AS (SELECT f,
+        -20.0 + CAST(f % 11 AS DOUBLE) * 53.7 AS x0,
+        -15.0 + CAST(f % 7 AS DOUBLE) * 81.3 AS y0,
+        10.0 + CAST(f AS DOUBLE) AS burn
+      FROM generate_series(0, 39) t(f)),
+    f2 AS (SELECT *,
+        x0 + CASE WHEN f % 3 = 0 THEN 197.4 ELSE -83.2 END AS x1,
+        y0 + CAST(f % 5 AS DOUBLE) * 37.9 - 60.0 AS y1 FROM f0),
+    f3 AS (SELECT *, x1 + 45.9 AS x2,
+        y1 + CASE WHEN f % 2 = 0 THEN 177.5 ELSE -99.1 END AS y2 FROM f2),
+    seg AS (SELECT f, burn, x0 AS ax, y0 AS ay, x1 AS bx, y1 AS byy, 0 AS lastseg FROM f3
+      UNION ALL SELECT f, burn, x1, y1, x2, y2, 1 FROM f3),
+    d AS (SELECT f, burn, lastseg,
+        CAST(floor(ax) AS BIGINT) AS ix, CAST(floor(ay) AS BIGINT) AS iy,
+        CAST(floor(bx) AS BIGINT) AS jx, CAST(floor(byy) AS BIGINT) AS jy
+      FROM seg
+      WHERE NOT ((ay < 0 AND byy < 0) OR (ay > 512 AND byy > 512)
+              OR (ax < 0 AND bx < 0) OR (ax > 512 AND bx > 512))),
+    e AS (SELECT f, burn, lastseg, ix, iy,
+        abs(jx - ix) AS dx, abs(jy - iy) AS dy,
+        CASE WHEN ix > jx THEN -1 ELSE 1 END AS xs,
+        CASE WHEN iy > jy THEN -1 ELSE 1 END AS ys FROM d),
+    xm AS (SELECT f, burn, ix, iy, dx, dy, xs, ys,
+        unnest(generate_series(0, dx - CASE WHEN lastseg = 1 THEN 0 ELSE 1 END)) AS i
+      FROM e WHERE dx >= dy),
+    ym AS (SELECT f, burn, ix, iy, dx, dy, xs, ys,
+        unnest(generate_series(0, dy - CASE WHEN lastseg = 1 THEN 0 ELSE 1 END)) AS i
+      FROM e WHERE dx < dy),
+    px AS (
+      SELECT f, burn, ix + xs * i AS gx,
+          iy + ys * (CASE WHEN dx = 0 THEN 0
+                     ELSE (2 * dy * i + dx - 1) // (2 * dx) END) AS gy FROM xm
+      UNION ALL
+      SELECT f, burn, ix + xs * ((2 * dx * i + dy - 1) // (2 * dy)) AS gx,
+          iy + ys * i AS gy FROM ym)
+    SELECT gx, gy, CAST(max(burn) AS BIGINT) AS v FROM px
+    WHERE gx >= 0 AND gy >= 0 AND gx < 512 AND gy < 512
+    GROUP BY gx, gy ORDER BY gx, gy"""
 
   /** DuckDB replay of [[graft.engine.Ann.semDedup]] over [[semCorpus]]:
     * the same deterministic k-means chain as the e04 oracle (stride init,
