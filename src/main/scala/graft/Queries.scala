@@ -1782,10 +1782,10 @@ object Queries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (defs ++ defs2 ++ defs3 ++ Queries2.defs4 ++ Queries3.defs5 ++ Queries4.defs6 ++ Queries5.defs7 ++ Queries6.defs8)
+    (defs ++ defs2 ++ defs3 ++ Queries2.defs4 ++ Queries3.defs5 ++ Queries4.defs6 ++ Queries5.defs7 ++ Queries6.defs8 ++ Queries7.defs9)
       .map { case (n, f, _) => n -> f }.toMap
 
   def oracleSql: Map[String, String] =
-    (defs ++ defs2 ++ defs3 ++ Queries2.defs4 ++ Queries3.defs5 ++ Queries4.defs6 ++ Queries5.defs7 ++ Queries6.defs8)
+    (defs ++ defs2 ++ defs3 ++ Queries2.defs4 ++ Queries3.defs5 ++ Queries4.defs6 ++ Queries5.defs7 ++ Queries6.defs8 ++ Queries7.defs9)
       .collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
 }

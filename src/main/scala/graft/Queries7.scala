@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 eighth-continuation gates: BPE subword tokenizer training /
+  * encoding (Sennrich et al. 2016) and BM25 corpus retrieval (Robertson &
+  * Zaragoza 2009) — the two classic text-pipeline operators the
+  * training-data family still lacked. Same conventions as [[Queries]]. */
+object Queries7 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val NMerges = 12
+  private val VocabCap = 4096L
+
+  // BM25 constants (k1 = 1.2, b = 0.75 — the standard Robertson defaults).
+  // k1*(1-b) = 0.3 and k1*b = 0.9 are written as the pre-multiplied
+  // literals in BOTH engines so the IEEE evaluation order is identical.
+  private val Bm25Terms = Seq("spark", "merge", "stream", "vector")
+  private val TopK = 20
+
+  val defs9: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // -- BPE merge-table training (d22): the real subword-vocabulary
+    // trainer (d15 is the pre-tokenizer that runs before it). Scale shape:
+    // one distributed groupBy(word) builds the vocabulary-bounded frequency
+    // table; the inherently-sequential merge loop runs on the driver over
+    // that bounded vocab (cap-guarded, refuse-loudly) — the same
+    // bounded-driver-state pattern as the k-means codebooks. The twin
+    // replays all 12 merges exactly: pair counting, (count desc, pair asc)
+    // tie-break, and the bracketed-literal replace whose left-to-right
+    // non-overlapping semantics Spark, Java and DuckDB share.
+    ("d22_bpe_train", (s, dir) => {
+      val merges = engine.Bpe.train(
+        engine.Bpe.wordFreq(t(s, dir, "documents"), "text"), NMerges, VocabCap)
+      s.createDataFrame(merges)
+        .select(col("step"), col("p1"), col("p2"), col("cnt"))
+        .orderBy("step")
+    }, Some(bpeTrainOracle)),
+
+    // -- BPE corpus encoding (d23): apply the learned merge table to every
+    // document — map-only, the merges are literal replace chains inside
+    // whole-stage codegen (no UDF, no broadcast, no shuffle). Output is
+    // the per-doc subword token count and the md5 of the segmented text;
+    // the twin retrains the merge chain and re-applies it relationally.
+    ("d23_bpe_encode", (s, dir) => {
+      val merges = engine.Bpe.train(
+        engine.Bpe.wordFreq(t(s, dir, "documents"), "text"), NMerges, VocabCap)
+      engine.Bpe.encodeDocs(t(s, dir, "documents"), "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }, Some(bpeEncodeOracle)),
+
+    // -- BM25 ranked retrieval (d24): the Okapi BM25(k1=1.2, b=0.75) score
+    // of a 4-term query over the corpus, top-20 docs. Scale shape: df and
+    // (N, sum dl) are term-/scalar-bounded aggregates broadcast back; the
+    // per-doc scoring pass is map-only over the corpus; the final top-k is
+    // TakeOrdered (no global sort shuffle). idf uses the d14 fixed-point-ln
+    // convention (floor(ln·1e4)) so cross-engine libm differences cannot
+    // flip a unit; everything else is exact-order IEEE arithmetic.
+    ("d24_bm25", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("dl", size(col("ws")).cast("long"))
+      val stats = docs.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+      val terms = {
+        val sp = s; import sp.implicits._
+        Bm25Terms.toDF("term")
+      }
+      val dt = docs.crossJoin(broadcast(terms))
+        .withColumn("tf", size(filter(col("ws"), w => w === col("term"))).cast("long"))
+        .where(col("tf") > 0)
+      val dft = dt.groupBy("term").agg(count(lit(1)).as("dft"))
+      dt.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+        .withColumn("idf_e4", expr(
+          "CAST(floor(ln((CAST(n AS DOUBLE) - CAST(dft AS DOUBLE) + 0.5) / " +
+            "(CAST(dft AS DOUBLE) + 0.5) + 1.0) * 10000.0) AS BIGINT)"))
+        .withColumn("tfp_e4", expr(
+          "CAST(floor(CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 0.3 + " +
+            "0.9 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sdl AS DOUBLE))) " +
+            "* 10000.0) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(sum(col("idf_e4") * col("tfp_e4")).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(TopK)
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      dl AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM d),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+      q AS (SELECT unnest([${Bm25Terms.map(x => s"'$x'").mkString(", ")}]) AS term),
+      dt AS (SELECT doc_id, term, dl,
+          CAST(len(list_filter(ws, x -> x = term)) AS BIGINT) AS tf
+        FROM dl CROSS JOIN q),
+      dth AS (SELECT * FROM dt WHERE tf > 0),
+      dft AS (SELECT term, CAST(count(*) AS BIGINT) AS dft FROM dth GROUP BY term),
+      sc AS (SELECT doc_id,
+          CAST(floor(ln((CAST(n AS DOUBLE) - CAST(dft AS DOUBLE) + 0.5) /
+            (CAST(dft AS DOUBLE) + 0.5) + 1.0) * 10000.0) AS BIGINT) AS idf_e4,
+          CAST(floor(CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 0.3 +
+            0.9 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sdl AS DOUBLE)))
+            * 10000.0) AS BIGINT) AS tfp_e4
+        FROM dth JOIN dft USING (term) CROSS JOIN st)
+      SELECT doc_id, CAST(sum(idf_e4 * tfp_e4) AS BIGINT) AS score,
+        CAST(count(*) AS BIGINT) AS n_terms
+      FROM sc GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT $TopK"""))
+  )
+
+  /** The shared DuckDB replay of [[graft.engine.Bpe.train]]: CTE chain
+    * wf → v0 → (t_i, g_i, p_i, m_i, v_{i+1})* — pair counts weighted by
+    * word frequency, argmax with (cnt desc, p1, p2) tie-break, literal
+    * bracketed replace. Returns the chain text up to v$NMerges / m_i. */
+  private def bpeChainCtes: String = {
+    // AS MATERIALIZED: v$i is referenced twice per level (pair-count branch
+    // + the next apply); DuckDB would otherwise inline the chain into a
+    // 2^NMerges-node plan.
+    val iters = (0 until NMerges).map { i =>
+      s"""
+      t$i AS (SELECT word, f, string_split(substr(repr, 2, length(repr) - 2), '><') AS ts
+        FROM v$i),
+      g$i AS (SELECT f, unnest(generate_series(1, len(ts) - 1)) AS i, ts
+        FROM t$i WHERE len(ts) >= 2),
+      p$i AS (SELECT ts[i] AS p1, ts[i + 1] AS p2, CAST(sum(f) AS BIGINT) AS cnt
+        FROM g$i GROUP BY 1, 2),
+      m$i AS MATERIALIZED (SELECT p1, p2, cnt FROM p$i ORDER BY cnt DESC, p1, p2 LIMIT 1),
+      v${i + 1} AS MATERIALIZED (SELECT word, f,
+          replace(repr, '<' || m.p1 || '><' || m.p2 || '>',
+                  '<' || m.p1 || m.p2 || '>') AS repr
+        FROM v$i CROSS JOIN m$i m)"""
+    }.mkString(",")
+    s"""
+      wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS f FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents) GROUP BY 1),
+      v0 AS MATERIALIZED (SELECT word, f,
+          regexp_replace(word, '(.)', '<\\1>', 'g') || '<_>' AS repr FROM wf),
+      $iters"""
+  }
+
+  private def bpeTrainOracle: String = {
+    val union = (0 until NMerges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, p1, p2, cnt FROM m$i")
+      .mkString(" UNION ALL ")
+    s"WITH $bpeChainCtes SELECT * FROM ($union) ORDER BY step"
+  }
+
+  private def bpeEncodeOracle: String = {
+    val applies = (0 until NMerges).map { i =>
+      s"""
+      r${i + 1} AS MATERIALIZED (SELECT doc_id, i,
+          replace(repr, '<' || m.p1 || '><' || m.p2 || '>',
+                  '<' || m.p1 || m.p2 || '>') AS repr
+        FROM r$i CROSS JOIN m$i m)"""
+    }.mkString(",")
+    s"""
+      WITH $bpeChainCtes,
+      dws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        FROM documents),
+      dw AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+        FROM dws WHERE len(ws) >= 1),
+      r0 AS (SELECT doc_id, i,
+          regexp_replace(ws[i], '(.)', '<\\1>', 'g') || '<_>' AS repr FROM dw),
+      $applies
+      SELECT doc_id,
+        CAST(sum(len(string_split(substr(repr, 2, length(repr) - 2), '><'))) AS BIGINT)
+          AS n_tokens,
+        md5(string_agg(repr, ' ' ORDER BY i)) AS tok_md5
+      FROM r$NMerges GROUP BY doc_id ORDER BY doc_id"""
+  }
+}

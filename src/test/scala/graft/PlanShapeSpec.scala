@@ -154,4 +154,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined, p.take(1200))
     assert(scan.count() > 0)
   }
+
+  test("d23 BPE corpus encode is map-only (merges are plan literals, no join)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = graft.engine.Bpe.train(
+      graft.engine.Bpe.wordFreq(docs, "text"), nMerges = 8, vocabCap = 4096)
+    val p = graft.engine.Bpe.encodeDocs(docs, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(p) === 0, p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("d24 BM25 corpus side broadcasts df/stats, never sort-merges") {
+    val df = SparkEntry.queries("d24_bm25")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    // top-k is TakeOrdered, not a global sort shuffle
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
 }
