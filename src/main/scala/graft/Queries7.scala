@@ -105,7 +105,66 @@ object Queries7 {
       SELECT doc_id, CAST(sum(idf_e4 * tfp_e4) AS BIGINT) AS score,
         CAST(count(*) AS BIGINT) AS n_terms
       FROM sc GROUP BY doc_id
-      ORDER BY score DESC, doc_id LIMIT $TopK"""))
+      ORDER BY score DESC, doc_id LIMIT $TopK""")),
+
+    // -- ESRI Shapefile record codec round-trip (g64): the canonical GDAL
+    // vector format. Each doc builds a 3-shell MULTIPOLYGON whose rings are
+    // DELIBERATELY mixed-winding (A outer CCW + hole CW = both wrong, B
+    // outer CW + hole CCW = both right, C outer CCW = wrong): the writer
+    // must invert exactly the wrong ones (shape2ogr.cpp:1021), and the
+    // reader must re-assemble the 5-ring record with the ONLY_CCW
+    // organizePolygons contract — hole A1 reaches shell A only through the
+    // biggest-shell backstop, hole B1 only through the point-in-ring walk
+    // (its area ties shell C, whose envelope rejects it). content_len pins
+    // the writer's byte layout (4 type + 32 box + 8 counts + 4·5 parts +
+    // 16·25 points = 464); the per-part area/npoints rows pin the hole
+    // ASSIGNMENT (a misassigned hole moves area between parts).
+    ("g64_shp_roundtrip", (s, dir) => {
+      functions.GraftFunctions.register(s)
+      import graft.functions.gf
+      val base = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("x0", expr("CAST(doc_id % 50 AS DOUBLE)"))
+        .withColumn("y0", expr("CAST(doc_id % 37 AS DOUBLE)"))
+        .withColumn("dA", expr("CAST(8 + doc_id % 3 AS DOUBLE)"))
+      def pt(xe: String, ye: String) = s"CAST($xe AS STRING), ' ', CAST($ye AS STRING)"
+      def ring(pts: Seq[(String, String)]) =
+        s"'(', ${pts.map { case (x, y) => pt(x, y) }.mkString(", ',', ")}, ')'"
+      val aO = ring(Seq(("x0", "y0"), ("x0 + dA", "y0"), ("x0 + dA", "y0 + dA"),
+        ("x0", "y0 + dA"), ("x0", "y0")))                              // CCW (wrong)
+      val aH = ring(Seq(("x0 + 1", "y0 + 1"), ("x0 + 1", "y0 + 3"),
+        ("x0 + 3", "y0 + 3"), ("x0 + 3", "y0 + 1"), ("x0 + 1", "y0 + 1"))) // CW (wrong)
+      val bO = ring(Seq(("x0 + 20", "y0"), ("x0 + 20", "y0 + 3"),
+        ("x0 + 23", "y0 + 3"), ("x0 + 23", "y0"), ("x0 + 20", "y0")))  // CW (right)
+      val bH = ring(Seq(("x0 + 21", "y0 + 1"), ("x0 + 22", "y0 + 1"),
+        ("x0 + 22", "y0 + 2"), ("x0 + 21", "y0 + 2"), ("x0 + 21", "y0 + 1"))) // CCW (right)
+      val cO = ring(Seq(("x0 + 1.5", "y0 + 1.5"), ("x0 + 2.5", "y0 + 1.5"),
+        ("x0 + 2.5", "y0 + 2.5"), ("x0 + 1.5", "y0 + 2.5"), ("x0 + 1.5", "y0 + 1.5")))
+      val wkt = s"concat('MULTIPOLYGON ((', $aO, ',', $aH, "  +
+        s"'),(', $bO, ',', $bH, '),(', $cO, '))')"
+      base.withColumn("rec", gf.st_asshp(gf.st_geomfromtext(expr(wkt))))
+        .withColumn("out", gf.st_fromshp(col("rec")))
+        .select(col("doc_id"),
+          length(col("rec")).cast("long").as("content_len"),
+          gf.st_geometrytype(col("out")).as("gtype"),
+          expr("(st_envelope(out)[2] - st_envelope(out)[0]) * " +
+            "(st_envelope(out)[3] - st_envelope(out)[1])").as("env_area"),
+          posexplode(gf.st_dump(col("out"))).as(Seq("pos", "part")))
+        .select(col("doc_id"), col("content_len"), col("gtype"), col("env_area"),
+          col("pos").cast("long").as("pos"),
+          gf.st_area(col("part")).as("part_area"),
+          gf.st_npoints(col("part")).cast("long").as("part_npts"))
+        .orderBy("doc_id", "pos")
+    }, Some("""
+      WITH b AS (SELECT doc_id, CAST(doc_id % 50 AS DOUBLE) AS x0,
+          CAST(doc_id % 37 AS DOUBLE) AS y0,
+          CAST(8 + doc_id % 3 AS DOUBLE) AS dA FROM documents),
+      e AS (SELECT doc_id, x0, y0, dA, unnest([0, 1, 2]) AS pos FROM b)
+      SELECT doc_id, CAST(464 AS BIGINT) AS content_len,
+        'MULTIPOLYGON' AS gtype, 23.0 * dA AS env_area,
+        CAST(pos AS BIGINT) AS pos,
+        CASE pos WHEN 0 THEN dA * dA - 4.0 WHEN 1 THEN 8.0 ELSE 1.0 END AS part_area,
+        CAST(CASE pos WHEN 0 THEN 10 WHEN 1 THEN 10 ELSE 5 END AS BIGINT) AS part_npts
+      FROM e ORDER BY doc_id, pos"""))
   )
 
   /** The shared DuckDB replay of [[graft.engine.Bpe.train]]: CTE chain

@@ -75,6 +75,15 @@ object GeoKernel {
     if (g == null) null else Wkb.write(g)
   }
 
+  /** ESRI Shapefile record codec (geom/Shp.scala; reference
+    * ogr/ogrsf_frmts/shape/shape2ogr.cpp + shapelib/shpopen.c). */
+  def asShp(wkb: Array[Byte]): Array[Byte] = Shp.writeRecord(decode(wkb))
+
+  def geomFromShp(rec: Array[Byte]): Array[Byte] = {
+    val g = Shp.readRecord(rec)
+    if (g == null) null else Wkb.write(g)
+  }
+
   // ---- curve-exact measures on raw curve WKT (no linearization);
   // null when the input is not a parseable 2-D curve type
   def curveLength(wkt: String): java.lang.Double =

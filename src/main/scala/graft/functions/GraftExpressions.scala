@@ -102,6 +102,44 @@ case class StAsKml(child: Expression)
     copy(child = newChild)
 }
 
+/** st_asshp(wkb) — ESRI Shapefile record-content bytes (the `.shp` record
+  * body, shape2ogr.cpp SHPWriteOGRObject semantics: outer rings forced CW,
+  * holes CCW, multi-part flattening). */
+case class StAsShp(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_asshp"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeoKernel.asShp(wkb.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.N}.asShp($c)")
+  protected override def withNewChildInternal(newChild: Expression): StAsShp =
+    copy(child = newChild)
+}
+
+/** st_fromshp(record) — decode one shapefile record body back to WKB; NULL
+  * for a NULL shape. Polygon rings re-assemble with the ONLY_CCW
+  * organizePolygons contract (shape2ogr.cpp:443). */
+case class StGeomFromShp(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_fromshp"
+  protected override def nullSafeEval(rec: Any): Any =
+    GeoKernel.geomFromShp(rec.asInstanceOf[Array[Byte]])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = ${K.N}.geomFromShp($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  protected override def withNewChildInternal(newChild: Expression): StGeomFromShp =
+    copy(child = newChild)
+}
+
 case class StAsGml(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
