@@ -164,7 +164,65 @@ object Queries7 {
         CAST(pos AS BIGINT) AS pos,
         CASE pos WHEN 0 THEN dA * dA - 4.0 WHEN 1 THEN 8.0 ELSE 1.0 END AS part_area,
         CAST(CASE pos WHEN 0 THEN 10 WHEN 1 THEN 10 ELSE 5 END AS BIGINT) AS part_npts
-      FROM e ORDER BY doc_id, pos"""))
+      FROM e ORDER BY doc_id, pos""")),
+
+    // -- DSIR data selection (d25, Xie et al. 2023 "Data Selection for
+    // Language Models via Importance Resampling"): hashed-n-gram importance
+    // weights. Feature buckets are the first md5 hex byte of each unigram/
+    // bigram (256 buckets, string keys — both engines bucket identically
+    // with no hex→int conversion); the target distribution is the lang='en'
+    // slice, raw is the whole corpus; per-doc weight = Σ over the doc's
+    // n-grams of the add-one-smoothed log likelihood ratio (d14's
+    // fixed-point-ln convention). Selection is the deterministic top-50 by
+    // (weight desc, doc_id) — the paper's Gumbel-noise draw with the noise
+    // term pinned to zero so the gate is exact. Scale shape: two
+    // 256-bounded bucket aggregations broadcast back; the corpus pass is
+    // explode → broadcast join → one per-doc re-aggregation (map-side
+    // partial combine); top-k is TakeOrdered.
+    ("d25_dsir_select", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      val grams = docs.select(col("doc_id"), col("lang"),
+          explode(concat(col("ws"),
+            expr("transform(sequence(1, size(ws) - 1), " +
+              "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))).as("g"))
+        .withColumn("b", expr("substring(md5(g), 1, 2)"))
+      val target = grams.where(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val raw = grams.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tTot = target.agg(sum("ct").as("tt"))
+      val rTot = raw.agg(sum("cr").as("tr"))
+      grams.join(broadcast(raw), "b")
+        .join(broadcast(target), Seq("b"), "left")
+        .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+        .withColumn("lr_e4", expr(
+          "CAST(floor(ln(((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / " +
+            "(CAST(tt AS DOUBLE) + 256.0)) / ((CAST(cr AS DOUBLE) + 1.0) / " +
+            "(CAST(tr AS DOUBLE) + 256.0))) * 10000.0) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum("lr_e4").as("weight_e4"))
+        .orderBy(col("weight_e4").desc, col("doc_id"))
+        .limit(50)
+    }, Some("""
+      WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      gr AS (SELECT doc_id, lang, unnest(list_concat(ws,
+          list_transform(generate_series(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i + 1]))) AS g FROM d),
+      gb AS (SELECT doc_id, lang, substr(md5(g), 1, 2) AS b FROM gr),
+      tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
+      raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM gb GROUP BY b),
+      tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgt),
+      tr AS (SELECT CAST(sum(cr) AS BIGINT) AS tr FROM raw),
+      sc AS (SELECT doc_id,
+          CAST(floor(ln(((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) /
+            (CAST(tt AS DOUBLE) + 256.0)) / ((CAST(cr AS DOUBLE) + 1.0) /
+            (CAST(tr AS DOUBLE) + 256.0))) * 10000.0) AS BIGINT) AS lr_e4
+        FROM gb JOIN raw USING (b) LEFT JOIN tgt USING (b)
+        CROSS JOIN tt CROSS JOIN tr)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(lr_e4) AS BIGINT) AS weight_e4
+      FROM sc GROUP BY doc_id
+      ORDER BY weight_e4 DESC, doc_id LIMIT 50"""))
   )
 
   /** The shared DuckDB replay of [[graft.engine.Bpe.train]]: CTE chain

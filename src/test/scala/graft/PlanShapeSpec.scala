@@ -165,6 +165,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("d25 DSIR bucket tables broadcast: the gram side never sort-merges") {
+    val df = SparkEntry.queries("d25_dsir_select")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
   test("d24 BM25 corpus side broadcasts df/stats, never sort-merges") {
     val df = SparkEntry.queries("d24_bm25")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
