@@ -222,7 +222,133 @@ object Queries7 {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
         CAST(sum(lr_e4) AS BIGINT) AS weight_e4
       FROM sc GROUP BY doc_id
-      ORDER BY weight_e4 DESC, doc_id LIMIT 50"""))
+      ORDER BY weight_e4 DESC, doc_id LIMIT 50""")),
+
+    // -- Count-min sketch (d26, Cormode & Muthukrishnan 2005): the
+    // mergeable bounded-state frequency summary for streams/corpora too
+    // large to count exactly. 4 rows × 256 columns; row r's hash of word w
+    // is the first md5 hex byte of "r:w" (string bucket keys — both
+    // engines bucket identically). The build is ONE bounded aggregation
+    // (≤1024 cells regardless of corpus size — the 100-TB story; cells are
+    // sums, so partition sketches merge by addition). The gate queries 6
+    // terms: est = min over rows of the hashed cell, alongside the exact
+    // count and the CM guarantee flag est ≥ exact (must be all-1).
+    ("d26_countmin", (s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val rows = typedLit(Seq(0, 1, 2, 3))
+      val cells = words.select(col("w"), explode(rows).as("r"))
+        .withColumn("b", expr("substring(md5(concat(CAST(r AS STRING), ':', w)), 1, 2)"))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val terms = {
+        val sp = s; import sp.implicits._
+        Seq("spark", "join", "the", "vector", "zebra", "window").toDF("term")
+      }
+      val est = terms.select(col("term"), explode(rows).as("r"))
+        .withColumn("b", expr("substring(md5(concat(CAST(r AS STRING), ':', term)), 1, 2)"))
+        .join(broadcast(cells), Seq("r", "b"), "left")
+        .groupBy("term").agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      val exact = words.groupBy("w").agg(count(lit(1)).as("exact"))
+      est.join(broadcast(exact), est("term") === exact("w"), "left")
+        .select(col("term"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L))).cast("long").as("ge"))
+        .orderBy("term")
+    }, Some("""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      cells AS (SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 2) AS b,
+          CAST(count(*) AS BIGINT) AS c
+        FROM w CROSS JOIN rows_ GROUP BY 1, 2),
+      q AS (SELECT unnest(['spark', 'join', 'the', 'vector', 'zebra', 'window']) AS term),
+      qb AS (SELECT term, r, substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 2) AS b
+        FROM q CROSS JOIN rows_),
+      est AS (SELECT term, min(coalesce(c, 0)) AS est
+        FROM qb LEFT JOIN cells USING (r, b) GROUP BY term),
+      ex AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS exact FROM w GROUP BY 1)
+      SELECT term, CAST(est AS BIGINT) AS est,
+        CAST(coalesce(exact, 0) AS BIGINT) AS exact,
+        CAST(CASE WHEN est >= coalesce(exact, 0) THEN 1 ELSE 0 END AS BIGINT) AS ge
+      FROM est LEFT JOIN ex USING (term) ORDER BY term""")),
+
+    // -- HyperLogLog distinct sketch (d27, Flajolet et al. 2007): m = 64
+    // registers over md5 bits — bucket = first two hex chars mod 64 (via
+    // the instr('0123456789abcdef', c) digit decode both engines share),
+    // rank ρ = leading-zero bits of the next 12 hex chars + 1 (regexp '^0*'
+    // prefix × 4 + a per-digit CASE), register = max ρ. The indicator
+    // Σ 2^-M sums exact dyadic rationals spanning < 53 bits, so IEEE
+    // addition is order-independent and both engines agree bit-for-bit;
+    // the raw estimate α₆₄·m²/Σ and the small-range linear-counting branch
+    // (V > 0 ∧ raw ≤ 2.5m → m·ln(m/V)) are both exercised: distinct WORDS
+    // (~30 ≪ m, linear counting) and distinct BIGRAMS (≫ m, raw branch).
+    // Registers are max-mergeable — the same bounded-state story as d26.
+    ("d27_hll", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val words = docs.select(explode(col("ws")).as("g"))
+        .withColumn("scope", lit("words"))
+      val bigrams = docs.select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("g"))
+        .withColumn("scope", lit("bigrams"))
+      val hashed = words.unionByName(bigrams)
+        .withColumn("h", md5(col("g")))
+        .withColumn("bkt", expr(
+          "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
+            "(instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 64"))
+        .withColumn("z", expr("length(regexp_extract(substring(h, 3, 12), '^0*', 0))"))
+        .withColumn("rho", expr(
+          "CAST(z * 4 + CASE WHEN z = 12 THEN 1 ELSE " +
+            "CASE WHEN instr('89abcdef', substring(h, 3 + z, 1)) > 0 THEN 1 " +
+            "WHEN instr('4567', substring(h, 3 + z, 1)) > 0 THEN 2 " +
+            "WHEN instr('23', substring(h, 3 + z, 1)) > 0 THEN 3 " +
+            "ELSE 4 END END AS BIGINT)"))
+      val regs = hashed.groupBy("scope", "bkt").agg(max("rho").as("m_reg"))
+      val sums = regs.groupBy("scope").agg(
+        sum(expr("pow(2.0, -CAST(m_reg AS DOUBLE))")).as("s"),
+        count(lit(1)).as("nz"))
+      val exact = hashed.select("scope", "g").distinct()
+        .groupBy("scope").agg(count(lit(1)).as("exact"))
+      sums.withColumn("v", lit(64L) - col("nz"))
+        .withColumn("raw", expr("0.709 * 4096.0 / (s + CAST(v AS DOUBLE))"))
+        .withColumn("est_e2", expr(
+          "CAST(floor((CASE WHEN v > 0 AND raw <= 160.0 " +
+            "THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE)) ELSE raw END) * 100.0) AS BIGINT)"))
+        .join(broadcast(exact), "scope")
+        .select(col("scope"), col("v"), col("est_e2"), col("exact"))
+        .orderBy("scope")
+    }, Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT 'words' AS scope, unnest(ws) AS g FROM d
+        UNION ALL
+        SELECT 'bigrams' AS scope, unnest(list_transform(
+          generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])) AS g FROM d),
+      h AS (SELECT scope, g, md5(g) AS h FROM g),
+      hb AS (SELECT scope, g,
+          ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS bkt,
+          length(regexp_extract(substr(h, 3, 12), '^0*')) AS z, h
+        FROM h),
+      hr AS (SELECT scope, g, bkt,
+          CAST(z * 4 + CASE WHEN z = 12 THEN 1 ELSE
+            CASE WHEN instr('89abcdef', substr(h, 3 + z, 1)) > 0 THEN 1
+                 WHEN instr('4567', substr(h, 3 + z, 1)) > 0 THEN 2
+                 WHEN instr('23', substr(h, 3 + z, 1)) > 0 THEN 3
+                 ELSE 4 END END AS BIGINT) AS rho
+        FROM hb),
+      regs AS (SELECT scope, bkt, max(rho) AS m_reg FROM hr GROUP BY 1, 2),
+      sums AS (SELECT scope, sum(pow(2.0, -CAST(m_reg AS DOUBLE))) AS s,
+          CAST(count(*) AS BIGINT) AS nz FROM regs GROUP BY 1),
+      ex AS (SELECT scope, CAST(count(DISTINCT g) AS BIGINT) AS exact
+        FROM hr GROUP BY 1),
+      fin AS (SELECT scope, 64 - nz AS v,
+          0.709 * 4096.0 / (s + CAST(64 - nz AS DOUBLE)) AS raw, s FROM sums)
+      SELECT scope, CAST(v AS BIGINT) AS v,
+        CAST(floor((CASE WHEN v > 0 AND raw <= 160.0
+          THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE)) ELSE raw END) * 100.0) AS BIGINT)
+          AS est_e2,
+        exact
+      FROM fin JOIN ex USING (scope) ORDER BY scope"""))
   )
 
   /** The shared DuckDB replay of [[graft.engine.Bpe.train]]: CTE chain
