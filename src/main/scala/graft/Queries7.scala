@@ -187,14 +187,14 @@ object Queries7 {
             expr("transform(sequence(1, size(ws) - 1), " +
               "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))).as("g"))
         .withColumn("b", expr("substring(md5(g), 1, 2)"))
-      val target = grams.where(col("lang") === "en")
-        .groupBy("b").agg(count(lit(1)).as("ct"))
-      val raw = grams.groupBy("b").agg(count(lit(1)).as("cr"))
-      val tTot = target.agg(sum("ct").as("tt"))
-      val rTot = raw.agg(sum("cr").as("tr"))
-      grams.join(broadcast(raw), "b")
-        .join(broadcast(target), Seq("b"), "left")
-        .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      // raw and target distributions in ONE gram-scan aggregation (count +
+      // conditional count) — 2 corpus passes total (fit, score), the DSIR
+      // reference shape
+      val buckets = grams.groupBy("b").agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val tots = buckets.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+      grams.join(broadcast(buckets), "b")
+        .crossJoin(broadcast(tots))
         .withColumn("lr_e4", expr(
           "CAST(floor(ln(((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / " +
             "(CAST(tt AS DOUBLE) + 256.0)) / ((CAST(cr AS DOUBLE) + 1.0) / " +
