@@ -254,22 +254,36 @@ object Queries7 {
           coalesce(col("exact"), lit(0L)).as("exact"),
           (col("est") >= coalesce(col("exact"), lit(0L))).cast("long").as("ge"))
         .orderBy("term")
-    }, Some("""
-      WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-      rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
-      cells AS (SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 2) AS b,
-          CAST(count(*) AS BIGINT) AS c
-        FROM w CROSS JOIN rows_ GROUP BY 1, 2),
-      q AS (SELECT unnest(['spark', 'join', 'the', 'vector', 'zebra', 'window']) AS term),
-      qb AS (SELECT term, r, substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 2) AS b
-        FROM q CROSS JOIN rows_),
-      est AS (SELECT term, min(coalesce(c, 0)) AS est
-        FROM qb LEFT JOIN cells USING (r, b) GROUP BY term),
-      ex AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS exact FROM w GROUP BY 1)
-      SELECT term, CAST(est AS BIGINT) AS est,
-        CAST(coalesce(exact, 0) AS BIGINT) AS exact,
-        CAST(CASE WHEN est >= coalesce(exact, 0) THEN 1 ELSE 0 END AS BIGINT) AS ge
-      FROM est LEFT JOIN ex USING (term) ORDER BY term""")),
+    }, Some(countMinOracle)),
+
+    // -- STREAMING count-min maintenance (s07): the ingest-time twin of
+    // d26 — every micro-batch reduces to a ≤1024-cell PARTIAL sketch
+    // appended to the sketch store (cells merge by addition, so any batch
+    // slicing gives the same final sketch); the slices arrive across a
+    // checkpoint RESTART plus a no-data restart, and the gate's est ==
+    // exact equality (no collisions at this vocab) proves every input
+    // file contributed exactly once. Same oracle as d26: the streamed
+    // sketch must equal the batch build bit-for-bit.
+    ("s07_stream_countmin", (s, dir) => {
+      val cells = streaming.StreamJobs.streamCountMin(
+        s, s"$dir/documents.parquet", "/tmp/graft_s07_work")
+      val terms = {
+        val sp = s; import sp.implicits._
+        Seq("spark", "join", "the", "vector", "zebra", "window").toDF("term")
+      }
+      val est = terms.select(col("term"), explode(typedLit(Seq(0, 1, 2, 3))).as("r"))
+        .withColumn("b", expr("substring(md5(concat(CAST(r AS STRING), ':', term)), 1, 2)"))
+        .join(broadcast(cells), Seq("r", "b"), "left")
+        .groupBy("term").agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      val exact = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("exact"))
+      est.join(broadcast(exact), est("term") === exact("w"), "left")
+        .select(col("term"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L))).cast("long").as("ge"))
+        .orderBy("term")
+    }, Some(countMinOracle)),
 
     // -- HyperLogLog distinct sketch (d27, Flajolet et al. 2007): m = 64
     // registers over md5 bits — bucket = first two hex chars mod 64 (via
@@ -350,6 +364,25 @@ object Queries7 {
         exact
       FROM fin JOIN ex USING (scope) ORDER BY scope"""))
   )
+
+  /** Shared d26/s07 oracle: the relational count-min build + 6-term query
+    * (the streamed sketch must equal the batch sketch exactly). */
+  private def countMinOracle: String = """
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      cells AS (SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 2) AS b,
+          CAST(count(*) AS BIGINT) AS c
+        FROM w CROSS JOIN rows_ GROUP BY 1, 2),
+      q AS (SELECT unnest(['spark', 'join', 'the', 'vector', 'zebra', 'window']) AS term),
+      qb AS (SELECT term, r, substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 2) AS b
+        FROM q CROSS JOIN rows_),
+      est AS (SELECT term, min(coalesce(c, 0)) AS est
+        FROM qb LEFT JOIN cells USING (r, b) GROUP BY term),
+      ex AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS exact FROM w GROUP BY 1)
+      SELECT term, CAST(est AS BIGINT) AS est,
+        CAST(coalesce(exact, 0) AS BIGINT) AS exact,
+        CAST(CASE WHEN est >= coalesce(exact, 0) THEN 1 ELSE 0 END AS BIGINT) AS ge
+      FROM est LEFT JOIN ex USING (term) ORDER BY term"""
 
   /** The shared DuckDB replay of [[graft.engine.Bpe.train]]: CTE chain
     * wf → v0 → (t_i, g_i, p_i, m_i, v_{i+1})* — pair counts weighted by

@@ -343,6 +343,49 @@ object StreamJobs {
     spark.read.parquet(outDir).orderBy("user_id", "start_s")
   }
 
+  /** Streaming count-min sketch maintenance (the streaming twin of the
+    * d26 batch build): each micro-batch reduces to a PARTIAL sketch —
+    * 4×256 (row, md5-hex-byte bucket) cells — appended to the sketch
+    * store; the final sketch is the per-cell SUM. Correct under any batch
+    * slicing because sketch cells merge by addition (associative +
+    * commutative), and correct across kill/restart because the file
+    * source's checkpointed offset log makes every input file contribute
+    * exactly once: the run sequence below stages slices 0+1, runs to
+    * completion, stages slice 2, RESTARTS from the checkpoint (only slice
+    * 2 contributes), then restarts once more with no new data (nothing is
+    * re-counted — the property the gate's exact-count equality proves).
+    * At ingest scale this is the shape that summarizes a 10^12-doc feed
+    * in bounded state: ≤1024 cells per micro-batch, one small append. */
+  def streamCountMin(spark: SparkSession, docsParquet: String,
+                     work: String): DataFrame = {
+    rmr(spark, work)
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    val docs = spark.read.parquet(docsParquet)
+    val schema = docs.schema
+    def stage(k: Int): Unit =
+      docs.where(pmod(col("doc_id"), lit(3)) === k)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def partialCells(batch: DataFrame): DataFrame =
+      batch.select(explode(split(col("text"), " ")).as("w"))
+        .select(col("w"), explode(typedLit(Seq(0, 1, 2, 3))).as("r"))
+        .withColumn("b", expr(
+          "substring(md5(concat(CAST(r AS STRING), ':', w)), 1, 2)"))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(inDir)
+      in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          partialCells(batch).write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    stage(0); stage(1); run() // slices 0+1 arrive, stream completes
+    stage(2); run()           // slice 2 arrives, RESTART from checkpoint
+    run()                     // no-data restart: nothing re-counted
+    spark.read.parquet(outDir).groupBy("r", "b").agg(sum("c").as("c"))
+  }
+
   def resumeDemo(spark: SparkSession, eventsParquet: String, work: String): DataFrame = {
     import org.apache.spark.sql.functions._
     rmr(spark, work)
