@@ -362,7 +362,31 @@ object Queries7 {
           THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE)) ELSE raw END) * 100.0) AS BIGINT)
           AS est_e2,
         exact
-      FROM fin JOIN ex USING (scope) ORDER BY scope"""))
+      FROM fin JOIN ex USING (scope) ORDER BY scope""")),
+
+    // -- Exact distributed quantiles (d28): the k-th order statistic of a
+    // double column WITHOUT a global sort — 16-bit-digit radix selection
+    // over the order-preserving IEEE bit map (double_usort_bits), four
+    // bounded aggregation passes per quantile, ≤2^16 driver counters per
+    // pass. No sample, no approximation: the twin computes the same k-th
+    // element by brute row_number and the values must be bit-equal
+    // doubles. k = floor((n-1)·q) + 1 (the lower order statistic).
+    ("d28_exact_quantile", (s, dir) => {
+      val ev = t(s, dir, "events").select(col("value"))
+      val n = ev.count()
+      val sp = s; import sp.implicits._
+      Seq(50L, 90L, 99L).map { q =>
+        val k = (n - 1) * q / 100 + 1
+        (q, k, engine.Quantiles.exactKth(ev, "value", k))
+      }.toDF("q_e2", "k", "value").orderBy("q_e2")
+    }, Some("""
+      WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+      q AS (SELECT unnest([50, 90, 99]) AS q_e2),
+      kq AS (SELECT CAST(q_e2 AS BIGINT) AS q_e2,
+          (n - 1) * q_e2 // 100 + 1 AS k FROM q CROSS JOIN n),
+      o AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events)
+      SELECT kq.q_e2, CAST(kq.k AS BIGINT) AS k, o.value
+      FROM kq JOIN o ON o.rn = kq.k ORDER BY kq.q_e2"""))
   )
 
   /** Shared d26/s07 oracle: the relational count-min build + 6-term query

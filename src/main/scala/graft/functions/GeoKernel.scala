@@ -75,6 +75,18 @@ object GeoKernel {
     if (g == null) null else Wkb.write(g)
   }
 
+  /** Order-preserving IEEE-754 bit map: returns a long whose UNSIGNED
+    * order equals the double order (negatives reversed onto [.., 2^63),
+    * positives offset into [2^63, ..); ±0 collide, which is correct since
+    * they compare equal). The exact-quantile engine (engine/Quantiles)
+    * refines 16-bit digit prefixes of this value; inverse in
+    * [[graft.engine.Quantiles.fromUsortBits]]. */
+  def doubleUsortBits(d: Double): Long = {
+    val b = java.lang.Double.doubleToRawLongBits(d)
+    val s = if (b >= 0) b else java.lang.Long.MIN_VALUE - b
+    s ^ java.lang.Long.MIN_VALUE
+  }
+
   /** ESRI Shapefile record codec (geom/Shp.scala; reference
     * ogr/ogrsf_frmts/shape/shape2ogr.cpp + shapelib/shpopen.c). */
   def asShp(wkb: Array[Byte]): Array[Byte] = Shp.writeRecord(decode(wkb))

@@ -102,6 +102,22 @@ case class StAsKml(child: Expression)
     copy(child = newChild)
 }
 
+/** double_usort_bits(x) — order-preserving IEEE bit map to a long whose
+  * UNSIGNED order equals the double order; the exact-quantile engine's
+  * digit space (engine/Quantiles.scala). */
+case class DoubleUsortBits(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "double_usort_bits"
+  protected override def nullSafeEval(d: Any): Any =
+    GeoKernel.doubleUsortBits(d.asInstanceOf[Double])
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.N}.doubleUsortBits($c)")
+  protected override def withNewChildInternal(newChild: Expression): DoubleUsortBits =
+    copy(child = newChild)
+}
+
 /** st_asshp(wkb) — ESRI Shapefile record-content bytes (the `.shp` record
   * body, shape2ogr.cpp SHPWriteOGRObject semantics: outer rings forced CW,
   * holes CCW, multi-part flattening). */
