@@ -386,7 +386,82 @@ object Queries7 {
           (n - 1) * q_e2 // 100 + 1 AS k FROM q CROSS JOIN n),
       o AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events)
       SELECT kq.q_e2, CAST(kq.k AS BIGINT) AS k, o.value
-      FROM kq JOIN o ON o.rn = kq.k ORDER BY kq.q_e2"""))
+      FROM kq JOIN o ON o.rn = kq.k ORDER BY kq.q_e2""")),
+
+    // -- Bloom-filter semi-join (d29, Bloom 1970 / the runtime-filter
+    // pushdown every 100-TB join planner reaches for): build a 65536-bit
+    // 3-hash bloom over the o_orderkey set of high-value orders (positions
+    // = instr-decoded first-4-hex-chars of md5("h:key") — identical in
+    // both engines), broadcast the ≤65536-entry set-bit table, probe every
+    // distinct l_orderkey: pass ⟺ all 3 positions set. The gate pins the
+    // structural guarantees: zero false negatives (every exact semi-join
+    // key passes) and bloom_pass ≥ exact_pass, plus the exact
+    // false-positive count so the fill factor is itself oracle-checked.
+    ("d29_bloom_semijoin", (s, dir) => {
+      val hexpos = (src: String, h: Int) =>
+        s"(instr('0123456789abcdef', substring(md5(concat('$h:', CAST($src AS STRING))), 1, 1)) - 1) * 4096 + " +
+        s"(instr('0123456789abcdef', substring(md5(concat('$h:', CAST($src AS STRING))), 2, 1)) - 1) * 256 + " +
+        s"(instr('0123456789abcdef', substring(md5(concat('$h:', CAST($src AS STRING))), 3, 1)) - 1) * 16 + " +
+        s"(instr('0123456789abcdef', substring(md5(concat('$h:', CAST($src AS STRING))), 4, 1)) - 1)"
+      val hs = Seq(0, 1, 2)
+      val build = t(s, dir, "orders").where(col("o_totalprice") > 280000.0)
+        .select(col("o_orderkey"))
+      val bits = hs.map(h => build.select(expr(hexpos("o_orderkey", h)).as("p")))
+        .reduce(_ unionAll _).distinct()
+      val probe = t(s, dir, "lineitem").select(col("l_orderkey")).distinct()
+      val hits = hs.map(h => probe
+          .withColumn("p", expr(hexpos("l_orderkey", h)))
+          .join(broadcast(bits), "p")
+          .select(col("l_orderkey")))
+        .reduce(_ unionAll _)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("nh"))
+        .where(col("nh") === 3)
+        .select(col("l_orderkey"), lit(1L).as("bloom_pass"))
+      val exact = probe.join(build.distinct(),
+          probe("l_orderkey") === build("o_orderkey"), "left_semi")
+        .select(col("l_orderkey"), lit(1L).as("exact_pass"))
+      probe.join(hits, Seq("l_orderkey"), "left")
+        .join(exact, Seq("l_orderkey"), "left")
+        .agg(count(lit(1)).as("probed"),
+          sum(coalesce(col("bloom_pass"), lit(0L))).as("bloom_pass"),
+          sum(coalesce(col("exact_pass"), lit(0L))).as("exact_pass"),
+          sum(when(col("exact_pass") === 1L && col("bloom_pass").isNull, 1L)
+            .otherwise(0L)).as("false_neg"),
+          sum(when(col("bloom_pass") === 1L && col("exact_pass").isNull, 1L)
+            .otherwise(0L)).as("false_pos"))
+    }, Some {
+      def hexpos(src: String, h: Int) =
+        s"""(instr('0123456789abcdef', substr(md5('$h:' || CAST($src AS VARCHAR)), 1, 1)) - 1) * 4096 +
+            (instr('0123456789abcdef', substr(md5('$h:' || CAST($src AS VARCHAR)), 2, 1)) - 1) * 256 +
+            (instr('0123456789abcdef', substr(md5('$h:' || CAST($src AS VARCHAR)), 3, 1)) - 1) * 16 +
+            (instr('0123456789abcdef', substr(md5('$h:' || CAST($src AS VARCHAR)), 4, 1)) - 1)"""
+      s"""
+      WITH build AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 280000),
+      bits AS (SELECT DISTINCT p FROM (
+          SELECT ${hexpos("o_orderkey", 0)} AS p FROM build
+          UNION ALL SELECT ${hexpos("o_orderkey", 1)} FROM build
+          UNION ALL SELECT ${hexpos("o_orderkey", 2)} FROM build)),
+      probe AS (SELECT DISTINCT l_orderkey FROM lineitem),
+      ph AS (SELECT l_orderkey, ${hexpos("l_orderkey", 0)} AS p FROM probe
+        UNION ALL SELECT l_orderkey, ${hexpos("l_orderkey", 1)} FROM probe
+        UNION ALL SELECT l_orderkey, ${hexpos("l_orderkey", 2)} FROM probe),
+      hits AS (SELECT l_orderkey FROM ph JOIN bits USING (p)
+        GROUP BY l_orderkey HAVING count(*) = 3),
+      ex AS (SELECT DISTINCT l_orderkey FROM probe
+        WHERE l_orderkey IN (SELECT o_orderkey FROM build))
+      SELECT CAST(count(*) AS BIGINT) AS probed,
+        CAST(sum(CASE WHEN h.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS bloom_pass,
+        CAST(sum(CASE WHEN e.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS exact_pass,
+        CAST(sum(CASE WHEN e.l_orderkey IS NOT NULL AND h.l_orderkey IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS false_neg,
+        CAST(sum(CASE WHEN h.l_orderkey IS NOT NULL AND e.l_orderkey IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS false_pos
+      FROM probe pr
+      LEFT JOIN hits h ON pr.l_orderkey = h.l_orderkey
+      LEFT JOIN ex e ON pr.l_orderkey = e.l_orderkey"""
+    })
   )
 
   /** Shared d26/s07 oracle: the relational count-min build + 6-term query
