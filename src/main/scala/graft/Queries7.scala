@@ -461,7 +461,35 @@ object Queries7 {
       FROM probe pr
       LEFT JOIN hits h ON pr.l_orderkey = h.l_orderkey
       LEFT JOIN ex e ON pr.l_orderkey = e.l_orderkey"""
-    })
+    }),
+
+    // -- Per-domain document caps (d30, the C4/RefinedWeb per-host limit):
+    // keep at most 10 docs per domain, deterministically the 10 SMALLEST
+    // doc_ids. The engine is a bounded-state typed Aggregator
+    // (TopPerKey.minKAgg: buffer = ascending array of ≤K values, map-side
+    // partial merges) — a hot domain never materializes its full doc list,
+    // unlike collect_list + sort, and unlike a window rank it needs no
+    // per-domain total sort. The twin is the window form (row_number ≤ K),
+    // proving the bounded aggregator computes the identical kept set.
+    ("d30_domain_cap", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("domain", expr(
+          "concat('m', CAST(doc_id % 7 AS STRING), '.', lang, '.example')"))
+      docs.groupBy("domain")
+        .agg(engine.TopPerKey.minKCol(10)(col("doc_id")).as("kept"),
+          count(lit(1)).as("n_docs"))
+        .select(col("domain"), col("n_docs"), explode(col("kept")).as("doc_id"))
+        .orderBy("domain", "doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id,
+          'm' || CAST(doc_id % 7 AS VARCHAR) || '.' || lang || '.example' AS domain
+        FROM documents),
+      r AS (SELECT domain, doc_id,
+          row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk,
+          count(*) OVER (PARTITION BY domain) AS n_docs
+        FROM d)
+      SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, doc_id
+      FROM r WHERE rk <= 10 ORDER BY domain, doc_id"""))
   )
 
   /** Shared d26/s07 oracle: the relational count-min build + 6-term query
