@@ -174,6 +174,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
   }
 
+  test("d30 per-domain cap aggregates partially before the shuffle, no Window") {
+    val df = SparkEntry.queries("d30_domain_cap")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // the bounded Aggregator must run as a partial (map-side) aggregation
+    // — the whole point vs the window-rank form, which would global-sort
+    assert(p.toLowerCase.contains("partial_"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
   test("d24 BM25 corpus side broadcasts df/stats, never sort-merges") {
     val df = SparkEntry.queries("d24_bm25")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
