@@ -182,10 +182,14 @@ object Queries7 {
     ("d25_dsir_select", (s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      // bigrams via zip_with over offset slices: slice length size(ws)-1
+      // is 0 for a single-token doc (empty list, matching the twin's
+      // generate_series(1, 0)) — sequence(1, size-1) would DESCEND to
+      // [1, 0] there and element_at(ws, 0) throws
       val grams = docs.select(col("doc_id"), col("lang"),
           explode(concat(col("ws"),
-            expr("transform(sequence(1, size(ws) - 1), " +
-              "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))).as("g"))
+            expr("zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+              "(a, b) -> concat(a, ' ', b))"))).as("g"))
         .withColumn("b", expr("substring(md5(g), 1, 2)"))
       // raw and target distributions in ONE gram-scan aggregation (count +
       // conditional count) — 2 corpus passes total (fit, score), the DSIR
@@ -211,8 +215,8 @@ object Queries7 {
       gb AS (SELECT doc_id, lang, substr(md5(g), 1, 2) AS b FROM gr),
       tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
       raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM gb GROUP BY b),
-      tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgt),
-      tr AS (SELECT CAST(sum(cr) AS BIGINT) AS tr FROM raw),
+      tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt FROM tgt),
+      tr AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM raw),
       sc AS (SELECT doc_id,
           CAST(floor(ln(((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) /
             (CAST(tt AS DOUBLE) + 256.0)) / ((CAST(cr AS DOUBLE) + 1.0) /
@@ -236,24 +240,7 @@ object Queries7 {
     ("d26_countmin", (s, dir) => {
       val words = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
-      val rows = typedLit(Seq(0, 1, 2, 3))
-      val cells = words.select(col("w"), explode(rows).as("r"))
-        .withColumn("b", expr("substring(md5(concat(CAST(r AS STRING), ':', w)), 1, 2)"))
-        .groupBy("r", "b").agg(count(lit(1)).as("c"))
-      val terms = {
-        val sp = s; import sp.implicits._
-        Seq("spark", "join", "the", "vector", "zebra", "window").toDF("term")
-      }
-      val est = terms.select(col("term"), explode(rows).as("r"))
-        .withColumn("b", expr("substring(md5(concat(CAST(r AS STRING), ':', term)), 1, 2)"))
-        .join(broadcast(cells), Seq("r", "b"), "left")
-        .groupBy("term").agg(min(coalesce(col("c"), lit(0L))).as("est"))
-      val exact = words.groupBy("w").agg(count(lit(1)).as("exact"))
-      est.join(broadcast(exact), est("term") === exact("w"), "left")
-        .select(col("term"), col("est"),
-          coalesce(col("exact"), lit(0L)).as("exact"),
-          (col("est") >= coalesce(col("exact"), lit(0L))).cast("long").as("ge"))
-        .orderBy("term")
+      cmReport(s, dir, engine.CountMin.cells(words))
     }, Some(countMinOracle)),
 
     // -- STREAMING count-min maintenance (s07): the ingest-time twin of
@@ -265,24 +252,8 @@ object Queries7 {
     // file contributed exactly once. Same oracle as d26: the streamed
     // sketch must equal the batch build bit-for-bit.
     ("s07_stream_countmin", (s, dir) => {
-      val cells = streaming.StreamJobs.streamCountMin(
-        s, s"$dir/documents.parquet", "/tmp/graft_s07_work")
-      val terms = {
-        val sp = s; import sp.implicits._
-        Seq("spark", "join", "the", "vector", "zebra", "window").toDF("term")
-      }
-      val est = terms.select(col("term"), explode(typedLit(Seq(0, 1, 2, 3))).as("r"))
-        .withColumn("b", expr("substring(md5(concat(CAST(r AS STRING), ':', term)), 1, 2)"))
-        .join(broadcast(cells), Seq("r", "b"), "left")
-        .groupBy("term").agg(min(coalesce(col("c"), lit(0L))).as("est"))
-      val exact = t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("exact"))
-      est.join(broadcast(exact), est("term") === exact("w"), "left")
-        .select(col("term"), col("est"),
-          coalesce(col("exact"), lit(0L)).as("exact"),
-          (col("est") >= coalesce(col("exact"), lit(0L))).cast("long").as("ge"))
-        .orderBy("term")
+      cmReport(s, dir, streaming.StreamJobs.streamCountMin(
+        s, s"$dir/documents.parquet", "/tmp/graft_s07_work"))
     }, Some(countMinOracle)),
 
     // -- HyperLogLog distinct sketch (d27, Flajolet et al. 2007): m = 64
@@ -301,9 +272,11 @@ object Queries7 {
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
       val words = docs.select(explode(col("ws")).as("g"))
         .withColumn("scope", lit("words"))
+      // same zip_with-over-slices form as d25: empty (not crashing) on
+      // single-token docs
       val bigrams = docs.select(explode(expr(
-          "transform(sequence(1, size(ws) - 1), " +
-            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("g"))
+          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("g"))
         .withColumn("scope", lit("bigrams"))
       val hashed = words.unionByName(bigrams)
         .withColumn("h", md5(col("g")))
@@ -372,7 +345,11 @@ object Queries7 {
     // element by brute row_number and the values must be bit-equal
     // doubles. k = floor((n-1)·q) + 1 (the lower order statistic).
     ("d28_exact_quantile", (s, dir) => {
+      // k is defined over the NON-NULL population on both sides —
+      // exactKth excludes nulls, so counting them into n would let k
+      // exceed the selectable rows
       val ev = t(s, dir, "events").select(col("value"))
+        .where(col("value").isNotNull)
       val n = ev.count()
       val sp = s; import sp.implicits._
       Seq(50L, 90L, 99L).map { q =>
@@ -380,11 +357,12 @@ object Queries7 {
         (q, k, engine.Quantiles.exactKth(ev, "value", k))
       }.toDF("q_e2", "k", "value").orderBy("q_e2")
     }, Some("""
-      WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+      WITH ev AS (SELECT value FROM events WHERE value IS NOT NULL),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
       q AS (SELECT unnest([50, 90, 99]) AS q_e2),
       kq AS (SELECT CAST(q_e2 AS BIGINT) AS q_e2,
           (n - 1) * q_e2 // 100 + 1 AS k FROM q CROSS JOIN n),
-      o AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events)
+      o AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM ev)
       SELECT kq.q_e2, CAST(kq.k AS BIGINT) AS k, o.value
       FROM kq JOIN o ON o.rn = kq.k ORDER BY kq.q_e2""")),
 
@@ -492,6 +470,26 @@ object Queries7 {
       FROM r WHERE rk <= 10 ORDER BY domain, doc_id"""))
   )
 
+  private val CmTerms = Seq("spark", "join", "the", "vector", "zebra", "window")
+
+  /** Shared d26/s07 reporting tail: estimate the fixed term set against a
+    * cell table (batch-built or stream-built), join exact counts, emit the
+    * overestimate-guarantee flag. One definition — the s07 gate's premise
+    * is streamed ≡ batch, so the estimation pipeline must be shared, not
+    * copied. */
+  private def cmReport(s: SparkSession, dir: String,
+                       cells: DataFrame): DataFrame = {
+    val est = engine.CountMin.estimate(s, cells, CmTerms)
+    val exact = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("exact"))
+    est.join(broadcast(exact), est("term") === exact("w"), "left")
+      .select(col("term"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        (col("est") >= coalesce(col("exact"), lit(0L))).cast("long").as("ge"))
+      .orderBy("term")
+  }
+
   /** Shared d26/s07 oracle: the relational count-min build + 6-term query
     * (the streamed sketch must equal the batch sketch exactly). */
   private def countMinOracle: String = """
@@ -529,9 +527,10 @@ object Queries7 {
         FROM g$i GROUP BY 1, 2),
       m$i AS MATERIALIZED (SELECT p1, p2, cnt FROM p$i ORDER BY cnt DESC, p1, p2 LIMIT 1),
       v${i + 1} AS MATERIALIZED (SELECT word, f,
-          replace(repr, '<' || m.p1 || '><' || m.p2 || '>',
-                  '<' || m.p1 || m.p2 || '>') AS repr
-        FROM v$i CROSS JOIN m$i m)"""
+          CASE WHEN m.p1 IS NULL THEN repr ELSE
+            replace(repr, '<' || m.p1 || '><' || m.p2 || '>',
+                    '<' || m.p1 || m.p2 || '>') END AS repr
+        FROM v$i LEFT JOIN m$i m ON TRUE)"""
     }.mkString(",")
     s"""
       wf AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS f FROM (
@@ -553,9 +552,10 @@ object Queries7 {
     val applies = (0 until NMerges).map { i =>
       s"""
       r${i + 1} AS MATERIALIZED (SELECT doc_id, i,
-          replace(repr, '<' || m.p1 || '><' || m.p2 || '>',
-                  '<' || m.p1 || m.p2 || '>') AS repr
-        FROM r$i CROSS JOIN m$i m)"""
+          CASE WHEN m.p1 IS NULL THEN repr ELSE
+            replace(repr, '<' || m.p1 || '><' || m.p2 || '>',
+                    '<' || m.p1 || m.p2 || '>') END AS repr
+        FROM r$i LEFT JOIN m$i m ON TRUE)"""
     }.mkString(",")
     s"""
       WITH $bpeChainCtes,

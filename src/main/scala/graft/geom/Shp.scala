@@ -51,9 +51,13 @@ object Shp {
 
   // ------------------------------------------------------------ encoding
 
-  /** Record-content bytes for one geometry (no record header). */
+  /** Record-content bytes for one geometry (no record header). EVERY
+    * empty geometry (of any type) writes the NULL shape, exactly like the
+    * reference's SHPWriteOGRObject (shape2ogr.cpp writes SHPT_NULL for
+    * empty input) — a typed record with zero parts and a sentinel box
+    * would be malformed for external consumers. */
   def writeRecord(g: Geom): Array[Byte] = g match {
-    case p: Point if p.isEmpty =>
+    case e if e.isEmpty =>
       val b = le(4); b.putInt(NullShape); b.array()
     case p: Point =>
       val b = le(4 + 16); b.putInt(PointType)
@@ -65,9 +69,9 @@ object Shp {
       pts.foreach { p => b.putDouble(p.x); b.putDouble(p.y) }
       b.array()
     case l: LineString =>
-      writeParts(PolyLineType, Array(l.coords), identity)
+      writeParts(PolyLineType, Array(l.coords))
     case m: MultiLineString =>
-      writeParts(PolyLineType, m.lines.map(_.coords), identity)
+      writeParts(PolyLineType, m.lines.map(_.coords))
     case p: Polygon => writeRings(Array(p))
     case m: MultiPolygon => writeRings(m.polys)
     case other => throw new IllegalArgumentException(
@@ -101,12 +105,10 @@ object Shp {
         rings += (if (invert) reversed(r) else r)
       }
     }
-    writeParts(PolygonType, rings.toArray, identity)
+    writeParts(PolygonType, rings.toArray)
   }
 
-  private def writeParts(shpType: Int, parts: Array[Array[Double]],
-                         f: Array[Double] => Array[Double]): Array[Byte] = {
-    val ps = parts.map(f)
+  private def writeParts(shpType: Int, ps: Array[Array[Double]]): Array[Byte] = {
     val nPoints = ps.map(_.length / 2).sum
     val b = le(4 + 32 + 8 + 4 * ps.length + 16 * nPoints)
     b.putInt(shpType)

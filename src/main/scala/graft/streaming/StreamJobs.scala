@@ -366,11 +366,8 @@ object StreamJobs {
       docs.where(pmod(col("doc_id"), lit(3)) === k)
         .coalesce(1).write.mode("append").parquet(inDir)
     def partialCells(batch: DataFrame): DataFrame =
-      batch.select(explode(split(col("text"), " ")).as("w"))
-        .select(col("w"), explode(typedLit(Seq(0, 1, 2, 3))).as("r"))
-        .withColumn("b", expr(
-          "substring(md5(concat(CAST(r AS STRING), ':', w)), 1, 2)"))
-        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      graft.engine.CountMin.cells(
+        batch.select(explode(split(col("text"), " ")).as("w")))
     def run(): Unit = {
       val in = spark.readStream.schema(schema).parquet(inDir)
       in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>

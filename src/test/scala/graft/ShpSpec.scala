@@ -81,10 +81,16 @@ class ShpSpec extends AnyFunSuite {
     assert(GeoOps.area(mp.polys(1)) == 4.0 - 1.0)
   }
 
-  test("NULL shape for empty point; unsupported types refuse loudly") {
-    val r = Shp.writeRecord(Point.Empty)
-    assert(r.length == 4 && le32(r, 0) == 0)
-    assert(Shp.readRecord(r) == null)
+  test("NULL shape for EVERY empty geometry; unsupported types refuse loudly") {
+    // SHPWriteOGRObject writes SHPT_NULL for empty input of any type — a
+    // typed record with zero parts and a sentinel box would be malformed
+    val empties = Seq[Geom](Point.Empty, g("POLYGON EMPTY"),
+      g("LINESTRING EMPTY"), g("MULTIPOLYGON EMPTY"), g("MULTIPOINT EMPTY"))
+    empties.foreach { e =>
+      val r = Shp.writeRecord(e)
+      assert(r.length == 4 && le32(r, 0) == 0, e.typeName)
+      assert(Shp.readRecord(r) == null, e.typeName)
+    }
     intercept[IllegalArgumentException] {
       Shp.writeRecord(g("GEOMETRYCOLLECTION (POINT (1 1))"))
     }
