@@ -21,7 +21,7 @@ object Queries7 {
   private val Bm25Terms = Seq("spark", "merge", "stream", "vector")
   private val TopK = 20
 
-  val defs9: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+  private val defs9a: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // -- BPE merge-table training (d22): the real subword-vocabulary
     // trainer (d15 is the pre-tokenizer that runs before it). Scale shape:
@@ -268,43 +268,54 @@ object Queries7 {
     // (~30 ≪ m, linear counting) and distinct BIGRAMS (≫ m, raw branch).
     // Registers are max-mergeable — the same bounded-state story as d26.
     ("d27_hll", (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val words = docs.select(explode(col("ws")).as("g"))
-        .withColumn("scope", lit("words"))
-      // same zip_with-over-slices form as d25: empty (not crashing) on
-      // single-token docs
-      val bigrams = docs.select(explode(expr(
-          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
-            "(a, b) -> concat(a, ' ', b))")).as("g"))
-        .withColumn("scope", lit("bigrams"))
-      val hashed = words.unionByName(bigrams)
-        .withColumn("h", md5(col("g")))
-        .withColumn("bkt", expr(
-          "((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + " +
-            "(instr('0123456789abcdef', substring(h, 2, 1)) - 1)) % 64"))
-        .withColumn("z", expr("length(regexp_extract(substring(h, 3, 12), '^0*', 0))"))
-        .withColumn("rho", expr(
-          "CAST(z * 4 + CASE WHEN z = 12 THEN 1 ELSE " +
-            "CASE WHEN instr('89abcdef', substring(h, 3 + z, 1)) > 0 THEN 1 " +
-            "WHEN instr('4567', substring(h, 3 + z, 1)) > 0 THEN 2 " +
-            "WHEN instr('23', substring(h, 3 + z, 1)) > 0 THEN 3 " +
-            "ELSE 4 END END AS BIGINT)"))
-      val regs = hashed.groupBy("scope", "bkt").agg(max("rho").as("m_reg"))
-      val sums = regs.groupBy("scope").agg(
-        sum(expr("pow(2.0, -CAST(m_reg AS DOUBLE))")).as("s"),
-        count(lit(1)).as("nz"))
-      val exact = hashed.select("scope", "g").distinct()
-        .groupBy("scope").agg(count(lit(1)).as("exact"))
-      sums.withColumn("v", lit(64L) - col("nz"))
-        .withColumn("raw", expr("0.709 * 4096.0 / (s + CAST(v AS DOUBLE))"))
-        .withColumn("est_e2", expr(
-          "CAST(floor((CASE WHEN v > 0 AND raw <= 160.0 " +
-            "THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE)) ELSE raw END) * 100.0) AS BIGINT)"))
-        .join(broadcast(exact), "scope")
-        .select(col("scope"), col("v"), col("est_e2"), col("exact"))
-        .orderBy("scope")
-    }, Some("""
+      val grams = hllGrams(s, dir)
+      val ranks = engine.Hll.ranks(grams)
+      hllReport(engine.Hll.registers(ranks), ranks)
+    }, Some(hllOracle)),
+
+    // -- STREAMING HyperLogLog maintenance (s08): the max-merge twin of
+    // s07's sum-merge — each micro-batch reduces to its own ≤128-row
+    // partial register table appended to the register store; the final
+    // registers are the per-(scope, bkt) MAX. Max-merging is idempotent,
+    // so this sketch class is restart-safe even WITHOUT exactly-once
+    // delivery (re-maxing a replayed slice changes nothing) — the
+    // complementary durability story to s07, proven by the same
+    // streamed ≡ batch oracle (d27's, verbatim).
+    ("s08_stream_hll", (s, dir) => {
+      val regs = streaming.StreamJobs.streamHll(
+        s, s"$dir/documents.parquet", "/tmp/graft_s08_work")
+      hllReport(regs, engine.Hll.ranks(hllGrams(s, dir)))
+    }, Some(hllOracle))
+  )
+
+  /** Shared d27/s08 gram builder: words + bigrams (zip_with over offset
+    * slices — empty, not crashing, on single-token docs). */
+  private def hllGrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val words = docs.select(explode(col("ws")).as("g"))
+      .withColumn("scope", lit("words"))
+    val bigrams = docs.select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("g"))
+      .withColumn("scope", lit("bigrams"))
+    words.unionByName(bigrams)
+  }
+
+  /** Shared d27/s08 reporting tail: estimate from a register table
+    * (batch- or stream-built) + exact distincts from the batch grams. */
+  private def hllReport(regs: DataFrame, ranks: DataFrame): DataFrame = {
+    val exact = ranks.select("scope", "g").distinct()
+      .groupBy("scope").agg(count(lit(1)).as("exact"))
+    engine.Hll.estimate(regs)
+      .join(broadcast(exact), "scope")
+      .select(col("scope"), col("v"), col("est_e2"), col("exact"))
+      .orderBy("scope")
+  }
+
+  /** Shared d27/s08 oracle: relational HLL build + both estimator
+    * branches (the streamed registers must equal the batch registers). */
+  private def hllOracle: String = ("""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       g AS (SELECT 'words' AS scope, unnest(ws) AS g FROM d
         UNION ALL
@@ -335,7 +346,9 @@ object Queries7 {
           THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE)) ELSE raw END) * 100.0) AS BIGINT)
           AS est_e2,
         exact
-      FROM fin JOIN ex USING (scope) ORDER BY scope""")),
+      FROM fin JOIN ex USING (scope) ORDER BY scope""")
+
+  private val defs9b: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // -- Exact distributed quantiles (d28): the k-th order statistic of a
     // double column WITHOUT a global sort — 16-bit-digit radix selection
@@ -467,8 +480,72 @@ object Queries7 {
           count(*) OVER (PARTITION BY domain) AS n_docs
         FROM d)
       SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, doc_id
-      FROM r WHERE rk <= 10 ORDER BY domain, doc_id"""))
+      FROM r WHERE rk <= 10 ORDER BY domain, doc_id""")),
+
+    // -- Interpolated Kneser–Ney bigram scoring (d31, Kneser & Ney 1995 /
+    // Chen & Goodman 1999 — the smoothing KenLM uses, which is what CCNet
+    // actually filters with; d14 is the unsmoothed MLE baseline):
+    // P(w2|w1) = max(c12−D,0)/c1 + (D·N1+(w1·)/c1)·(N1+(·w2)/N1+(··))
+    // with D = 0.75 (exact dyadic). All four count tables are
+    // vocabulary-bounded and broadcast; the corpus pass is the d14 shape
+    // (explode bigrams → broadcast joins → one per-doc re-aggregation);
+    // per-position log-probs are fixed-point (floor(ln·1e4)) so document
+    // sums are order-independent and cross-engine exact. Unlike MLE,
+    // every in-vocabulary bigram — seen or not — gets positive mass, so
+    // the score is defined for novel word pairs (the reason KN exists).
+    ("d31_kn_bigram_lm", (s, dir) => {
+      val docsW = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " ", -1))
+      val big = docsW.where(size(col("ws")) >= 2)
+        .select(col("doc_id"),
+          expr("explode(sequence(1, size(ws) - 1))").as("i"), col("ws"))
+        .withColumn("w1", expr("element_at(ws, i)"))
+        .withColumn("w2", expr("element_at(ws, i + 1)"))
+        .select("doc_id", "w1", "w2")
+      val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val fol = c12.groupBy("w1").agg(count(lit(1)).as("n1f"))   // N1+(w1·)
+      val pre = c12.groupBy("w2").agg(count(lit(1)).as("n1p"))   // N1+(·w2)
+      val nbig = c12.agg(count(lit(1)).as("nbig"))               // N1+(··)
+      big.join(broadcast(c12), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .join(broadcast(fol), Seq("w1"))
+        .join(broadcast(pre), Seq("w2"))
+        .crossJoin(broadcast(nbig))
+        .withColumn("lp_e4", expr(
+          "CAST(floor(ln(" +
+            "greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) + " +
+            "0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE) * " +
+            "(CAST(n1p AS DOUBLE) / CAST(nbig AS DOUBLE))" +
+          ") * 10000.0) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("lp_e4").as("ll_sum_e4"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      b AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 1)) AS i, ws
+            FROM w WHERE len(ws) >= 2),
+      big AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM b),
+      c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+      fol AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1f FROM c12 GROUP BY 1),
+      pre AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p FROM c12 GROUP BY 1),
+      nbig AS (SELECT CAST(count(*) AS BIGINT) AS nbig FROM c12),
+      sc AS (SELECT doc_id,
+          CAST(floor(ln(
+            greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) +
+            0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE) *
+            (CAST(n1p AS DOUBLE) / CAST(nbig AS DOUBLE))
+          ) * 10000.0) AS BIGINT) AS lp_e4
+        FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        JOIN fol USING (w1) JOIN pre USING (w2) CROSS JOIN nbig)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(sum(lp_e4) AS BIGINT) AS ll_sum_e4
+      FROM sc GROUP BY 1 ORDER BY doc_id"""))
   )
+
+  val defs9: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    defs9a ++ defs9b
 
   private val CmTerms = Seq("spark", "join", "the", "vector", "zebra", "window")
 

@@ -383,6 +383,49 @@ object StreamJobs {
     spark.read.parquet(outDir).groupBy("r", "b").agg(sum("c").as("c"))
   }
 
+  /** Streaming HyperLogLog maintenance (the streaming twin of the d27
+    * batch build and the MAX-merge counterpart of [[streamCountMin]]'s
+    * sum-merge): each micro-batch reduces to its own ≤128-row partial
+    * register table (words + bigrams scopes) appended to the register
+    * store; the final registers are the per-(scope, bkt) max. Unlike the
+    * count-min sums, max-merging is IDEMPOTENT, so this sketch class is
+    * restart-safe even without exactly-once delivery — a replayed slice
+    * re-maxes to the same registers. Run sequence mirrors s07: slices
+    * 0+1, checkpoint restart with slice 2, then a no-data restart. */
+  def streamHll(spark: SparkSession, docsParquet: String,
+                work: String): DataFrame = {
+    rmr(spark, work)
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    val docs = spark.read.parquet(docsParquet)
+    val schema = docs.schema
+    def stage(k: Int): Unit =
+      docs.where(pmod(col("doc_id"), lit(3)) === k)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def grams(batch: DataFrame): DataFrame = {
+      val ws = batch.select(split(col("text"), " ").as("ws"))
+      ws.select(explode(col("ws")).as("g")).withColumn("scope", lit("words"))
+        .unionByName(ws.select(explode(expr(
+            "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+              "(a, b) -> concat(a, ' ', b))")).as("g"))
+          .withColumn("scope", lit("bigrams")))
+    }
+    def run(): Unit = {
+      val in = spark.readStream.schema(schema).parquet(inDir)
+      in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.engine.Hll.registers(graft.engine.Hll.ranks(grams(batch)))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    stage(0); stage(1); run()
+    stage(2); run()
+    run()
+    spark.read.parquet(outDir)
+      .groupBy("scope", "bkt").agg(max("m_reg").as("m_reg"))
+  }
+
   def resumeDemo(spark: SparkSession, eventsParquet: String, work: String): DataFrame = {
     import org.apache.spark.sql.functions._
     rmr(spark, work)
