@@ -1761,7 +1761,30 @@ object Queries {
       SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
              CAST(CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS BIGINT) AS dur_s,
              CAST(sum(${cents("value")}) AS BIGINT) AS sum_cents
-      FROM g GROUP BY user_id, sess_no ORDER BY user_id, sess_no"""))
+      FROM g GROUP BY user_id, sess_no ORDER BY user_id, sess_no""")),
+
+    // -- PIP join through per-cell polygon SUBDIVISION (g65): the
+    // big-polygon fix — each fixture polygon is clipped into per-cell
+    // pieces (engine/Subdivide: st_cover → st_clip_bbox on the cell
+    // bbox), the join runs against the pieces, and the (event, poly) row
+    // set must be IDENTICAL to the direct join's closed-form oracle
+    // (g03's). Distinct collapses a point matching two pieces of the same
+    // polygon across a cell boundary. At scale this bounds the per-probe
+    // refine cost by the vertices inside one cell and spreads a hot
+    // polygon's probes across its pieces.
+    ("g65_subdivide_join", (s, dir) => {
+      val pieces = engine.Subdivide.byCells(fixturePolyDf(s), z = 3).drop("cell")
+      SpatialJoin.pipJoin(eventPoints(s, dir), pieces, z = 3)
+        .select("event_id", "poly_id").distinct()
+        .orderBy("event_id", "poly_id")
+    }, Some {
+      val arms = polygons.map { case (id, _, _) =>
+        s"SELECT event_id, '$id' AS poly_id FROM pts WHERE ${insidePolySql(id, "lon", "lat")}"
+      }
+      s"""WITH pts AS (SELECT event_id, ${lonOf("event_id")} AS lon,
+            ${latOf("event_id")} AS lat FROM events)
+          ${arms.mkString(" UNION ALL ")} ORDER BY event_id, poly_id"""
+    })
   )
 
   /** GDALChecksumImage oracle over the z5 point raster; shift>0 checksums

@@ -75,6 +75,14 @@ object GeoKernel {
     if (g == null) null else Wkb.write(g)
   }
 
+  /** Lon/lat bounds of a packed cell id — [minLon, minLat, maxLon,
+    * maxLat] (the cell grid's tile envelope; engine/Subdivide clips
+    * polygon pieces to these). */
+  def cellEnv(cell: Long): Array[Double] = {
+    val e = graft.cell.CellId.envelopeLonLat(cell)
+    Array(e.minX, e.minY, e.maxX, e.maxY)
+  }
+
   /** Order-preserving IEEE-754 bit map: returns a long whose UNSIGNED
     * order equals the double order (negatives reversed onto [.., 2^63),
     * positives offset into [2^63, ..); ±0 collide, which is correct since

@@ -102,6 +102,23 @@ case class StAsKml(child: Expression)
     copy(child = newChild)
 }
 
+/** st_cell_env(cell) — [minLon, minLat, maxLon, maxLat] of a packed cell
+  * id (the tile envelope of the shared cell grid). */
+case class StCellEnv(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "st_cell_env"
+  protected override def nullSafeEval(c: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GeoKernel.cellEnv(c.asInstanceOf[Long]))
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(${K.N}.cellEnv($c))")
+  protected override def withNewChildInternal(newChild: Expression): StCellEnv =
+    copy(child = newChild)
+}
+
 /** double_usort_bits(x) — order-preserving IEEE bit map to a long whose
   * UNSIGNED order equals the double order; the exact-quantile engine's
   * digit space (engine/Quantiles.scala). */

@@ -34,6 +34,7 @@ object GraftFunctions {
     arity("st_asshp", 1)(a => StAsShp(a(0))),
     arity("st_fromshp", 1)(a => StGeomFromShp(a(0))),
     arity("double_usort_bits", 1)(a => DoubleUsortBits(a(0))),
+    arity("st_cell_env", 1)(a => StCellEnv(a(0))),
     arity("st_point", 2)(a => StPoint(a(0), a(1))),
     arity("st_isempty", 1)(a => StIsEmpty(a(0))),
     arity("st_isvalid", 1)(a => StIsValid(a(0))),
@@ -207,6 +208,7 @@ object gf {
   def st_asshp(wkb: Column): Column = call_function("st_asshp", wkb)
   def st_fromshp(rec: Column): Column = call_function("st_fromshp", rec)
   def double_usort_bits(x: Column): Column = call_function("double_usort_bits", x)
+  def st_cell_env(cell: Column): Column = call_function("st_cell_env", cell)
   def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
   def st_isempty(wkb: Column): Column = call_function("st_isempty", wkb)
   def st_isvalid(wkb: Column): Column = call_function("st_isvalid", wkb)
