@@ -28,6 +28,7 @@ object Bench {
     "d07_jaccard_pairs", "d08_lsh_jaccard", "d11_rep_stats", "d12_dup_spans",
     "d14_bigram_lm", "d20_pii_redact", "d21_gopher_rules",
     "d23_bpe_encode", "d24_bm25", "d25_dsir_select",
+    "d26_countmin", "d28_exact_quantile", "d31_kn_bigram_lm", "g65_subdivide_join",
     "e01_cosine_topk", "e02_embed_neardup", "e11_semdedup",
     "g20_overlay", "r13_dem_extras", "r15_warp_area",
     "q03_groupby", "q04_join_agg", "q10_firstmatch_join", "q13_time_window")
