@@ -100,7 +100,10 @@ object Bench {
     val f = line.trim.split("\\s+").drop(1).map(_.toLong)
     val iowait = if (f.length > 4) f(4) else 0L
     val steal = if (f.length > 7) f(7) else 0L
-    (f.sum - f(3) - iowait, iowait + steal)
+    // sum only user..steal (fields 0-7): the guest/guest_nice fields
+    // (8-9) are ALREADY included in user/nice on Linux — summing them
+    // too would double-count VM guest time and inflate ext
+    (f.take(8).sum - f(3) - iowait, iowait + steal)
   }
   private def ownCpuNs(): Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {

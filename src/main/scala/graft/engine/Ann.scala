@@ -484,9 +484,15 @@ object Ann {
     GraftFunctions.register(vecs.sparkSession)
     val cents = kmeans(vecs, idCol, embCol, k, iters, trainCap)
     val emb = col(embCol).cast("array<double>")
+    // persisted: the guard count, the lo/hi self-join (two scans) and the
+    // final left-join would otherwise each recompute the full-corpus
+    // assignment pass. At cluster scale, materialize this to a table
+    // instead (the e10 postings pattern) — persist is the single-node
+    // equivalent.
     val assigned = vecs.select(col(idCol).cast("long").as("vec_id"),
         emb.as("e"), gf.vec_norm(emb).as("nm"))
       .withColumn("cid", nearestCid(col("e"), cents))
+      .persist()
     if (maxCluster != Long.MaxValue) {
       val over = assigned.groupBy("cid").count()
         .where(col("count") > maxCluster).count()

@@ -112,7 +112,12 @@ object Combine {
       col(wktCol).as("w"))
     val aggs =
       sort_array(collect_list(memberStruct)).as("members") +:
-      max(col(wktCol).rlike("^\\s*(MULTI|GEOMETRYCOLLECTION)")).as("any_coll") +:
+      // EMPTY members are skipped by assemble() below, so they must not
+      // vote for the keepNested GEOMETRYCOLLECTION promotion either — the
+      // reference skips null/empty features BEFORE its type check
+      // (gdalalg_vector_combine semantics)
+      max(col(wktCol).rlike("^\\s*(MULTI|GEOMETRYCOLLECTION)") &&
+        !col(wktCol).rlike("EMPTY\\s*$")).as("any_coll") +:
       candidates.flatMap { f => Seq(
         (count_distinct(coalesce(col(f).cast("string"), lit("__NULL__"))) === 1)
           .as(s"${f}__ident"),

@@ -53,6 +53,11 @@ object Enhance {
       }
       (mn, mx)
     }.filter(p => p._1 <= p._2)
+    // all-nodata/NaN input: refuse with a meaningful message instead of
+    // Dataset.reduce's opaque "empty collection" (isEmpty is a limit-1
+    // probe — the reduce itself stays distributed)
+    require(!ranges.isEmpty,
+      "equalizationLut: no valid pixels (all nodata/NaN); refusing")
     val (rawMin, rawMax) = ranges.reduce((a, b) =>
       (math.min(a._1, b._1), math.max(a._2, b._2)))
 

@@ -91,6 +91,10 @@ object Multimodal {
     val bps = bb.getShort(34)
     require(bps == 16, s"only 16-bit PCM supported: $bps")
     val dataLen = bb.getInt(40)
+    // negative length would pass the truncation check via wrap-around and
+    // silently return nonsense stats — refuse loudly like every other
+    // malformed-container branch here
+    require(dataLen >= 0, s"negative data chunk length $dataLen")
     require(44 + dataLen <= bytes.length, "truncated data chunk")
     val n = dataLen / 2
     var peak = 0; var sumSq = 0L; var zc = 0

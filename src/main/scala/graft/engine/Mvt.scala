@@ -110,16 +110,22 @@ object Mvt {
         i += 1
       }
     }
+    // Degenerate parts are DROPPED, never emitted: MVT 2.1 §4.3.2 forbids
+    // command count 0, and a 1-point ring would emit a negative LineTo
+    // count whose varint encoding corrupts the wire for conformant
+    // readers. (The reference MVT writer skips degenerate parts too.)
     g match {
-      case TPoints(pts) => move(pts, 0, pts.length, CmdMoveTo)
+      case TPoints(pts) =>
+        if (pts.nonEmpty) move(pts, 0, pts.length, CmdMoveTo)
       case TLines(parts) =>
-        parts.foreach { p =>
+        parts.filter(_.length >= 2).foreach { p =>
           move(p, 0, 1, CmdMoveTo)
           move(p, 1, p.length - 1, CmdLineTo)
         }
       case TPolys(rings) =>
-        rings.foreach { r =>
-          // closing vertex implied (spec §4.3.3.3) — drop the last point
+        // closing vertex implied (spec §4.3.3.3) — drop the last point;
+        // a valid ring then needs ≥ 3 remaining points
+        rings.filter(_.length - 1 >= 3).foreach { r =>
           val n = r.length - 1
           move(r, 0, 1, CmdMoveTo)
           move(r, 1, n - 1, CmdLineTo)

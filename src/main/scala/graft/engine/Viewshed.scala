@@ -696,8 +696,15 @@ object Viewshed {
     keyed.unpersist()
 
     // stitch: disjoint NaN-marked partials per output tile, as in
-    // viewshedsSplit (<=4 quadrants × the bands overlapping the tile)
-    stages.reduce(_ union _).filter(_.kind == 0)
+    // viewshedsSplit (<=4 quadrants × the bands overlapping the tile).
+    // The union is materialized ONCE here so every per-band stage cache
+    // can be released before returning — otherwise numBands full-volume
+    // datasets stay pinned in executor storage for the session lifetime
+    // (one persisted stitch input replaces numBands persisted stages).
+    val partials = stages.reduce(_ union _).filter(_.kind == 0).persist()
+    partials.count()
+    stages.foreach(_.unpersist(blocking = false))
+    partials
       .groupByKey(p => (p.oid, p.tx, p.ty))
       .mapGroups { (key, it) =>
         val (oid, tx, ty) = key

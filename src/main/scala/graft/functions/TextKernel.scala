@@ -112,7 +112,13 @@ object TextKernel {
       var v = 0L
       var j = 0
       while (j < k) { v = v * 31L + str.charAt(i + j).toInt; j += 1 }
-      h(i) = v
+      // 32-bit fingerprint domain: the packed output is pos·2^32 | hash,
+      // so the hash MUST fit 32 bits — an unmasked polynomial exceeds
+      // 2^32 for k ≥ 7 (ASCII) or any wide char and would corrupt the
+      // pos field. (Winnowing fingerprints are conventionally 32-bit;
+      // the d10 fixture's k=5 ASCII hashes are < 2^27, where the mask
+      // is a no-op and the relational twin agrees unmasked.)
+      h(i) = v & 0xffffffffL
       i += 1
     }
     val we = math.min(w, ng)

@@ -96,7 +96,8 @@ private[geom] object XmlLite {
       }
       if (selfClose) return Node(nm, attrs.result(), Array.empty, "")
       val kids = new ArrayBuffer[Node]()
-      val text = new java.lang.StringBuilder
+      val text = new java.lang.StringBuilder    // pending non-CDATA chars
+      val decoded = new java.lang.StringBuilder // decoded text + raw CDATA
       var closed = false
       while (!closed) {
         if (pos >= s.length) fail(s"unterminated <$nm>")
@@ -105,7 +106,11 @@ private[geom] object XmlLite {
           pos = e + 3
         } else if (s.startsWith("<![CDATA[", pos)) {
           val e = s.indexOf("]]>", pos); if (e < 0) fail("unterminated CDATA")
-          text.append(s, pos + 9, e)
+          // CDATA content is VERBATIM: flush-and-decode the pending
+          // character data, then append the section raw so entities
+          // inside it are not decoded (XML 1.0 §2.7; CPLXMLNode agrees)
+          decoded.append(decode(text.toString)); text.setLength(0)
+          decoded.append(s, pos + 9, e)
           pos = e + 3
         } else if (s.startsWith("</", pos)) {
           pos += 2
@@ -119,7 +124,8 @@ private[geom] object XmlLite {
           text.append(s.charAt(pos)); pos += 1
         }
       }
-      Node(nm, attrs.result(), kids.toArray, decode(text.toString))
+      decoded.append(decode(text.toString))
+      Node(nm, attrs.result(), kids.toArray, decoded.toString)
     }
   }
 }
