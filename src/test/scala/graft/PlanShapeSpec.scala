@@ -174,6 +174,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
   }
 
+  test("g65 subdivision join keeps the g03 broadcast-hash shape") {
+    val df = SparkEntry.queries("g65_subdivide_join")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
   test("d30 per-domain cap aggregates partially before the shuffle, no Window") {
     val df = SparkEntry.queries("d30_domain_cap")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
